@@ -1,0 +1,660 @@
+"""The declared query surface (SURVEY 2) over the driver's synthetic tables.
+
+Every reference query shape (record counts A1, filtered grouped counts A2,
+exploded-JSON label top-N A3/F1-F3, the 4-way LEFT-join weighted
+repo-activity score J1/A5/F8, the import-reconciliation anti-join J3/F6/F7,
+the watermark LEFT-join aggregates J2/A4 with min_by/argMin, the
+ReplacingMergeTree last-write-wins dedup A7/T7, top-K O1) is re-expressed
+over the synthetic star schema (``region nation customer supplier part
+orders lineitem events``), plus TPC-H-style analytics that exercise the
+same operators at bench scale.
+
+Each entry is a pair: a Spark plan builder ``(spark, sf_dir) -> DataFrame``
+and a DuckDB oracle SQL string computing the identical result (same column
+names — the harness sorts columns by name and hashes values). Determinism
+rules used throughout:
+
+- every top-K orders by the measure THEN a unique key (ClickHouse LIMIT
+  ties are engine-arbitrary; we pin them);
+- LEFT-join numeric gaps are zero-filled (ClickHouse fills defaults, not
+  NULL — SURVEY 7.3);
+- floating aggregates are rounded; ranking never depends on sub-round
+  differences except through IEEE-identical arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL over pre-registered table views
+    tags: tuple[str, ...] = field(default=())
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(spark=fn, oracle=oracle, tags=tags, doc=doc)
+        return fn
+
+    return deco
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make any driver-provided session safe for these plans.
+
+    Both confs are runtime-settable: UTC rendering parity with the oracle's
+    naive timestamps, and TIMESTAMP(NANOS) parquet columns read as
+    epoch-nano longs instead of erroring (the events table is NANOS).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): read as epoch-ns long
+        # (session conf nanosAsLong); DuckDB likewise truncates to micro, so
+        # ts_us (epoch micros) is the portable exact value and ts the micro
+        # timestamp for calendar ops.
+        df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    return df
+
+
+# =====================================================================
+# Reference query surface (SURVEY 2.3/2.4/2.6/2.7) on synthetic tables
+# =====================================================================
+
+
+@register(
+    "record_count",
+    "SELECT COUNT(*) AS count FROM events",
+    tags=("A1",),
+    doc="A1 full-table count (README.md:88).",
+)
+def record_count(spark, sf_dir):
+    return t(spark, sf_dir, "events").agg(F.count("*").alias("count"))
+
+
+@register(
+    "events_per_type",
+    "SELECT event_type, COUNT(*) AS count FROM events GROUP BY event_type",
+    tags=("A2",),
+    doc="A2 filtered grouped count (README.md:114-125 subquery shape).",
+)
+def events_per_type(spark, sf_dir):
+    return t(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("count"))
+
+
+@register(
+    "most_used_prop",
+    """
+    SELECT k AS label, COUNT(*) AS count
+    FROM (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE event_type IN ('click', 'view')
+    )
+    GROUP BY k ORDER BY count DESC, label ASC LIMIT 20
+    """,
+    tags=("A3", "F1", "O1"),
+    doc="A3/F1 most_used_label shape (README.md:96-102): JSON-extract -> "
+    "group -> top-N, with deterministic tie-break.",
+)
+def most_used_prop(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select(F.get_json_object("props", "$.k").cast("long").alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("label"))
+        .limit(20)
+    )
+
+
+@register(
+    "most_used_word",
+    """
+    SELECT word, COUNT(*) AS count
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word ORDER BY count DESC, word ASC LIMIT 20
+    """,
+    tags=("A3", "F3", "O1"),
+    doc="A3/F3 arrayJoin-explode top-N (README.md:98 arrayJoin).",
+)
+def most_used_word(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+        .orderBy(F.desc("count"), F.asc("word"))
+        .limit(20)
+    )
+
+
+_ACTIVITY_ORACLE = """
+WITH icc AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS count
+             FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+     oic AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS count
+             FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+     opc AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS count
+             FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+     rcc AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS count
+             FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+     mpc AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS count
+             FROM events WHERE event_type = 'error' AND value > 100 GROUP BY 1, 2)
+SELECT user_id,
+       round(sum(sqrt(score)), 2) AS activity
+FROM (
+  SELECT icc.user_id AS user_id,
+         icc.count + 2 * COALESCE(oic.count, 0) + 3 * COALESCE(opc.count, 0)
+           + 4 * COALESCE(rcc.count, 0) + 5 * COALESCE(mpc.count, 0) AS score
+  FROM icc
+  LEFT JOIN oic ON icc.user_id = oic.user_id AND icc.day = oic.day
+  LEFT JOIN opc ON icc.user_id = opc.user_id AND icc.day = opc.day
+  LEFT JOIN rcc ON icc.user_id = rcc.user_id AND icc.day = rcc.day
+  LEFT JOIN mpc ON icc.user_id = mpc.user_id AND icc.day = mpc.day
+)
+GROUP BY user_id
+ORDER BY activity DESC, user_id ASC
+LIMIT 20
+"""
+
+
+@register(
+    "user_activity",
+    _ACTIVITY_ORACLE,
+    tags=("J1", "A2", "A5", "F8", "O1"),
+    doc="J1/A5 repo_activity (README.md:109-129): 4-way LEFT equi-join of "
+    "filtered grouped counts, ClickHouse zero-fill, weighted sqrt score, "
+    "top-N. Mapped repo->day bucket, actor->user onto the synthetic "
+    "events stream.",
+)
+def user_activity(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+
+    def leg(etype: str, extra=None) -> DataFrame:
+        d = ev.filter(F.col("event_type") == etype)
+        if extra is not None:
+            d = d.filter(extra)
+        return d.groupBy(
+            "user_id", F.to_date("ts").alias("day")
+        ).agg(F.count("*").alias(f"c_{etype}"))
+
+    icc = leg("click")
+    oic = leg("view")
+    opc = leg("purchase")
+    rcc = leg("signup")
+    mpc = leg("error", F.col("value") > 100)
+    keys = ["user_id", "day"]
+    joined = (
+        icc.join(oic, keys, "left")
+        .join(opc, keys, "left")
+        .join(rcc, keys, "left")
+        .join(mpc, keys, "left")
+    )
+    score = (
+        F.col("c_click")
+        + 2 * F.coalesce("c_view", F.lit(0))
+        + 3 * F.coalesce("c_purchase", F.lit(0))
+        + 4 * F.coalesce("c_signup", F.lit(0))
+        + 5 * F.coalesce("c_error", F.lit(0))
+    )
+    return (
+        joined.select("user_id", score.alias("score"))
+        .groupBy("user_id")
+        .agg(F.round(F.sum(F.sqrt("score")), 2).alias("activity"))
+        .orderBy(F.desc("activity"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "missing_hours",
+    """
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                      date_trunc('hour', max(ts)) AS hi FROM events),
+         hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+         present AS (SELECT DISTINCT date_trunc('hour', ts) AS hr FROM events)
+    SELECT CAST(strftime(hr, '%Y%m%d%H') AS BIGINT) AS h
+    FROM hours WHERE hr NOT IN (SELECT hr FROM present)
+    """,
+    tags=("J3", "A6", "F6", "F7", "F9", "U2"),
+    doc="J3 import-reconciliation anti-join "
+    "(app/service/log_importer_status_checker.ts:23-26): expected hour "
+    "keys NOT IN distinct stored hour buckets.",
+)
+def missing_hours(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hr")
+    )
+    present = ev.select(F.date_trunc("hour", "ts").alias("hr")).distinct()
+    return (
+        hours.join(present, "hr", "left_anti")
+        .select(F.date_format("hr", "yyyyMMddHH").cast("long").alias("h"))
+    )
+
+
+@register(
+    "user_watermarks",
+    """
+    SELECT c.c_custkey AS id,
+           COALESCE(e.first_ts_us, 0) AS first_ts_us,
+           COALESCE(e.last_ts_us, 0) AS last_ts_us,
+           COALESCE(e.first_event_id, 0) AS first_event_id,
+           COALESCE(e.last_event_id, 0) AS last_event_id,
+           COALESCE(e.n_events, 0) AS n_events
+    FROM (SELECT c_custkey FROM customer) c
+    LEFT JOIN (
+      SELECT user_id,
+             min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us,
+             arg_min(event_id, epoch_us(ts)) AS first_event_id,
+             arg_max(event_id, epoch_us(ts)) AS last_event_id,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id
+    ) e ON c.c_custkey = e.user_id
+    """,
+    tags=("J2", "A4"),
+    doc="J2/A4 Gitee watermark query (app/service/gitee_importer.ts:110-114): "
+    "dimension LEFT JOIN per-key min/argMin/argMax aggregates; numeric "
+    "gaps zero-filled like ClickHouse defaults.",
+)
+def user_watermarks(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("first_ts_us"),
+        F.max("ts_us").alias("last_ts_us"),
+        F.min_by("event_id", "ts_us").alias("first_event_id"),
+        F.max_by("event_id", "ts_us").alias("last_event_id"),
+        F.count("*").alias("n_events"),
+    )
+    # the aggregate side is small (one row per user) -> broadcast it, the
+    # dimension never shuffles
+    joined = cust.join(
+        F.broadcast(agg), cust.c_custkey == agg.user_id, "left"
+    )
+    return joined.select(
+        F.col("c_custkey").alias("id"),
+        F.coalesce("first_ts_us", F.lit(0)).alias("first_ts_us"),
+        F.coalesce("last_ts_us", F.lit(0)).alias("last_ts_us"),
+        F.coalesce("first_event_id", F.lit(0)).alias("first_event_id"),
+        F.coalesce("last_event_id", F.lit(0)).alias("last_event_id"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+@register(
+    "dedup_last_write_wins",
+    """
+    SELECT user_id, event_type,
+           CAST(strftime(date_trunc('hour', ts), '%Y%m%d%H') AS BIGINT) AS hour_key,
+           max(event_id) AS kept_event_id,
+           arg_max(value, event_id) AS kept_value,
+           COUNT(*) AS n_versions
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("A7", "A8", "T7"),
+    doc="A7/T7 ReplacingMergeTree last-write-wins: collapse duplicate "
+    "(user, type, hour) keys keeping the max-version row "
+    "(app/service/log_importer.ts:123-126; log_tugraph_importer.ts:95-123).",
+)
+def dedup_last_write_wins(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyyMMddHH")
+            .cast("long")
+            .alias("hour_key"),
+        )
+        .agg(
+            F.max("event_id").alias("kept_event_id"),
+            F.max_by("value", "event_id").alias("kept_value"),
+            F.count("*").alias("n_versions"),
+        )
+    )
+
+
+@register(
+    "top_users_by_value",
+    """
+    SELECT user_id, round(sum(value), 2) AS total_value, COUNT(*) AS n
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id ORDER BY total_value DESC, user_id ASC LIMIT 20
+    """,
+    tags=("A2", "O1"),
+    doc="O1 top-K over a filtered grouped aggregate (README.md:100-101).",
+)
+def top_users_by_value(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "users_not_customers",
+    """
+    SELECT DISTINCT user_id FROM events
+    WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 100)
+    """,
+    tags=("U3", "J4"),
+    doc="U3/J4 set difference via anti-join "
+    "(app/service/gitee_importer.ts:328,343).",
+)
+def users_not_customers(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("user_id").distinct()
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100).select(
+        F.col("c_custkey").alias("user_id")
+    )
+    return ev.join(F.broadcast(cust), "user_id", "left_anti")
+
+
+@register(
+    "hourly_event_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+           event_type, COUNT(*) AS count, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("T1", "streaming"),
+    doc="Tumbling-window aggregate: the batch semantics of the Structured "
+    "Streaming ingest counters (SURVEY 2.9 upgrade path).",
+)
+def hourly_event_counts(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("count"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+# =====================================================================
+# TPC-H-style analytics (bench headliners; same operator families at
+# shuffle-heavy scale: multi-join, partial agg, broadcast dims, top-K)
+# =====================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A2", "bench"),
+    doc="TPC-H Q1 shape: scan-heavy partial+final hash aggregation; the "
+    "filter and the 7-column projection must push into the parquet scan.",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("J1", "bench"),
+    doc="TPC-H Q3 shape: selective dim filter -> fact joins -> grouped "
+    "top-K (TakeOrderedAndProject).",
+)
+def q3_shipping_priority(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+    tags=("J1", "bench"),
+    doc="TPC-H Q5 shape: star join with two broadcast dims + co-located "
+    "fact joins; AQE picks broadcast for every sub-64MB side.",
+)
+def q5_region_volume(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nr = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, (orders.o_custkey == cust.c_custkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nr), supp.s_nationkey == nr.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "top_brands_by_revenue",
+    """
+    SELECT p_brand,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY revenue DESC, p_brand ASC LIMIT 10
+    """,
+    tags=("J2", "O1", "bench"),
+    doc="Broadcast dim join + grouped top-K: the J2 small-dim shape at "
+    "fact-table scale.",
+)
+def top_brands_by_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+@register(
+    "nation_customer_rollup",
+    """
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("J2", "A2"),
+    doc="Broadcast-chain dim joins + two-level rollup aggregate.",
+)
+def nation_customer_rollup(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "order_priority_counts",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    tags=("J3", "A2", "bench"),
+    doc="TPC-H Q4 shape: EXISTS decorrelated to a left-semi join.",
+)
+def order_priority_counts(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))

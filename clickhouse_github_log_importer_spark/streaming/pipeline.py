@@ -1,0 +1,203 @@
+"""The scheduled micro-batch pipeline (SURVEY 3.1, T1-T7).
+
+Reference lifecycle (``app/schedule/update_log.ts:10-52``): hourly cron ->
+exist-check -> validate -> download -> validate -> reconcile -> import ->
+status. Unit of work and of commit is one hourly file. Here the same
+lifecycle is one :func:`run_incremental` call; the scheduler is external
+(cron / Airflow / ``Trigger.AvailableNow`` streaming — see
+:func:`streaming_ingest`).
+
+Scale shape: import reads ONLY files in Verified state (incremental, never
+the backlog), parses them in one distributed job (task per gzip file),
+appends to the month-partitioned events store, and reconciles with an
+anti-join of expected hours vs stored hours *pushed down to the month
+partitions touched by the batch*. Nothing in the loop scans the full table,
+so steady-state cost is O(batch), not O(history) — the property that keeps
+an hourly cadence viable when history is 100 TB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup_replacing import replacing_dedup
+from ..operators.parsers import project_events, read_raw
+from ..sources.gharchive import check_existing, check_validity, download_missing
+from ..sources.manifest import FileStatus, Manifest
+
+#: hour-bucket key yyyyMMddHH, the reconciliation granule
+#: (floor(toYYYYMMDDhhmmss/10000), app/service/log_importer_status_checker.ts:25)
+HOUR_KEY_FMT = "yyyyMMddHH"
+
+
+def key_for_path(rel_path: str) -> int:
+    """F9/P20: yyyy/MM/dd/yyyy-MM-dd-H.json.gz -> yyyyMMddHH int key."""
+    base = os.path.basename(rel_path)[: -len(".json.gz")]
+    y, m, d, h = base.split("-")
+    return int(y) * 1000000 + int(m) * 10000 + int(d) * 100 + int(h)
+
+
+def import_verified(
+    spark: SparkSession,
+    manifest: Manifest,
+    data_dir: str,
+    table_path: str,
+    batch_files: int = 256,
+) -> int:
+    """logImporter.import (app/service/log_importer.ts:12-99).
+
+    Reads all Verified files as ONE Spark job (a non-splittable gzip file
+    is exactly one task — the reference's file-per-worker parallelism,
+    but cluster-wide), projects to the wide schema, appends month
+    partitions. Commit protocol: manifest statuses flip to Imported only
+    after the write succeeds; a crash between write and manifest save is
+    healed by reconcile() + ReplacingMergeTree dedup (idempotent re-import).
+    """
+    todo = manifest.keys_with(FileStatus.Verified)[:batch_files]
+    if not todo:
+        return 0
+    paths = [os.path.join(data_dir, k) for k in todo]
+    events = project_events(read_raw(spark, paths))
+    (
+        events.write.mode("append")
+        .partitionBy("created_month")
+        .parquet(table_path)
+    )
+    for k in todo:
+        manifest.set(k, FileStatus.Imported)
+    manifest.save()
+    return len(todo)
+
+
+def reconcile(
+    spark: SparkSession, manifest: Manifest, table_path: str
+) -> list[str]:
+    """T4/J3: demote hours marked Imported but absent from the store.
+
+    The reference's anti-join (``log_importer_status_checker.ts:23-26``):
+    claimed hour keys NOT IN (distinct hour buckets present in the table).
+    We restrict the scan to the claimed months so partition pruning does
+    the heavy lifting.
+    """
+    imported = manifest.keys_with(FileStatus.Imported)
+    if not imported:
+        return []
+    keys = [(k, key_for_path(k)) for k in imported]
+    months = sorted({hk // 10000 for _, hk in keys})
+    claimed = spark.createDataFrame(keys, "path string, h long")
+    present = (
+        spark.read.parquet(table_path)
+        .filter(F.col("created_month").isin(months))
+        .select(
+            F.date_format("created_at", HOUR_KEY_FMT).cast("long").alias("h")
+        )
+        .distinct()
+    )
+    missing = [
+        r["path"] for r in claimed.join(present, "h", "left_anti").collect()
+    ]
+    for k in missing:
+        manifest.set(k, FileStatus.Verified)  # re-import next run
+    if missing:
+        manifest.save()
+    return sorted(missing)
+
+
+def update_status(manifest: Manifest, status_path: str, reason: str = "ok") -> dict:
+    """A10/S13: status.json roll-up (app/service/update_status.ts:9-41)."""
+    statuses = dict(manifest.items())
+    total = len(statuses)
+    imported = sum(1 for v in statuses.values() if v == FileStatus.Imported)
+    missing = sorted(k for k, v in statuses.items() if v != FileStatus.Imported)
+    status = {
+        "reason": reason,
+        "total": total,
+        "imported": imported,
+        "importFail": 0,
+        "missing": total - imported,
+        "missingRate": round((total - imported) / total, 6) if total else 0.0,
+        "missingArr": missing,
+        "updateTime": datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    with open(status_path, "w") as f:
+        json.dump(status, f)
+    return status
+
+
+def run_incremental(
+    spark: SparkSession,
+    meta_path: str,
+    data_dir: str,
+    table_path: str,
+    status_path: str | None = None,
+    expected_files: list[str] | None = None,
+    fetcher=None,
+    download: bool = False,
+) -> dict:
+    """One full pipeline tick (the hourly cron body, update_log.ts:10-52)."""
+    manifest = Manifest(meta_path)
+    if expected_files:
+        manifest.ensure(expected_files)
+    check_existing(manifest, data_dir)
+    check_validity(manifest, data_dir)
+    if download:
+        download_missing(manifest, data_dir, fetcher=fetcher)
+        check_validity(manifest, data_dir)
+    if os.path.exists(table_path):
+        reconcile(spark, manifest, table_path)
+    n = import_verified(spark, manifest, data_dir, table_path)
+    status = update_status(manifest, status_path or meta_path + ".status.json")
+    status["imported_this_run"] = n
+    return status
+
+
+def events_view(spark: SparkSession, table_path: str) -> DataFrame:
+    """Canonical deduped events relation (SURVEY 4.3 choice 1)."""
+    return replacing_dedup(spark.read.parquet(table_path))
+
+
+def streaming_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    table_path: str,
+    checkpoint: str,
+    trigger_available_now: bool = True,
+):
+    """Structured Streaming upgrade path of the same ingest (SURVEY 2.9).
+
+    File-source + checkpoint replaces the manifest state machine with
+    Spark-managed exactly-once file tracking; ``dropDuplicates`` on the
+    dedup key + watermark replaces read-time dedup for in-flight batches.
+    The reference has no true streaming, so this is additive surface.
+    """
+    from ..operators.parsers import RAW_EVENT_SCHEMA
+    from ..schema import DEDUP_KEY
+
+    raw = (
+        spark.readStream.schema(RAW_EVENT_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("maxFilesPerTrigger", 256)
+        .json(input_dir)
+    )
+    events = project_events(raw)
+    key = [k for k in DEDUP_KEY if k not in ("created_year",)]
+    deduped = (
+        events.withWatermark("created_at", "1 hour")
+        .dropDuplicates([*key])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", table_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("created_month")
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
