@@ -32,6 +32,16 @@ HEADLINE = [
     "top_brands_by_revenue",
     "nation_customer_rollup",
     "order_priority_counts",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash_signatures",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "lang_id",
+    "text_quality",
+    "token_stats",
+    "doc_fingerprints",
+    "multimodal_features",
 ]
 
 

@@ -1,0 +1,290 @@
+"""Document deduplication operators for training-data pipelines.
+
+Four tiers, all pure DataFrame/column expressions (no Python UDFs — the
+per-row work is array expressions inside whole-stage codegen; the only
+shuffles are the ones the algorithms inherently need):
+
+- :func:`exact_dedup` — content-hash groupBy. One shuffle on the hash.
+- :func:`minhash_signatures` / :func:`lsh_candidate_pairs` — MinHash+LSH:
+  shingle -> seeded-min-hash signature (computed per-row, NO explode/
+  shuffle) -> band buckets -> self-join on (band, hash). At 100 TB the
+  band join is the only shuffle and its keys are uniformly distributed
+  hashes; candidate sets stay tiny because bucket collisions are rare.
+- :func:`simhash` / :func:`simhash_candidate_pairs` — 32-bit SimHash with
+  banded hamming join (4 x 8-bit bands -> any-band-equal candidates ->
+  exact popcount filter), the classic near-dup path for short docs.
+- :func:`jaccard_verify` — exact n-gram Jaccard on candidate pairs via
+  array_intersect/array_union (set semantics), the verification stage
+  after any LSH: never run it all-pairs.
+
+Hashing uses the md5-based 60-bit family (functions.hashing) so results
+are reproducible across engines — swap in xxhash64 for raw speed when
+cross-engine parity is not needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_hash64
+
+#: MinHash defaults: 12 permutations in 4 bands of 3 rows — detects
+#: Jaccard >~ 0.6 pairs with high probability while keeping the signature
+#: cheap. Tune (perms, bands) per corpus.
+MINHASH_PERMS = 12
+MINHASH_BANDS = 4
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+
+#: MinHash permutation family: ONE md5 per shingle, then `perms` affine
+#: maps h -> (a*h + b) mod M31 over the Mersenne prime 2^31-1. Each map is
+#: a bijection on [0, M31), products stay under 2^62 (no int64 overflow,
+#: ANSI-safe), and the constants derive from md5 so any engine can
+#: reproduce them. ~10x cheaper than seeding md5 per permutation.
+MERSENNE31 = (1 << 31) - 1
+
+
+def perm_constants(perms: int = MINHASH_PERMS) -> list[tuple[int, int]]:
+    out = []
+    for s in range(perms):
+        a = int(hashlib.md5(f"perm_a:{s}".encode()).hexdigest()[:8], 16) % (
+            MERSENNE31 - 1
+        ) + 1
+        b = int(hashlib.md5(f"perm_b:{s}".encode()).hexdigest()[:8], 16) % MERSENNE31
+        out.append((a, b))
+    return out
+
+
+def words_of(text: Column | str) -> Column:
+    """Whitespace tokens, empties dropped."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda w: w != "")
+
+
+def shingles_of(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles; documents shorter than n words collapse to a
+    single whole-text shingle so every doc has >=1 shingle."""
+    w = words_of(text)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + k) for k in range(n)]
+    )
+    return F.when(F.size(w) >= n, F.transform(idx, gram)).otherwise(
+        F.array(F.concat_ws(" ", w))
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest id.
+
+    Returns one row per distinct content: (content_hash, kept_id, dup_count).
+    Map-side partial aggregation makes the shuffle carry one row per
+    distinct (hash) per partition — at 100 TB the reduce side sees the
+    distinct-content cardinality, not the corpus size.
+    """
+    return (
+        df.select(md5_hash64(text_col).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    perms: int = MINHASH_PERMS,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature as `perms` columns mh_0..mh_{p-1}.
+
+    Entirely per-row (transform + array_min over the shingle array): no
+    explode, no shuffle, embarrassingly parallel over the scan. One md5
+    per shingle; permutations are affine maps over M31 (see
+    perm_constants).
+    """
+    sh = shingles_of(text_col, shingle_n)
+    bases = F.transform(sh, lambda x: md5_hash64(x) % MERSENNE31)
+    out = df.select(F.col(id_col), bases.alias("_bases"))
+
+    # one-arg closure per permutation (a (x, s=s) default would be treated
+    # as an (element, index) lambda and bind the array index to s)
+    def affine(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE31
+
+    for s, (a, b) in enumerate(perm_constants(perms)):
+        out = out.withColumn(
+            f"mh_{s}", F.array_min(F.transform("_bases", affine(a, b)))
+        )
+    return out.drop("_bases")
+
+
+def band_hashes(
+    sig: DataFrame, perms: int = MINHASH_PERMS, bands: int = MINHASH_BANDS
+) -> DataFrame:
+    """(id, band, band_hash) — one row per band per doc."""
+    rows = perms // bands
+    id_col = sig.columns[0]
+    cols = []
+    for b in range(bands):
+        member = F.concat_ws(
+            ",", *[F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+        )
+        cols.append(
+            F.struct(F.lit(b).alias("band"), md5_hash64(member).alias("band_hash"))
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*cols)).alias("bh")
+    ).select(id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any MinHash band.
+
+    The self-join key (band, band_hash) is a uniform 60-bit hash: no skew,
+    and the per-bucket fanout is bounded by real near-duplicate clusters.
+    """
+    sig = minhash_signatures(df, text_col, id_col, perms)
+    bh = band_hashes(sig, perms, bands)
+    a = bh.alias("a")
+    b = bh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Per-doc SimHash over whitespace tokens (term frequency weighted).
+
+    bit b is set iff more than half the tokens have bit b set in their
+    60-bit hash; exact ties round down. Per-row array math, no shuffle.
+    """
+    hs = F.transform(words_of(text_col), md5_hash64)
+    out = df.select(F.col(id_col), hs.alias("_hs"), F.size(hs).alias("_n"))
+    acc = F.lit(0).cast("long")
+
+    # NB: a one-arg lambda per bit — a (x, b=b) default would make pyspark
+    # treat the lambda as (element, index) and bind the array index to b.
+    def bit_set(b: int):
+        return lambda x: F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1
+
+    for b in range(bits):
+        cnt = F.size(F.filter("_hs", bit_set(b)))
+        acc = acc + F.when(cnt * 2 > F.col("_n"), F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out.select(F.col(id_col), acc.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    bands: int = SIMHASH_BANDS,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: a pair within distance d < bands must agree on at
+    least one of `bands` disjoint bit-bands, so the join runs on band
+    equality and only candidates pay the exact popcount.
+    """
+    assert max_hamming < bands, "pigeonhole requires max_hamming < bands"
+    sh = simhash(df, text_col, id_col, bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    bandcols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask)).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    bh = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*bandcols)).alias("x")
+    ).select(id_col, "simhash", F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
+    a, b = bh.alias("a"), bh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs (the verify stage).
+
+    (id_a, id_b, jaccard) for pairs >= threshold. Joins the (small)
+    candidate set back to the shingle arrays, set math per-row.
+    """
+    sets = df.select(
+        F.col(id_col), F.array_distinct(shingles_of(text_col, shingle_n)).alias("sh")
+    )
+    out = (
+        pairs.join(sets.withColumnRenamed("sh", "sh_a"), pairs.id_a == sets[id_col])
+        .drop(id_col)
+        .join(
+            sets.withColumnRenamed("sh", "sh_b").alias("s2"),
+            pairs.id_b == F.col(f"s2.{id_col}"),
+        )
+        .drop(id_col)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        out.select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

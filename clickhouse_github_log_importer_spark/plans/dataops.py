@@ -1,0 +1,431 @@
+"""Training-data pipeline queries: dedup, similarity, text analysis,
+multimodal — each registered with a DuckDB oracle generated from the SAME
+constants (seeds, band layout, hyperplanes, stopword lists) as the Spark
+plans, so both engines compute bit-identical results.
+
+DuckDB-SQL building blocks mirroring the Spark operators:
+
+- words:    list_filter(string_split(text,' '), w -> w <> '')
+- shingles: n-gram join over 1-indexed list positions (short docs -> one
+  whole-text shingle), identical to operators.dedup_text.shingles_of
+- hash:     md5-hex-prefix -> BIGINT (functions.hashing twins)
+- quantize: round(x*1000)::BIGINT (operators.similarity.quantized)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_hash64_sql
+from ..operators import dedup_text as DT
+from ..operators import multimodal as MM
+from ..operators import similarity as SIM
+from ..operators import text_analysis as TA
+from .queries import register, t
+
+# --- shared SQL fragments ----------------------------------------------------
+
+_WORDS = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+
+def _shingles_sql(n: int) -> str:
+    """DuckDB twin of shingles_of(text, n) (over alias `words`)."""
+    gram = " || ' ' || ".join(f"words[i+{k}]" for k in range(n))
+    return (
+        f"CASE WHEN len(words) >= {n} THEN "
+        f"list_transform(range(1, len(words) - {n - 2}), i -> {gram}) "
+        f"ELSE [array_to_string(words, ' ')] END"
+    )
+
+
+def _minhash_sql(perms: int) -> list[str]:
+    """Per-permutation min-hash expressions over alias `bases` (the list of
+    M31-reduced shingle hashes) — twin of minhash_signatures' affine maps."""
+    m = DT.MERSENNE31
+    return [
+        f"list_min(list_transform(bases, x -> ({a} * x + {b}) % {m}))"
+        for a, b in DT.perm_constants(perms)
+    ]
+
+
+def _spread(spark, df):
+    """Fan a small single-file input across the cluster for CPU-heavy
+    per-row ops. One parquet file at local scale = one partition = one
+    core; at 100 TB inputs arrive in thousands of splits and this is a
+    no-op (we only repartition when the scan is narrower than the
+    parallelism)."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
+# =====================================================================
+# Deduplication
+# =====================================================================
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT {md5_hash64_sql('text')} AS content_hash,
+           min(doc_id) AS kept_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup",),
+    doc="Exact content-hash dedup: one row per distinct content, smallest "
+    "doc_id kept. operators.dedup_text.exact_dedup.",
+)
+def dedup_exact(spark, sf_dir):
+    return DT.exact_dedup(_spread(spark, t(spark, sf_dir, "documents")))
+
+
+def _lsh_pairs_oracle(perms: int = DT.MINHASH_PERMS, bands: int = DT.MINHASH_BANDS) -> str:
+    rows = perms // bands
+    mh = _minhash_sql(perms)
+    band_selects = []
+    for b in range(bands):
+        member = " || ',' || ".join(
+            f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {md5_hash64_sql(f'({member})')} AS band_hash FROM sig"
+        )
+    return f"""
+    WITH sig AS (
+      SELECT doc_id,
+             {', '.join(f'{e} AS mh_{i}' for i, e in enumerate(mh))}
+      FROM (
+        SELECT doc_id,
+               list_transform(sh, x -> {md5_hash64_sql('x')} % {DT.MERSENNE31}) AS bases
+        FROM (
+          SELECT doc_id, {_shingles_sql(3)} AS sh
+          FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+        )
+      )
+    ),
+    bands AS (
+      {' UNION ALL '.join(band_selects)}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    _lsh_pairs_oracle(),
+    tags=("dedup", "lsh"),
+    doc="MinHash+LSH near-dup candidate pairs: 12 seeded min-hashes over "
+    "word 3-gram shingles, 4 bands x 3 rows, pairs sharing any band. "
+    "operators.dedup_text.lsh_candidate_pairs.",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return DT.lsh_candidate_pairs(_spread(spark, t(spark, sf_dir, "documents")))
+
+
+def _simhash_sql(bits: int = DT.SIMHASH_BITS) -> str:
+    terms = []
+    for b in range(bits):
+        cnt = f"len(list_filter(hs, x -> (x >> {b}) & 1 = 1))"
+        terms.append(f"(CASE WHEN 2 * {cnt} > len(hs) THEN {2**b} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "simhash_signatures",
+    f"""
+    SELECT doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash
+    FROM (
+      SELECT doc_id,
+             list_transform({_WORDS}, w -> {md5_hash64_sql('w')}) AS hs
+      FROM documents
+    )
+    """,
+    tags=("dedup",),
+    doc="32-bit SimHash per document (term-frequency majority vote per "
+    "bit). operators.dedup_text.simhash.",
+)
+def simhash_signatures(spark, sf_dir):
+    return DT.simhash(_spread(spark, t(spark, sf_dir, "documents")))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH pairs AS ({_lsh_pairs_oracle()}),
+    sets AS (
+      SELECT doc_id, list_distinct(sh) AS sh
+      FROM (
+        SELECT doc_id, {_shingles_sql(3)} AS sh
+        FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+      )
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM pairs
+    JOIN sets a ON pairs.id_a = a.doc_id
+    JOIN sets b ON pairs.id_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+    tags=("dedup",),
+    doc="Exact n-gram Jaccard verification over the LSH candidate pairs "
+    "(the verify stage after banding). operators.dedup_text.jaccard_verify.",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    pairs = DT.lsh_candidate_pairs(docs)
+    return DT.jaccard_verify(docs, pairs, threshold=0.5)
+
+
+# =====================================================================
+# Similarity search
+# =====================================================================
+
+_QUANT = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))"
+_DOT = "CAST(list_sum(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])) AS BIGINT)"
+
+
+def _ann_oracle(k: int, n_queries: int) -> str:
+    dot_qc = _DOT.format(a="q.q", b="c.q")
+    return f"""
+    WITH qn AS (
+      SELECT vec_id, q, {_DOT.format(a='q', b='q')} AS norm2
+      FROM (SELECT vec_id, {_QUANT} AS q FROM embeddings)
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST({dot_qc} AS DOUBLE) / (sqrt(CAST(q.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))) AS cos_exact
+      FROM (SELECT * FROM qn WHERE vec_id < {n_queries} AND norm2 > 0) q
+      JOIN (SELECT * FROM qn WHERE norm2 > 0) c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos_exact, 6) AS cos_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_exact DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    WHERE rank <= {k}
+    """
+
+
+@register(
+    "ann_cosine_topk",
+    _ann_oracle(k=5, n_queries=8),
+    tags=("similarity",),
+    doc="Brute-force exact cosine top-5 for 8 query vectors over the "
+    "embeddings table; integer-quantized arithmetic makes the scores "
+    "engine-exact. operators.similarity.cosine_topk.",
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    return SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+def _lsh_bucket_sql(planes: list[list[int]]) -> str:
+    terms = []
+    for j, w in enumerate(planes):
+        wlit = "[" + ", ".join(str(v) for v in w) + "]"
+        proj = f"list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * ({wlit})[i]))"
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {2**j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _lsh_buckets_oracle(planes: int = SIM.LSH_PLANES, dims: int = 64) -> str:
+    w = SIM.plane_weights(planes, dims)
+    return f"""
+    SELECT bucket, COUNT(*) AS n_vectors, min(vec_id) AS min_vec_id
+    FROM (
+      SELECT vec_id, CAST({_lsh_bucket_sql(w)} AS BIGINT) AS bucket
+      FROM (
+        SELECT vec_id, {_QUANT} AS q FROM embeddings
+        WHERE {_DOT.format(a=_QUANT, b=_QUANT)} > 0
+      )
+    )
+    GROUP BY bucket
+    """
+
+
+@register(
+    "ann_lsh_buckets",
+    _lsh_buckets_oracle(),
+    tags=("similarity", "lsh"),
+    doc="Random-hyperplane LSH sign-sketch buckets (8 deterministic md5-"
+    "derived planes): the scale path for ANN — occupancy histogram. "
+    "operators.similarity.lsh_buckets.",
+)
+def ann_lsh_buckets(spark, sf_dir):
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    return (
+        SIM.lsh_buckets(emb, dims=64)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    None,  # exercised rows-only here; exactness is covered by
+    # ann_cosine_topk (same scorer) + ann_lsh_buckets (same bucketing)
+    tags=("similarity", "lsh"),
+    doc="Bucket-restricted approximate top-3: exact cosine ranking within "
+    "the query's LSH bucket. operators.similarity.lsh_topk.",
+)
+def ann_lsh_topk(spark, sf_dir):
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
+
+
+# =====================================================================
+# Text analysis
+# =====================================================================
+
+
+def _lang_id_oracle() -> str:
+    score_cols = []
+    for lang, markers in sorted(TA.LANG_MARKERS.items()):
+        arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        score_cols.append(
+            f"len(list_filter(words, w -> list_contains({arr}, w))) AS score_{lang}"
+        )
+    langs = sorted(TA.LANG_MARKERS)
+    pred = "'unknown'"
+    for lang in reversed(langs):
+        conds = [f"score_{lang} > 0"]
+        for other in langs:
+            if other != lang:
+                op = ">=" if other > lang else ">"
+                conds.append(f"score_{lang} {op} score_{other}")
+        pred = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {pred} END"
+    return f"""
+    SELECT doc_id, {', '.join(f'score_{l}' for l in langs)}, {pred} AS pred_lang
+    FROM (
+      SELECT doc_id, {', '.join(score_cols)}
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+    )
+    """
+
+
+@register(
+    "lang_id",
+    _lang_id_oracle(),
+    tags=("text",),
+    doc="n-gram-heuristic language ID: marker-stopword hit counts per "
+    "language, argmax with alphabetical tie-break. "
+    "operators.text_analysis.lang_id.",
+)
+def lang_id_query(spark, sf_dir):
+    return TA.lang_id(_spread(spark, t(spark, sf_dir, "documents")))
+
+
+_STOP_ARR = "[" + ", ".join(f"'{s}'" for s in TA.EN_STOPWORDS) + "]"
+
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           len(words) AS n_tokens,
+           round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 4) AS distinct_ratio,
+           round(CAST(len(list_filter(words, w -> list_contains({_STOP_ARR}, w))) AS DOUBLE) / len(words), 4) AS stopword_ratio,
+           round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text), 4) AS alpha_ratio,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(words), 4) AS mean_token_len,
+           round(0.35 * (CAST(len(list_distinct(words)) AS DOUBLE) / len(words))
+               + 0.25 * (CAST(len(list_filter(words, w -> list_contains({_STOP_ARR}, w))) AS DOUBLE) / len(words))
+               + 0.25 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text))
+               + 0.15 * least(CAST(len(words) AS DOUBLE) / 100.0, 1.0), 4) AS quality_score
+    FROM (SELECT doc_id, text, {_WORDS} AS words FROM documents)
+    """,
+    tags=("text",),
+    doc="Gopher/C4-style quality features + composite score. "
+    "operators.text_analysis.quality_features.",
+)
+def text_quality(spark, sf_dir):
+    return TA.quality_features(_spread(spark, t(spark, sf_dir, "documents")))
+
+
+@register(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           len({_WORDS}) AS ws_tokens,
+           len(regexp_extract_all(text, '{TA.TOKEN_PATTERN}')) AS regex_tokens,
+           length(text) AS n_chars,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+    tags=("text",),
+    doc="Token counting: whitespace + BPE-ish regex + chars/4 estimate. "
+    "operators.text_analysis.token_stats.",
+)
+def token_stats_query(spark, sf_dir):
+    return TA.token_stats(_spread(spark, t(spark, sf_dir, "documents")))
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    SELECT doc_id, fps[1] AS fp_1, fps[2] AS fp_2, fps[3] AS fp_3, fps[4] AS fp_4
+    FROM (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(sh, x -> {md5_hash64_sql('x')}))) AS fps
+      FROM (
+        SELECT doc_id, {_shingles_sql(4)} AS sh
+        FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+      )
+    )
+    """,
+    tags=("text",),
+    doc="Bottom-4 hash fingerprint over word 4-gram shingles "
+    "(winnowing-style sketch). operators.text_analysis.fingerprints.",
+)
+def doc_fingerprints(spark, sf_dir):
+    return TA.fingerprints(_spread(spark, t(spark, sf_dir, "documents")))
+
+
+# =====================================================================
+# Multimodal plumbing
+# =====================================================================
+
+
+@register(
+    "multimodal_features",
+    f"""
+    SELECT doc_id,
+           strlen(text) AS n_bytes,
+           CAST(ceil(strlen(text) / {MM.FRAME_STRIDE}.0) AS BIGINT) AS n_frames,
+           md5(substr(text, 1, {MM.FRAME_STRIDE})) AS head_md5
+    FROM documents
+    """,
+    tags=("multimodal",),
+    doc="Binary-column feature extraction through the real mapInPandas "
+    "plumbing (Arrow batches, declared schema, stubbed codec): byte "
+    "count, frame count at stride 16, head digest. "
+    "operators.multimodal.extract_features.",
+)
+def multimodal_features(spark, sf_dir):
+    media = MM.as_media_table(_spread(spark, t(spark, sf_dir, "documents")))
+    return MM.extract_features(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+    SELECT doc_id,
+           CAST(f AS BIGINT) AS frame_idx,
+           CAST(f * {MM.FRAME_STRIDE} AS BIGINT) AS byte_offset
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, CAST(ceil(strlen(text) / {MM.FRAME_STRIDE}.0) AS BIGINT))) AS f)
+    """,
+    tags=("multimodal",),
+    doc="Deterministic frame sampling over binary payloads (stride-16 "
+    "offsets). operators.multimodal.frame_sample.",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    media = MM.as_media_table(_spread(spark, t(spark, sf_dir, "documents")))
+    return MM.frame_sample(media)

@@ -658,3 +658,8 @@ def order_priority_counts(spark, sf_dir):
         "left_semi",
     )
     return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# Training-data pipeline queries register themselves on import (uses the
+# register/t defined above; import must stay at module bottom).
+from . import dataops  # noqa: E402,F401

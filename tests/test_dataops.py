@@ -1,0 +1,149 @@
+"""Behavioral tests for the training-data operators (planted duplicates,
+planted neighbors) — the oracle-parity suite covers cross-engine equality;
+these cover semantics."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_github_log_importer_spark.operators import (
+    dedup_text as DT,
+    multimodal as MM,
+    similarity as SIM,
+    text_analysis as TA,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup of 1
+    (4, "completely different content about spark query engines and shuffles everywhere"),
+    (5, "el la de que los es una palabra en otra lengua"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["kept_id"]: r["dup_count"] for r in DT.exact_dedup(docs).collect()}
+    assert out[1] == 2  # doc 2 collapsed into doc 1
+    assert 2 not in out
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_lsh_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in DT.lsh_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs  # 1-word edit shares bands
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_minhash_seeds_differ(docs):
+    sig = DT.minhash_signatures(docs).filter(F.col("doc_id") == 1).first()
+    values = [sig[f"mh_{s}"] for s in range(DT.MINHASH_PERMS)]
+    assert len(set(values)) > 1  # seeds actually decorrelate
+
+
+def test_jaccard_verify(docs):
+    pairs = DT.lsh_candidate_pairs(docs)
+    ver = {(r["id_a"], r["id_b"]): r["jaccard"] for r in DT.jaccard_verify(docs, pairs).collect()}
+    assert ver[(1, 2)] == 1.0
+    assert 0.5 <= ver[(1, 3)] < 1.0
+
+
+def test_simhash_near_dup_pairs(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in DT.simhash(docs).collect()}
+    assert sh[1] == sh[2]
+    ham13 = bin(sh[1] ^ sh[3]).count("1")
+    ham14 = bin(sh[1] ^ sh[4]).count("1")
+    assert ham13 < ham14
+    pairs = {(r["id_a"], r["id_b"]) for r in DT.simhash_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [1.0, 0.001, 0.0, 0.0]),  # nearly identical to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+    (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    (4, [0.9, 0.1, 0.0, 0.0]),
+]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_exact(vecs):
+    out = SIM.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=4).collect()
+    ranked = [(r["neighbor_id"], r["cos_sim"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0][0] == 1 and ranked[0][1] == pytest.approx(1.0, abs=1e-5)
+    assert ranked[1][0] == 4
+    assert ranked[-1] == (3, -1.0, 4)  # opposite vector last, exact -1
+
+
+def test_lsh_buckets_group_similars(vecs):
+    b = {r["vec_id"]: r["bucket"] for r in SIM.lsh_buckets(vecs, dims=4).collect()}
+    assert b[0] == b[1]  # near-identical vectors share the sketch
+    assert b[0] != b[3]  # opposite vectors cannot share all sign bits
+
+
+def test_lsh_topk_subset_of_exact(vecs):
+    exact = SIM.cosine_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=4)
+    approx = SIM.lsh_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=4)
+    exact_pairs = {(r["query_id"], r["neighbor_id"], r["cos_sim"]) for r in exact.collect()}
+    for r in approx.collect():
+        assert (r["query_id"], r["neighbor_id"], r["cos_sim"]) in exact_pairs
+
+
+def test_lang_id(docs):
+    out = {r["doc_id"]: r["pred_lang"] for r in TA.lang_id(docs).collect()}
+    assert out[1] == "en" and out[5] == "es"
+
+
+def test_quality_features(docs):
+    q = {r["doc_id"]: r for r in TA.quality_features(docs).collect()}
+    assert q[1]["n_tokens"] == 14
+    assert q[1]["distinct_ratio"] < 1.0  # 'the' repeats
+    assert q[4]["distinct_ratio"] == 1.0
+    assert 0.0 <= q[1]["quality_score"] <= 1.0
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "hello, world! x2")], "doc_id long, text string")
+    r = TA.token_stats(df).first()
+    assert r["ws_tokens"] == 3
+    # hello , world ! x2 -> 6 regex tokens (x2 splits alnum run? no: [A-Za-z0-9]+ keeps x2 whole)
+    assert r["regex_tokens"] == 5
+    assert r["n_chars"] == 16 and r["est_bpe_tokens"] == 4
+
+
+def test_fingerprints_identical_docs_match(docs):
+    fp = {r["doc_id"]: (r["fp_1"], r["fp_2"], r["fp_3"], r["fp_4"]) for r in TA.fingerprints(docs).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
+
+
+def test_multimodal_features(docs):
+    media = MM.as_media_table(docs)
+    feats = {r["doc_id"]: r for r in MM.extract_features(media).collect()}
+    text1 = DOCS[0][1]
+    assert feats[1]["n_bytes"] == len(text1.encode())
+    assert feats[1]["head_md5"] == hashlib.md5(text1.encode()[:16]).hexdigest()
+    frames = MM.frame_sample(media).groupBy("doc_id").count().collect()
+    by_id = {r["doc_id"]: r["count"] for r in frames}
+    import math
+
+    assert by_id[1] == math.ceil(len(text1.encode()) / MM.FRAME_STRIDE)
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG")
