@@ -89,7 +89,24 @@ _PULL = T.StructType(
             T.StructType(
                 [
                     T.StructField("ref", T.StringType()),
-                    T.StructField("repo", T.StructType([T.StructField("id", T.LongType())])),
+                    T.StructField("sha", T.StringType()),
+                    # graph projection reads repo metadata the flat table
+                    # does not keep (log_tugraph_importer.ts:252-274)
+                    T.StructField(
+                        "repo",
+                        T.StructType(
+                            [
+                                T.StructField("id", T.LongType()),
+                                T.StructField("language", T.StringType()),
+                                T.StructField(
+                                    "license",
+                                    T.StructType([T.StructField("spdx_id", T.StringType())]),
+                                ),
+                                T.StructField("description", T.StringType()),
+                                T.StructField("default_branch", T.StringType()),
+                            ]
+                        ),
+                    ),
                 ]
             ),
         ),
@@ -98,6 +115,7 @@ _PULL = T.StructType(
             T.StructType(
                 [
                     T.StructField("ref", T.StringType()),
+                    T.StructField("sha", T.StringType()),
                     T.StructField(
                         "repo",
                         T.StructType(
@@ -126,6 +144,7 @@ _COMMENT = T.StructType(
         T.StructField("path", T.StringType()),
         T.StructField("position", T.LongType()),
         T.StructField("line", T.LongType()),
+        T.StructField("start_line", T.LongType()),
         T.StructField("commit_id", T.StringType()),
     ]
 )

@@ -1,0 +1,158 @@
+"""Gitee normalization (P15-P17) and cursor state machine (T6) tests."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_github_log_importer_spark.sources.gitee import (
+    GITEE_RAW_SCHEMA,
+    RepoCursor,
+    dedup_orgs_repos,
+    paginate_repo_events,
+    project_gitee_events,
+    repo_watermarks,
+)
+
+RAW_EVENTS = [
+    # StarEvent -> WatchEvent, action starred -> started
+    {"id": 1, "type": "StarEvent", "actor": {"id": 10, "login": "u1"},
+     "repo": {"id": 100, "full_name": "o/r"},
+     "payload": {"action": "starred"}, "created_at": "2022-01-01T10:00:00+08:00"},
+    # IssueEvent -> IssuesEvent, base-36 number, action open -> opened
+    {"id": 2, "type": "IssueEvent", "actor": {"id": 10, "login": "u1"},
+     "repo": {"id": 100, "full_name": "o/r"},
+     "payload": {"action": "open", "id": 55, "number": "I4XYZ",
+                 "title": "t", "body": "b",
+                 "labels": [{"name": "it's", "color": "red"}],
+                 "user": {"id": 10, "login": "u1"},
+                 "created_at": "2022-01-01T09:00:00+08:00",
+                 "updated_at": "2022-01-01T09:30:00+08:00"},
+     "created_at": "2022-01-01T10:00:00+08:00"},
+    # progressing action -> dropped
+    {"id": 3, "type": "IssueEvent", "actor": {"id": 10, "login": "u1"},
+     "repo": {"id": 100, "full_name": "o/r"},
+     "payload": {"action": "progressing", "id": 56, "number": "1Z",
+                 "user": {"id": 10, "login": "u1"}},
+     "created_at": "2022-01-01T10:00:00+08:00"},
+    # unsupported type -> dropped
+    {"id": 4, "type": "MilestoneEvent", "actor": {"id": 10, "login": "u1"},
+     "repo": {"id": 100, "full_name": "o/r"}, "payload": {},
+     "created_at": "2022-01-01T10:00:00+08:00"},
+    # PullRequestEvent merged -> closed + pull_merged=1, base-10 number
+    {"id": 5, "type": "PullRequestEvent", "actor": {"id": 11, "login": "u2"},
+     "repo": {"id": 100, "full_name": "o/r"},
+     "payload": {"action": "merged", "id": 77, "number": "12",
+                 "title": "pr", "body": "pb",
+                 "user": {"id": 11, "login": "u2"},
+                 "merged_at": "2022-01-02T00:00:00+08:00"},
+     "created_at": "2022-01-02T01:00:00+08:00"},
+    # comment event: no action field (an unknown action would be dropped,
+    # gitee_importer.ts:188-191); forced action=created
+    {"id": 6, "type": "IssueCommentEvent", "actor": {"id": 11, "login": "u2"},
+     "repo": {"id": 100, "full_name": "o/r"},
+     "payload": {"issue": {"id": 55, "number": "I4XYZ", "title": "t",
+                           "user": {"id": 10, "login": "u1"}},
+                 "comment": {"id": 900, "body": "hi",
+                             "user": {"id": 11, "login": "u2"}}},
+     "created_at": "2022-01-02T02:00:00+08:00"},
+]
+
+
+@pytest.fixture(scope="module")
+def gitee_events(spark):
+    raw = spark.createDataFrame(RAW_EVENTS, GITEE_RAW_SCHEMA)
+    return {r["id"]: r.asDict() for r in project_gitee_events(raw).collect()}
+
+
+def test_type_and_action_mapping(gitee_events):
+    assert set(gitee_events) == {1, 2, 5, 6}  # 3 (progressing), 4 (unsupported) dropped
+    assert gitee_events[1]["type"] == "WatchEvent"
+    assert gitee_events[1]["action"] == "started"
+    assert gitee_events[2]["type"] == "IssuesEvent"
+    assert gitee_events[2]["action"] == "opened"
+    assert gitee_events[5]["action"] == "closed"  # merged -> closed
+    assert gitee_events[6]["action"] == "created"  # comment forced
+
+
+def test_platform_and_base36(gitee_events):
+    assert all(e["platform"] == "Gitee" for e in gitee_events.values())
+    # parseInt('I4XYZ', 36) = 30862piece? verified against python int(x,36)
+    assert gitee_events[2]["issue_number"] == int("I4XYZ".lower(), 36)
+    assert gitee_events[5]["issue_number"] == 12  # pull: base-10 re-parse
+    assert gitee_events[5]["pull_merged"] == 1
+
+
+def test_utc_and_labels(gitee_events):
+    # +08:00 input normalized to UTC (P13)
+    assert gitee_events[1]["created_at"] == datetime(2022, 1, 1, 2, 0, 0)
+    labels = [l.asDict() for l in gitee_events[2]["issue_labels"]]
+    assert labels == [{"name": "it's", "color": "red", "default": 0, "description": ""}]
+
+
+def test_comment_projection(gitee_events):
+    e = gitee_events[6]
+    assert e["issue_comment_id"] == 900 and e["body"] == "hi"
+    assert e["issue_id"] == 55  # from nested issue
+
+
+def test_dedup_orgs_repos(spark):
+    df = spark.createDataFrame(
+        [(1, "o/r", "repo", datetime(2020, 1, 1)), (1, "o/r", "repo", datetime(2020, 1, 1)),
+         (2, "org1", "org", datetime(2020, 1, 1))],
+        "id long, name string, type string, created_at timestamp",
+    )
+    assert dedup_orgs_repos(df).count() == 2
+
+
+def test_repo_watermarks(spark):
+    from clickhouse_github_log_importer_spark.sources.gitee import ORGS_REPOS_SCHEMA
+
+    events = spark.createDataFrame(
+        [("Gitee", 100, 7, datetime(2022, 1, 1)), ("Gitee", 100, 9, datetime(2022, 1, 3)),
+         ("GitHub", 100, 8, datetime(2022, 1, 2))],
+        "platform string, repo_id long, id long, created_at timestamp",
+    )
+    dim = spark.createDataFrame(
+        [(100, "o/r", "repo", datetime(2021, 12, 1)), (5, "org1", "org", datetime(2021, 1, 1))],
+        ORGS_REPOS_SCHEMA,
+    )
+    rows = {r["name"]: r.asDict() for r in repo_watermarks(events, dim).collect()}
+    assert list(rows) == ["o/r"]  # orgs filtered out
+    assert rows["o/r"]["min_id"] == 7 and rows["o/r"]["max_id"] == 9
+    assert rows["o/r"]["min_ed"] == datetime(2022, 1, 1)
+
+
+def test_cursor_two_sided_fill():
+    # pages keyed by prev_id: descending ids 10..1; stored watermarks 7..8
+    all_events = [{"id": i} for i in range(10, 0, -1)]
+
+    def fetch(name, prev_id):
+        pool = [e for e in all_events if prev_id < 0 or e["id"] < prev_id]
+        return pool[:3]
+
+    got: list[int] = []
+    cur = RepoCursor(
+        name="o/r", created_at=datetime(2021, 1, 1), max_id=8, min_id=7,
+        min_created_at=datetime(2022, 6, 1),
+    )
+    paginate_repo_events(cur, fetch, lambda evs: got.extend(e["id"] for e in evs))
+    # 'new' stage: 10, 9 (stop at 8); 'old' stage resumes below min_id=7
+    assert got == [10, 9, 6, 5, 4, 3, 2, 1]
+    assert cur.stage == "old"
+
+
+def test_cursor_break_when_history_complete():
+    def fetch(name, prev_id):
+        # the page reaches the stored max_id=8 -> transition decision fires
+        return [{"id": 9}, {"id": 8}] if prev_id < 0 else []
+
+    got = []
+    cur = RepoCursor(
+        name="o/r", created_at=datetime(2022, 1, 1), max_id=8, min_id=7,
+        min_created_at=datetime(2022, 1, 2),  # within 3 days of creation
+    )
+    paginate_repo_events(cur, fetch, lambda evs: got.extend(e["id"] for e in evs))
+    assert got == [9] and cur.stage == "break"
