@@ -201,37 +201,45 @@ LIMIT 20
     "events stream.",
 )
 def user_activity(spark, sf_dir):
+    # Spark-first plan: the reference's 4-way LEFT equi-join of five
+    # filtered GROUP BYs over the SAME table is semantically a conditional
+    # aggregation (pivot) — the left joins on the shared grouping key with
+    # COALESCE(x, 0) reduce to count(CASE WHEN...) per leg, anchored on
+    # c_click > 0 (only icc groups survive the left join chain). One scan
+    # + ONE shuffle on (user_id, day) instead of five scans + five
+    # shuffles + four joins; at 100 TB this is the difference between one
+    # exchange of the distinct keys and a five-way join pipeline.
     ev = t(spark, sf_dir, "events")
 
-    def leg(etype: str, extra=None) -> DataFrame:
-        d = ev.filter(F.col("event_type") == etype)
+    def leg(etype: str, extra=None):
+        cond = F.col("event_type") == etype
         if extra is not None:
-            d = d.filter(extra)
-        return d.groupBy(
-            "user_id", F.to_date("ts").alias("day")
-        ).agg(F.count("*").alias(f"c_{etype}"))
+            cond = cond & extra
+        return F.count(F.when(cond, F.lit(1)))
 
-    icc = leg("click")
-    oic = leg("view")
-    opc = leg("purchase")
-    rcc = leg("signup")
-    mpc = leg("error", F.col("value") > 100)
-    keys = ["user_id", "day"]
-    joined = (
-        icc.join(oic, keys, "left")
-        .join(opc, keys, "left")
-        .join(rcc, keys, "left")
-        .join(mpc, keys, "left")
+    per_day = (
+        ev.filter(
+            F.col("event_type").isin("click", "view", "purchase", "signup", "error")
+        )
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            leg("click").alias("c_click"),
+            leg("view").alias("c_view"),
+            leg("purchase").alias("c_purchase"),
+            leg("signup").alias("c_signup"),
+            leg("error", F.col("value") > 100).alias("c_error"),
+        )
+        .filter(F.col("c_click") > 0)  # icc is the join anchor
     )
     score = (
         F.col("c_click")
-        + 2 * F.coalesce("c_view", F.lit(0))
-        + 3 * F.coalesce("c_purchase", F.lit(0))
-        + 4 * F.coalesce("c_signup", F.lit(0))
-        + 5 * F.coalesce("c_error", F.lit(0))
+        + 2 * F.col("c_view")
+        + 3 * F.col("c_purchase")
+        + 4 * F.col("c_signup")
+        + 5 * F.col("c_error")
     )
     return (
-        joined.select("user_id", score.alias("score"))
+        per_day.select("user_id", score.alias("score"))
         .groupBy("user_id")
         .agg(F.round(F.sum(F.sqrt("score")), 2).alias("activity"))
         .orderBy(F.desc("activity"), F.asc("user_id"))

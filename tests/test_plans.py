@@ -1,0 +1,100 @@
+"""Physical-plan quality gates: the properties that make these plans
+survive a 100x scale-up must not regress.
+
+Checks run against the optimizer's formatted explain output, pre-execution
+(AQE may re-plan at runtime, but only to something at least as good —
+these assertions pin the static plan's contract)."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_github_log_importer_spark.plans.queries import REGISTRY
+
+
+def explain(spark, name: str, sf_dir: str) -> str:
+    df = REGISTRY[name].spark(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+def tree(p: str) -> str:
+    """Operator-tree section of a formatted explain (each node once)."""
+    return p.split("\n\n")[0]
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_smoke):
+    p = explain(spark, "q1_pricing_summary", sf_smoke)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # projection pruned to exactly the 7 needed columns at the scan
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    for col in ("l_quantity", "l_returnflag", "l_shipdate"):
+        assert col in read
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_q5_broadcasts_all_dims(spark, sf_smoke):
+    p = explain(spark, "q5_region_volume", sf_smoke)
+    assert p.count("BroadcastHashJoin") >= 4  # nation/region/supplier/customer
+    assert "SortMergeJoin" not in p  # the fact table must never sort-merge here
+
+
+def test_user_activity_single_pass(spark, sf_smoke):
+    # the reference shape is 5 scans + 4 joins; our plan must be ONE scan,
+    # two aggregation exchanges, top-K without global sort
+    p = explain(spark, "user_activity", sf_smoke)
+    assert "Join" not in p
+    assert tree(p).count("Scan parquet") == 1
+    assert tree(p).count("Exchange") == 2
+    assert "TakeOrderedAndProject" in p
+
+
+def test_topk_uses_take_ordered(spark, sf_smoke):
+    for name in ("most_used_prop", "top_users_by_value", "top_brands_by_revenue"):
+        p = explain(spark, name, sf_smoke)
+        assert "TakeOrderedAndProject" in p, name
+        # LIMIT+ORDER BY must not global-sort
+        assert "\n   Sort " not in p, name
+
+
+def test_no_python_in_hot_paths(spark, sf_smoke):
+    # every query except the declared pandas-UDF multimodal path must stay
+    # JVM-side (no row-at-a-time or batched Python eval)
+    for name in sorted(REGISTRY):
+        if name.startswith("multimodal_features"):
+            continue
+        p = explain(spark, name, sf_smoke)
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p, name
+        assert "MapInPandas" not in p, name
+
+
+def test_multimodal_uses_arrow_batches(spark, sf_smoke):
+    p = explain(spark, "multimodal_features", sf_smoke)
+    assert "MapInPandas" in p  # Arrow-batched, by design
+
+
+def test_parse_layer_is_single_stage(spark, tmp_path):
+    from tests.fixtures import events, write_gz
+
+    from clickhouse_github_log_importer_spark.operators.parsers import (
+        project_events,
+        read_raw,
+    )
+
+    path = str(tmp_path / "x.json.gz")
+    write_gz(path, events(), corrupt_lines=0)
+    df = project_events(read_raw(spark, path))
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p = qe.explainString(mode)
+    # one scan, zero shuffles, zero python: pure codegen projection
+    assert p.split("\n\n")[0].count("Scan json") == 1
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_watermark_join_broadcasts_agg_side(spark, sf_smoke):
+    p = explain(spark, "user_watermarks", sf_smoke)
+    assert "BroadcastHashJoin" in p
