@@ -29,9 +29,18 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_bracket_revenue",
     "top_brands_by_revenue",
     "nation_customer_rollup",
     "order_priority_counts",
+    "top_events_per_user",
+    "daily_running_totals",
+    "region_nation_rollup",
     "dedup_exact",
     "dedup_minhash_lsh",
     "simhash_signatures",

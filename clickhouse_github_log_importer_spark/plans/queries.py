@@ -668,6 +668,340 @@ def order_priority_counts(spark, sf_dir):
     return semi.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
 
 
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+    tags=("A2", "bench"),
+    doc="TPC-H Q6 shape: pure scan + multi-predicate filter + scalar "
+    "aggregate — every predicate must push to the parquet reader.",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("J1", "O1", "bench"),
+    doc="TPC-H Q10 shape: fact joins + dim broadcast + grouped top-K.",
+)
+def q10_returned_items(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    nation = t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_shipping",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    tags=("J1", "A2", "bench"),
+    doc="TPC-H Q12 shape: join + conditional-sum pivot aggregation.",
+)
+def q12_priority_shipping(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_share",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    tags=("J2", "F-like", "bench"),
+    doc="TPC-H Q14 shape: broadcast dim join + conditional ratio aggregate "
+    "+ LIKE prefix predicate.",
+)
+def q14_promo_share(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           round(total_qty, 2) AS total_qty
+    FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_orderdate,
+             sum(l_quantity) AS total_qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey, o_orderkey, o_orderdate
+      HAVING sum(l_quantity) > 250
+    )
+    ORDER BY total_qty DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+    tags=("J1", "A2", "O1", "bench"),
+    doc="TPC-H Q18 shape: grouped HAVING filter over a fact join, top-K.",
+)
+def q18_large_orders(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_orderdate"
+        )
+        .agg(F.sum("l_quantity").alias("total_qty_raw"))
+        .filter(F.col("total_qty_raw") > 250)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("total_qty_raw", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q19_bracket_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+    tags=("J2", "bench"),
+    doc="TPC-H Q19 shape: disjunctive multi-bracket predicate across the "
+    "join — tests OR-predicate handling over a broadcast join.",
+)
+def q19_bracket_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#1") & qty.between(1, 11) & size.between(1, 5))
+        | ((brand == "Brand#2") & qty.between(10, 20) & size.between(1, 10))
+        | ((brand == "Brand#3") & qty.between(20, 30) & size.between(1, 15))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "top_events_per_user",
+    """
+    SELECT user_id, event_id, round(value, 2) AS value, rnk
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rnk
+      FROM events WHERE event_type = 'purchase'
+    )
+    WHERE rnk <= 3
+    """,
+    tags=("window",),
+    doc="Ranking window: top-3 purchases per user (row_number over "
+    "partition; the engine's window-operator surface beyond the "
+    "reference's dedup-only use).",
+)
+def top_events_per_user(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select("user_id", "event_id", F.round("value", 2).alias("value"), "rnk")
+    )
+
+
+@register(
+    "daily_running_totals",
+    """
+    SELECT day, daily, round(running, 2) AS running
+    FROM (
+      SELECT day, daily,
+             sum(daily) OVER (ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               COUNT(*) AS daily
+        FROM events GROUP BY 1
+      )
+    )
+    """,
+    tags=("window",),
+    doc="Frame-spec window: cumulative event count by day (running total "
+    "with an explicit ROWS frame).",
+)
+def daily_running_totals(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("daily"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day", "daily", F.round(F.sum("daily").over(w), 2).alias("running")
+    )
+
+
+@register(
+    "region_nation_rollup",
+    """
+    SELECT COALESCE(r_name, '<all>') AS r_name,
+           COALESCE(n_name, '<all>') AS n_name,
+           COUNT(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS total_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tags=("A2", "rollup"),
+    doc="Hierarchical ROLLUP aggregate (region -> nation -> grand total) — "
+    "grouping-sets surface beyond the reference's flat GROUP BYs.",
+)
+def region_nation_rollup(spark, sf_dir):
+    supp = t(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("r_name"),
+            F.coalesce("n_name", F.lit("<all>")).alias("n_name"),
+            "n_suppliers",
+            "total_acctbal",
+        )
+    )
+
+
+@register(
+    "platform_union_counts",
+    """
+    SELECT src, COUNT(*) AS count
+    FROM (
+      SELECT 'purchase_like' AS src FROM events WHERE event_type IN ('purchase', 'signup')
+      UNION ALL
+      SELECT 'click_like' AS src FROM events WHERE event_type IN ('click', 'view')
+    )
+    GROUP BY src
+    """,
+    tags=("U1",),
+    doc="U1 union-of-projections shape (the ten per-type parser outputs "
+    "feeding one table, app/parser.js registry): unionByName + count.",
+)
+def platform_union_counts(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type").isin("purchase", "signup")).select(
+        F.lit("purchase_like").alias("src")
+    )
+    b = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.lit("click_like").alias("src")
+    )
+    return a.unionByName(b).groupBy("src").agg(F.count("*").alias("count"))
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401
