@@ -54,6 +54,90 @@ HEADLINE = [
 ]
 
 
+def bench_ingest(spark, n_events: int = 128_000, n_files: int = 32) -> dict:
+    """GH-Archive ingest throughput: NDJSON.gz -> parse -> partitioned
+    parquet, records/s. Comparable to the reference's published bulk
+    import figure (~20.8k rec/s on 6 worker threads, README.md:65)."""
+    import gzip
+    import json
+    import shutil
+    import tempfile
+    import time as _t
+
+    from clickhouse_github_log_importer_spark.operators.parsers import (
+        project_events,
+        read_raw,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ingest_bench_")
+    try:
+        # synthesize a realistic event mix (issue/push/watch heavy)
+        per_file = n_events // n_files
+        for fi in range(n_files):
+            with gzip.open(os.path.join(tmp, f"2015-01-01-{fi}.json.gz"), "wt") as f:
+                for i in range(per_file):
+                    eid = fi * per_file + i
+                    kind = eid % 10
+                    base = {
+                        "id": str(1_000_000 + eid),
+                        "actor": {"id": eid % 5000, "login": f"user{eid % 5000}"},
+                        "repo": {"id": eid % 2000, "name": f"org/repo{eid % 2000}"},
+                        "created_at": f"2015-01-{(eid % 27) + 1:02d}T12:00:00Z",
+                    }
+                    if kind < 3:
+                        base["type"] = "PushEvent"
+                        base["payload"] = {
+                            "push_id": eid, "size": 1, "distinct_size": 1,
+                            "ref": "refs/heads/main", "head": "abc",
+                            "commits": [{"author": {"name": "a", "email": "e"}, "message": "m"}],
+                        }
+                    elif kind < 6:
+                        base["type"] = "WatchEvent"
+                        base["payload"] = {"action": "started"}
+                    elif kind < 8:
+                        base["type"] = "IssuesEvent"
+                        base["payload"] = {
+                            "action": "opened",
+                            "issue": {"id": eid, "number": eid % 500, "title": "t",
+                                      "body": "b" * 50,
+                                      "user": {"id": 1, "login": "u", "type": "User"},
+                                      "comments": 0,
+                                      "labels": [{"name": "bug", "color": "red"}]},
+                        }
+                    else:
+                        base["type"] = "PullRequestEvent"
+                        base["payload"] = {
+                            "action": "closed",
+                            "pull_request": {"id": eid, "number": eid % 500,
+                                             "title": "t", "merged": True,
+                                             "commits": 2, "additions": 5, "deletions": 2,
+                                             "changed_files": 1,
+                                             "user": {"id": 1, "login": "u", "type": "User"},
+                                             "base": {"ref": "main"},
+                                             "head": {"ref": "fix"}},
+                        }
+                    f.write(json.dumps(base) + "\n")
+        out = os.path.join(tmp, "events_table")
+        # warm-up on one file: whole-stage-codegen compilation of the
+        # ~100-column projection is a one-time driver cost (~7s) that a
+        # long-running cluster pays once, not per batch — exclude it
+        warm = project_events(read_raw(spark, os.path.join(tmp, "2015-01-01-0.json.gz")))
+        warm.write.mode("overwrite").partitionBy("created_month").parquet(
+            os.path.join(tmp, "warm_table")
+        )
+        t0 = _t.monotonic()
+        events = project_events(read_raw(spark, os.path.join(tmp, "*.json.gz")))
+        events.write.mode("overwrite").partitionBy("created_month").parquet(out)
+        elapsed = _t.monotonic() - t0
+        return {
+            "ingest_records": n_events,
+            "ingest_sec": round(elapsed, 3),
+            "ingest_records_per_sec": round(n_events / elapsed),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from clickhouse_github_log_importer_spark.plans.queries import REGISTRY
@@ -73,6 +157,8 @@ def main() -> None:
         REGISTRY[name].spark(spark, sf_dir).collect()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    ingest = bench_ingest(spark)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -86,6 +172,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                **ingest,
             }
         )
     )
