@@ -146,8 +146,11 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM + parquet footer reads, not counted
+    # warm-up: JVM + parquet footers + Python UDF workers, not counted
     REGISTRY["record_count"].spark(spark, sf_dir).collect()
+    spark.createDataFrame([(1,)], "x long").mapInPandas(
+        lambda it: it, "x long"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -59,6 +59,22 @@ def url_for(rel_path: str) -> str:
     return f"{BASE_URL}/{os.path.basename(rel_path)}"
 
 
+def read_prefiltered_text(spark, paths, substrings: list[str]):
+    """R6/P18: text-scan + substring prefilter before JSON parse
+    (``app/service/log_neo4j_importer.ts:63`` skips lines not naming any
+    interesting event type before paying JSON.parse).
+
+    Returns the line frame filtered by an OR-of-contains rlike. With
+    Spark's schema-pruned Jackson parse this is usually NOT faster than
+    ``read_raw`` (measure per corpus); provided for parity and for
+    pipelines that only want a small event subset.
+    """
+    from pyspark.sql import functions as F
+
+    pattern = "|".join(substrings)
+    return spark.read.text(paths).filter(F.col("value").rlike(pattern))
+
+
 def check_existing(manifest: Manifest, data_dir: str) -> None:
     """logExistChecker (app/service/log_exist_checker.ts:8-19).
 

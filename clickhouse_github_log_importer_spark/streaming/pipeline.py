@@ -35,6 +35,36 @@ from ..sources.manifest import FileStatus, Manifest
 HOUR_KEY_FMT = "yyyyMMddHH"
 
 
+class PipelineLock:
+    """T2: at-most-once-running lock (app/schedule/update_log.ts:11-18 uses
+    an in-process cache key; README.md:51 documents a .lock file for
+    cross-process). O_EXCL lockfile; stale locks are broken after
+    ``stale_s`` so a crashed run cannot wedge the schedule."""
+
+    def __init__(self, path: str, stale_s: int = 2 * 3600):
+        self.path = path
+        self.stale_s = stale_s
+        self.acquired = False
+
+    def __enter__(self) -> "PipelineLock":
+        import time as _t
+
+        if os.path.exists(self.path):
+            age = _t.time() - os.path.getmtime(self.path)
+            if age < self.stale_s:
+                raise RuntimeError(f"pipeline already running (lock {self.path})")
+            os.remove(self.path)  # break stale lock
+        fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        self.acquired = True
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self.acquired and os.path.exists(self.path):
+            os.remove(self.path)
+
+
 def key_for_path(rel_path: str) -> int:
     """F9/P20: yyyy/MM/dd/yyyy-MM-dd-H.json.gz -> yyyyMMddHH int key."""
     base = os.path.basename(rel_path)[: -len(".json.gz")]
