@@ -253,6 +253,52 @@ def simhash_candidate_pairs(
     return pairs
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Cluster assignment over candidate-pair edges: each node gets
+    ``cluster_id`` = the minimum id reachable through the pair graph.
+
+    Iterative min-label propagation (the standard large-graph CC
+    algorithm): per round, every node takes the min of its label and its
+    neighbors' labels; converges in O(diameter) rounds. Each round is one
+    shuffle keyed by node id; dedup clusters have tiny diameters (2-3
+    rounds in practice). Driver only checks the convergence bit.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "cluster_id", F.col("id")
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("n_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut lineage per round
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def jaccard_verify(
     df: DataFrame,
     pairs: DataFrame,

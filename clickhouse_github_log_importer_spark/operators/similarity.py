@@ -149,6 +149,54 @@ def lsh_buckets(
     return qn.select(F.col(id_col), bucket_expr(F.col("q"), w).alias("bucket"))
 
 
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = LSH_PLANES,
+    dims: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-restricted.
+
+    (id_a, id_b, cos_sim) for same-bucket pairs with cosine >= threshold.
+    The bucket equality join is the scale path (never all-pairs); exact
+    integer-quantized cosine only on bucket-mates. Sign-sketch buckets
+    collapse near-identical vectors with high probability, so recall for
+    true near-dups (cos ~ 1) is excellent; lower `planes` to trade cost
+    for recall at looser thresholds.
+    """
+    if dims is None:
+        dims = len(df.select(vec_col).first()[0])
+    w = plane_weights(planes, dims)
+    qn = with_quantized_norm(df, vec_col, id_col)
+    qb = qn.select(
+        F.col(id_col), "q", "norm2", bucket_expr(F.col("q"), w).alias("bucket")
+    )
+    a, b = qb.alias("a"), qb.alias("b")
+    cos = (
+        _dot(F.col("a.q"), F.col("b.q")).cast("double")
+        / (
+            F.sqrt(F.col("a.norm2").cast("double"))
+            * F.sqrt(F.col("b.norm2").cast("double"))
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cos_exact"),
+        )
+        .filter(F.col("cos_exact") >= threshold)
+        .select("id_a", "id_b", F.round("cos_exact", 6).alias("cos_sim"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

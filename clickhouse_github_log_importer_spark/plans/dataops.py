@@ -281,6 +281,62 @@ def ann_lsh_topk(spark, sf_dir):
     return SIM.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
 
 
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH qn AS (
+      SELECT * FROM (
+        SELECT vec_id, q, {_DOT.format(a='q', b='q')} AS norm2,
+               CAST({{bucket}} AS BIGINT) AS bucket
+        FROM (SELECT vec_id, {_QUANT} AS q FROM embeddings)
+      ) WHERE norm2 > 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(CAST({_DOT.format(a='a.q', b='b.q')} AS DOUBLE)
+                 / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))), 6) AS cos_sim
+    FROM qn a JOIN qn b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE CAST({_DOT.format(a='a.q', b='b.q')} AS DOUBLE)
+          / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) >= 0.3
+    """.replace("{bucket}", _lsh_bucket_sql(SIM.plane_weights(SIM.LSH_PLANES, 64))),
+    tags=("similarity", "dedup", "lsh"),
+    doc="Embedding-cosine near-dup pairs restricted to LSH bucket-mates "
+    "(threshold 0.3 for this synthetic corpus; production uses ~0.95). "
+    "operators.similarity.near_dup_pairs.",
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    return SIM.near_dup_pairs(emb, threshold=0.3, dims=64)
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach (id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id
+    FROM reach GROUP BY id
+    """,
+    tags=("dedup",),
+    doc="Connected-components cluster assignment over MinHash-LSH "
+    "candidate pairs: cluster_id = min reachable doc_id (iterative "
+    "min-label propagation; DuckDB oracle uses a recursive CTE). "
+    "operators.dedup_text.connected_components.",
+)
+def dedup_clusters(spark, sf_dir):
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return DT.connected_components(DT.lsh_candidate_pairs(docs))
+
+
 # =====================================================================
 # Text analysis
 # =====================================================================

@@ -147,3 +147,21 @@ def test_multimodal_features(docs):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG")
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (3, 10)],
+        "id_a long, id_b long",
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in DT.connected_components(pairs).collect()}
+    # {1,2,3,10,11,12} all connected through 3-10; {7,8} separate
+    assert out[1] == out[2] == out[3] == out[10] == out[11] == out[12] == 1
+    assert out[7] == out[8] == 7
+
+
+def test_near_dup_pairs_finds_planted(vecs):
+    out = SIM.near_dup_pairs(vecs, threshold=0.99, dims=4).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.999  # planted near-identical
+    assert all(a != 3 and b != 3 for a, b in pairs)  # opposite vector excluded
