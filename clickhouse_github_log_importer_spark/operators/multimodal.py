@@ -129,5 +129,6 @@ def frame_sample(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
             F.posexplode(offsets).alias("frame_idx", "byte_offset"),
         )
         .filter(F.col("byte_offset") < F.col("_n"))
+        .withColumn("frame_idx", F.col("frame_idx").cast("long"))
         .drop("_n")
     )

@@ -111,7 +111,7 @@ def cosine_topk(
         F.desc("cos_exact"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
@@ -240,7 +240,7 @@ def lsh_topk(
         F.desc("cos_exact"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(win))
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",

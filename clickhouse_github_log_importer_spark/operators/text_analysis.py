@@ -33,7 +33,8 @@ TOKEN_PATTERN = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
 
 def _marker_score(words: Column, markers: tuple[str, ...]) -> Column:
     arr = F.array(*[F.lit(m) for m in markers])
-    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+    # long, matching ANSI engines' list-length type
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w))).cast("long")
 
 
 def lang_scores(text: Column | str) -> dict[str, Column]:
@@ -98,7 +99,7 @@ def quality_features(
     )
     return df.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
         F.round(distinct_ratio, 4).alias("distinct_ratio"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
@@ -114,11 +115,11 @@ def token_stats(
     the chars/4 heuristic token estimate."""
     return df.select(
         F.col(id_col),
-        F.size(words_of(text_col)).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(text_col, F.lit(TOKEN_PATTERN), 0)).alias(
-            "regex_tokens"
-        ),
-        F.length(text_col).alias("n_chars"),
+        F.size(words_of(text_col)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text_col, F.lit(TOKEN_PATTERN), 0))
+        .cast("long")
+        .alias("regex_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
         F.ceil(F.length(text_col) / 4.0).cast("long").alias("est_bpe_tokens"),
     )
 

@@ -747,8 +747,8 @@ def q10_returned_items(spark, sf_dir):
     "q12_priority_shipping",
     """
     SELECT l_returnflag,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -902,7 +902,7 @@ def top_events_per_user(spark, sf_dir):
             "user_id",
             "event_id",
             "value",
-            F.row_number().over(w).alias("rnk"),
+            F.row_number().over(w).cast("long").alias("rnk"),
         )
         .filter(F.col("rnk") <= 3)
         .select("user_id", "event_id", F.round("value", 2).alias("value"), "rnk")
@@ -912,7 +912,7 @@ def top_events_per_user(spark, sf_dir):
 @register(
     "daily_running_totals",
     """
-    SELECT day, daily, round(running, 2) AS running
+    SELECT day, daily, round(CAST(running AS DOUBLE), 2) AS running
     FROM (
       SELECT day, daily,
              sum(daily) OVER (ORDER BY day
@@ -935,7 +935,9 @@ def daily_running_totals(spark, sf_dir):
     ).agg(F.count("*").alias("daily"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return daily.select(
-        "day", "daily", F.round(F.sum("daily").over(w), 2).alias("running")
+        "day",
+        "daily",
+        F.round(F.sum("daily").over(w).cast("double"), 2).alias("running"),
     )
 
 
