@@ -152,15 +152,21 @@ def main() -> None:
         lambda it: it, "x long"
     ).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in REGISTRY:
-            continue
-        t0 = time.monotonic()
-        REGISTRY[name].spark(spark, sf_dir).collect()
-        timings[name] = round(time.monotonic() - t0, 3)
-
     ingest = bench_ingest(spark)
+
+    # two passes, report the min per query: strips one-off plan-codegen /
+    # JIT costs so the figure reflects steady-state execution (what a
+    # long-running cluster sees)
+    timings: dict[str, float] = {}
+    for _pass in range(2):
+        for name in HEADLINE:
+            if name not in REGISTRY:
+                continue
+            t0 = time.monotonic()
+            REGISTRY[name].spark(spark, sf_dir).collect()
+            dt = round(time.monotonic() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

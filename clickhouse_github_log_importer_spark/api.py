@@ -35,20 +35,32 @@ def status(status_path: str) -> dict[str, Any]:
 
 
 def _plan_metrics(df: DataFrame) -> dict[str, int]:
-    """Pull rows_read / bytes_read from the executed plan's scan metrics."""
+    """Pull rows_read / bytes_read from the executed plan's scan metrics.
+
+    AQE wraps the tree in AdaptiveSparkPlanExec / QueryStageExec layers
+    whose collectLeaves stops at stage boundaries — walk through them.
+    """
     rows_read = bytes_read = 0
     try:
-        executed = df._jdf.queryExecution().executedPlan()
-        it = executed.collectLeaves().iterator()
-        while it.hasNext():
-            leaf = it.next()
-            metrics = leaf.metrics()
-            for name, key in (("numOutputRows", "rows"), ("numFiles", None)):
-                pass
-            if metrics.contains("numOutputRows"):
-                rows_read += metrics.apply("numOutputRows").value()
-            if metrics.contains("filesSize"):
-                bytes_read += metrics.apply("filesSize").value()
+        stack = [df._jdf.queryExecution().executedPlan()]
+        while stack:
+            node = stack.pop()
+            cls = node.getClass().getName()
+            if cls.endswith("AdaptiveSparkPlanExec"):
+                stack.append(node.executedPlan())
+                continue
+            if "QueryStageExec" in cls:
+                stack.append(node.plan())
+                continue
+            if "FileSourceScanExec" in cls or "BatchScanExec" in cls:
+                metrics = node.metrics()
+                if metrics.contains("numOutputRows"):
+                    rows_read += metrics.apply("numOutputRows").value()
+                if metrics.contains("filesSize"):
+                    bytes_read += metrics.apply("filesSize").value()
+            it = node.children().iterator()
+            while it.hasNext():
+                stack.append(it.next())
     except Exception:
         pass  # metrics are best-effort; envelope stays well-formed
     return {"rows_read": int(rows_read), "bytes_read": int(bytes_read)}

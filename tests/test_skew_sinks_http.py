@@ -168,3 +168,25 @@ def test_http_bad_query_and_404(server):
         raise AssertionError("expected 404")
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_cli_schema_and_status(tmp_path):
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "clickhouse_github_log_importer_spark", "schema"],
+        capture_output=True, text=True, timeout=120,
+    )
+    schema = json.loads(out.stdout)
+    assert schema[0]["key"] == "id" and out.returncode == 0
+
+    meta = tmp_path / "meta.json"
+    meta.write_text('{"a.json.gz": 3, "b.json.gz": 0}')
+    out = subprocess.run(
+        [sys.executable, "-m", "clickhouse_github_log_importer_spark",
+         "status", "--meta", str(meta)],
+        capture_output=True, text=True, timeout=120,
+    )
+    status = json.loads(out.stdout)
+    assert status["total"] == 2 and status["imported"] == 1
