@@ -66,15 +66,22 @@ def _plan_metrics(df: DataFrame) -> dict[str, int]:
     return {"rows_read": int(rows_read), "bytes_read": int(bytes_read)}
 
 
-def query(spark: SparkSession, sql: str, limit: int | None = None) -> dict[str, Any]:
+def query(
+    spark: SparkSession,
+    sql: str,
+    limit: int | None = None,
+    args: dict[str, Any] | None = None,
+) -> dict[str, Any]:
     """POST /query passthrough with ClickhouseSelectResponse envelope.
 
     The reference streams JSONCompactEachRow from ClickHouse
     (``app/service/clickhouse.ts:23-42``); we run the SQL through Catalyst
-    over the registered views and shape the same envelope.
+    over the registered views and shape the same envelope. ``args`` binds
+    named parameters (``:name`` placeholders) — the F20 ``{param:Type}``
+    ClickHouse parameter analog, injection-safe.
     """
     t0 = time.monotonic()
-    df = spark.sql(sql)
+    df = spark.sql(sql, args=args) if args else spark.sql(sql)
     if limit is not None:
         df = df.limit(limit)
     data = [list(r) for r in df.collect()]

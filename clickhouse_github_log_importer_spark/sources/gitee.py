@@ -318,6 +318,14 @@ ORGS_REPOS_SCHEMA = T.StructType(
 )
 
 
+def read_repo_list(spark: SparkSession, path: str) -> list[str]:
+    """S12: local CSV repo list — skip header, take the 3rd column
+    (app/service/gitee_importer.ts:295-302)."""
+    df = spark.read.option("header", "true").csv(path)
+    third = df.columns[2]
+    return [r[0] for r in df.select(third).filter(F.col(third).isNotNull()).collect()]
+
+
 def dedup_orgs_repos(df: DataFrame) -> DataFrame:
     """OPTIMIZE TABLE ... DEDUPLICATE analog (A8, ts:426): ReplacingMergeTree
     ORDER BY (id, name, type) with no version column -> dropDuplicates."""

@@ -61,3 +61,16 @@ def test_streaming_ingest_available_now(spark, tmp_path):
     q2 = streaming_ingest(spark, in_dir, table, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(table).count() == 12
+
+
+def test_query_named_params(spark, sf_smoke):
+    api.register_views(spark, {"events_np": f"{sf_smoke}/events.parquet"})
+    resp = api.query(
+        spark,
+        "SELECT COUNT(*) AS c FROM events_np WHERE event_type = :etype",
+        args={"etype": "click"},
+    )
+    plain = api.query(
+        spark, "SELECT COUNT(*) AS c FROM events_np WHERE event_type = 'click'"
+    )
+    assert resp["data"] == plain["data"] and resp["data"][0][0] > 0

@@ -156,3 +156,11 @@ def test_cursor_break_when_history_complete():
     )
     paginate_repo_events(cur, fetch, lambda evs: got.extend(e["id"] for e in evs))
     assert got == [9] and cur.stage == "break"
+
+
+def test_read_repo_list(spark, tmp_path):
+    from clickhouse_github_log_importer_spark.sources.gitee import read_repo_list
+
+    p = tmp_path / "repos.csv"
+    p.write_text("a,b,repo_path,d\n1,x,org1/repo1,z\n2,y,org2/repo2,w\n3,q,,v\n")
+    assert read_repo_list(spark, str(p)) == ["org1/repo1", "org2/repo2"]
