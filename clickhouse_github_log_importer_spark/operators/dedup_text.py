@@ -159,7 +159,11 @@ def lsh_candidate_pairs(
     and the per-bucket fanout is bounded by real near-duplicate clusters.
     """
     sig = minhash_signatures(df, text_col, id_col, perms)
-    bh = band_hashes(sig, perms, bands)
+    # persist the (small) band table: the self-join would otherwise
+    # recompute the full shingle+hash pipeline for BOTH sides (~2x cost
+    # measured). One row per band per doc — tiny relative to the corpus;
+    # Spark evicts LRU, long-lived pipelines should manage unpersist.
+    bh = band_hashes(sig, perms, bands).persist()
     a = bh.alias("a")
     b = bh.alias("b")
     return (
@@ -219,7 +223,7 @@ def simhash_candidate_pairs(
     equality and only candidates pay the exact popcount.
     """
     assert max_hamming < bands, "pigeonhole requires max_hamming < bands"
-    sh = simhash(df, text_col, id_col, bits)
+    sh = simhash(df, text_col, id_col, bits).persist()  # see lsh note
     width = bits // bands
     mask = (1 << width) - 1
     bandcols = [
@@ -312,9 +316,10 @@ def jaccard_verify(
     (id_a, id_b, jaccard) for pairs >= threshold. Joins the (small)
     candidate set back to the shingle arrays, set math per-row.
     """
+    # persisted: joined twice (once per pair side)
     sets = df.select(
         F.col(id_col), F.array_distinct(shingles_of(text_col, shingle_n)).alias("sh")
-    )
+    ).persist()
     out = (
         pairs.join(sets.withColumnRenamed("sh", "sh_a"), pairs.id_a == sets[id_col])
         .drop(id_col)
