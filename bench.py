@@ -41,6 +41,8 @@ HEADLINE = [
     "top_events_per_user",
     "daily_running_totals",
     "region_nation_rollup",
+    "user_sessions",
+    "value_percentiles",
     "dedup_exact",
     "dedup_minhash_lsh",
     "simhash_signatures",

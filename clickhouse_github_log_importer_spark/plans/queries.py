@@ -1004,6 +1004,62 @@ def platform_union_counts(spark, sf_dir):
     return a.unionByName(b).groupBy("src").agg(F.count("*").alias("count"))
 
 
+@register(
+    "user_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    idx AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sidx
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts_us) AS session_start_us,
+           max(ts_us) AS session_end_us,
+           COUNT(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM idx GROUP BY user_id, sidx
+    """,
+    tags=("window", "sessions", "streaming"),
+    doc="Gap-based sessionization (30-min gap): islands-and-gaps window "
+    "pattern; the batch semantics of the applyInPandasWithState streaming "
+    "operator. operators.sessions.sessionize.",
+)
+def user_sessions(spark, sf_dir):
+    from ..operators.sessions import sessionize
+
+    return sessionize(t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
+    "value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    tags=("A-approx",),
+    doc="Exact linear-interpolation percentiles per group (the "
+    "distribution-profiling aggregate; at 100 TB swap in "
+    "approx_percentile with the same call shape).",
+)
+def value_percentiles(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401
