@@ -83,3 +83,88 @@ def test_cursor_never_duplicates_or_misses_new_events(ids, max_id, page):
     else:
         assert got == ordered  # first-ever import: full drain
     assert len(set(got)) == len(got)
+
+
+# --- parse-layer robustness: arbitrary sparse events never break the
+# projection or the default-fill invariants (ANSI mode is ON in Spark 4,
+# so any unguarded cast/index would throw at 100 TB on the weird row) ---
+
+import json
+
+from hypothesis import HealthCheck
+
+_TYPES = [
+    "IssuesEvent", "IssueCommentEvent", "PullRequestEvent",
+    "PullRequestReviewEvent", "PullRequestReviewCommentEvent",
+    "PushEvent", "ForkEvent", "WatchEvent", "ReleaseEvent",
+    "CommitCommentEvent", "GollumEvent",
+]
+
+_scalar = st.one_of(st.none(), st.integers(0, 2**40), st.text(max_size=8))
+_user = st.one_of(
+    st.none(),
+    st.fixed_dictionaries({}, optional={
+        "id": _scalar, "login": st.text(max_size=8), "type": st.text(max_size=8)}),
+)
+
+
+@st.composite
+def _raw_event(draw):
+    etype = draw(st.sampled_from(_TYPES))
+    payload: dict = {}
+    if draw(st.booleans()):
+        payload["action"] = draw(st.text(max_size=10))
+    issue = draw(st.one_of(st.none(), st.fixed_dictionaries({}, optional={
+        "id": _scalar, "number": _scalar, "title": st.text(max_size=8),
+        "body": st.one_of(st.none(), st.text(max_size=8)),
+        "labels": st.one_of(st.none(), st.lists(st.fixed_dictionaries({}, optional={
+            "name": st.one_of(st.none(), st.text(max_size=5)),
+            "default": st.one_of(st.none(), st.booleans())}), max_size=2)),
+        "user": _user, "assignee": _user,
+        "comments": st.one_of(st.none(), st.integers(0, 1000)),
+        "created_at": st.one_of(st.none(), st.just("2015-06-01T00:00:00Z")),
+    })))
+    if issue is not None:
+        payload[draw(st.sampled_from(["issue", "pull_request"]))] = issue
+    if draw(st.booleans()):
+        payload["comment"] = {"id": draw(st.integers(0, 2**40)),
+                              "body": draw(st.text(max_size=8)),
+                              "position": draw(st.integers(-5, 5)),
+                              "user": draw(_user)}
+    if draw(st.booleans()):
+        payload["commits"] = [{"message": draw(st.one_of(st.none(), st.text(max_size=5)))}]
+    return {
+        "id": str(draw(st.integers(1, 2**40))),
+        "type": etype,
+        "actor": {"id": draw(st.integers(1, 2**31)), "login": "u"},
+        "repo": {"id": draw(st.integers(1, 2**31)), "name": "o/r"},
+        "payload": payload,
+        "created_at": "2015-06-01T12:00:00Z",
+    }
+
+
+@given(events_batch=st.lists(_raw_event(), min_size=1, max_size=12))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_parse_layer_total_on_sparse_events(spark, tmp_path_factory, events_batch):
+    import gzip
+    import os
+
+    from clickhouse_github_log_importer_spark.operators.parsers import (
+        project_events,
+        read_raw,
+    )
+    from clickhouse_github_log_importer_spark.schema import COLUMN_DEFAULTS
+
+    d = tmp_path_factory.mktemp("prop")
+    path = os.path.join(str(d), "x.json.gz")
+    with gzip.open(path, "wt") as f:
+        for e in events_batch:
+            f.write(json.dumps(e) + "\n")
+    rows = project_events(read_raw(spark, path)).collect()
+    # projection is total: no exception, and every surviving row satisfies
+    # the ClickHouse default-fill invariant on non-nullable columns
+    for r in rows:
+        for col, default in COLUMN_DEFAULTS.items():
+            v = r[col]
+            assert v is not None, f"{col} null (default {default!r})"
