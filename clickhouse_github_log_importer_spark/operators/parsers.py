@@ -321,7 +321,7 @@ def event_column_exprs() -> dict[str, Column]:
     # P2 issuesParser (app/parser.js:34-79) — shared by the issue family
     fam = ISSUE_FAMILY
     cols["issue_id"] = _when_type(fam, issue["id"])
-    cols["issue_number"] = _when_type(fam, issue["number"].cast("int"))
+    cols["issue_number"] = _when_type(fam, issue["number"].try_cast("int"))
     cols["issue_title"] = _when_type(fam, issue["title"])
     labels = F.coalesce(issue["labels"], F.array().cast(_ISSUE["labels"].dataType))
     cols["issue_labels"] = _when_type(
@@ -331,7 +331,7 @@ def event_column_exprs() -> dict[str, Column]:
             lambda l: F.struct(
                 F.coalesce(l["name"], F.lit("")).alias("name"),
                 F.coalesce(l["color"], F.lit("")).alias("color"),
-                F.coalesce(l["default"], F.lit(False)).cast("int").alias("default"),
+                F.coalesce(l["default"], F.lit(False)).try_cast("int").alias("default"),
                 F.coalesce(l["description"], F.lit("")).alias("description"),
             ),
         ),
@@ -355,7 +355,7 @@ def event_column_exprs() -> dict[str, Column]:
             ),
         ),
     )
-    cols["issue_comments"] = _when_type(fam, F.coalesce(issue["comments"], F.lit(0)).cast("int"))
+    cols["issue_comments"] = _when_type(fam, F.coalesce(issue["comments"], F.lit(0)).try_cast("int"))
     cols["issue_created_at"] = _when_type(fam, _ts(issue["created_at"]))
     cols["issue_updated_at"] = _when_type(fam, _ts(issue["updated_at"]))
     cols["issue_closed_at"] = _when_type(fam, _ts(issue["closed_at"]))
@@ -390,14 +390,14 @@ def event_column_exprs() -> dict[str, Column]:
 
     # P4 pullRequestParser (app/parser.js:95-126) — pull family
     pf = PULL_FAMILY
-    cols["pull_commits"] = _when_type(pf, F.coalesce(pull["commits"], F.lit(0)).cast("int"))
-    cols["pull_additions"] = _when_type(pf, F.coalesce(pull["additions"], F.lit(0)).cast("int"))
-    cols["pull_deletions"] = _when_type(pf, F.coalesce(pull["deletions"], F.lit(0)).cast("int"))
+    cols["pull_commits"] = _when_type(pf, F.coalesce(pull["commits"], F.lit(0)).try_cast("int"))
+    cols["pull_additions"] = _when_type(pf, F.coalesce(pull["additions"], F.lit(0)).try_cast("int"))
+    cols["pull_deletions"] = _when_type(pf, F.coalesce(pull["deletions"], F.lit(0)).try_cast("int"))
     cols["pull_changed_files"] = _when_type(
-        pf, F.coalesce(pull["changed_files"], F.lit(0)).cast("int")
+        pf, F.coalesce(pull["changed_files"], F.lit(0)).try_cast("int")
     )
     cols["pull_merged"] = _when_type(
-        pf, F.coalesce(pull["merged"], F.lit(False)).cast("int")
+        pf, F.coalesce(pull["merged"], F.lit(False)).try_cast("int")
     )
     cols["pull_merge_commit_sha"] = _when_type(
         pf, F.coalesce(pull["merge_commit_sha"], F.lit(""))
@@ -412,7 +412,7 @@ def event_column_exprs() -> dict[str, Column]:
     cols["pull_requested_reviewer_login"] = _when_type(pf, reviewer["login"])
     cols["pull_requested_reviewer_type"] = _when_type(pf, reviewer["type"])
     cols["pull_review_comments"] = _when_type(
-        pf, F.coalesce(pull["review_comments"], F.lit(0)).cast("int")
+        pf, F.coalesce(pull["review_comments"], F.lit(0)).try_cast("int")
     )
     cols["pull_base_ref"] = _when_type(pf, pull["base"]["ref"])
     cols["pull_head_repo_id"] = _when_type(
@@ -457,8 +457,8 @@ def event_column_exprs() -> dict[str, Column]:
     # P7 pushParser (app/parser.js:169-183)
     t = "PushEvent"
     cols["push_id"] = _when_type(t, payload["push_id"])
-    cols["push_size"] = _when_type(t, payload["size"].cast("int"))
-    cols["push_distinct_size"] = _when_type(t, payload["distinct_size"].cast("int"))
+    cols["push_size"] = _when_type(t, payload["size"].try_cast("int"))
+    cols["push_distinct_size"] = _when_type(t, payload["distinct_size"].try_cast("int"))
     cols["push_ref"] = _when_type(t, payload["ref"])
     cols["push_head"] = _when_type(t, payload["head"])
     commits = F.coalesce(payload["commits"], F.array().cast(_PAYLOAD["commits"].dataType))
@@ -490,11 +490,11 @@ def event_column_exprs() -> dict[str, Column]:
     cols["release_tag_name"] = _when_type(t, F.coalesce(release["tag_name"], F.lit("")))
     cols["release_target_commitish"] = _when_type(t, release["target_commitish"])
     cols["release_name"] = _when_type(t, F.coalesce(release["name"], F.lit("")))
-    cols["release_draft"] = _when_type(t, release["draft"].cast("int"))
+    cols["release_draft"] = _when_type(t, release["draft"].try_cast("int"))
     cols["release_author_id"] = _when_type(t, release["author"]["id"])
     cols["release_author_login"] = _when_type(t, release["author"]["login"])
     cols["release_author_type"] = _when_type(t, release["author"]["type"])
-    cols["release_prerelease"] = _when_type(t, release["prerelease"].cast("int"))
+    cols["release_prerelease"] = _when_type(t, release["prerelease"].try_cast("int"))
     cols["release_created_at"] = _when_type(t, _ts(release["created_at"]))
     cols["release_published_at"] = _when_type(t, _ts(release["published_at"]))
     cols["release_body"] = _when_type(t, F.coalesce(release["body"], F.lit("")))
@@ -510,7 +510,7 @@ def event_column_exprs() -> dict[str, Column]:
                 F.coalesce(a["content_type"], F.lit("")).alias("content_type"),
                 F.coalesce(a["state"], F.lit("")).alias("state"),
                 F.coalesce(a["size"], F.lit(0)).alias("size"),
-                F.coalesce(a["download_count"], F.lit(0)).cast("int").alias("download_count"),
+                F.coalesce(a["download_count"], F.lit(0)).try_cast("int").alias("download_count"),
             ),
         ),
     )
@@ -560,7 +560,10 @@ def project_events(raw: DataFrame, from_api: int = 0) -> DataFrame:
     exprs = event_column_exprs()
     wide = filtered.select(
         *[
-            exprs[f.name].cast(f.dataType).alias(f.name)
+            # try_cast: a malformed record (e.g. out-of-int-range number)
+            # nulls the field (then default-fills) instead of killing the
+            # task under ANSI mode — per-line tolerance like the reference
+            exprs[f.name].try_cast(f.dataType).alias(f.name)
             for f in EVENTS_SCHEMA.fields
         ]
     )
@@ -569,5 +572,5 @@ def project_events(raw: DataFrame, from_api: int = 0) -> DataFrame:
     filled = fill_defaults(wide)
     # partition column: toYYYYMM(created_at) (app/service/log_importer.ts:124)
     return filled.withColumn(
-        "created_month", F.date_format("created_at", "yyyyMM").cast("int")
+        "created_month", F.date_format("created_at", "yyyyMM").try_cast("int")
     )

@@ -227,7 +227,7 @@ def project_gitee_events(raw: DataFrame) -> DataFrame:
             mapped_type.isin(*pull_family), issue["number"].cast("long")
         )
         .otherwise(_base36(issue["number"]))
-        .cast("int"),
+        .try_cast("int"),
         "issue_title": issue["title"],
         "issue_labels": F.transform(
             F.coalesce(issue["labels"], F.array().cast(_GITEE_ISSUE["labels"].dataType)),
@@ -275,7 +275,7 @@ def project_gitee_events(raw: DataFrame) -> DataFrame:
         "commit_comment_updated_at": F.when(
             mapped_type == "CommitCommentEvent", F.to_timestamp(comment["updated_at"])
         ),
-        "push_size": F.when(mapped_type == "PushEvent", p["size"].cast("int")),
+        "push_size": F.when(mapped_type == "PushEvent", p["size"].try_cast("int")),
         "push_ref": F.when(mapped_type == "PushEvent", p["ref"]),
         "push_head": F.when(mapped_type == "PushEvent", p["after"]),
         "push_commits": F.when(
@@ -295,14 +295,14 @@ def project_gitee_events(raw: DataFrame) -> DataFrame:
     wide = filtered.select(
         *[
             (cols[f.name] if f.name in cols else F.lit(None))
-            .cast(f.dataType)
+            .try_cast(f.dataType)
             .alias(f.name)
             for f in EVENTS_SCHEMA.fields
         ]
     )
     filled = fill_defaults(wide)
     return filled.withColumn(
-        "created_month", F.date_format("created_at", "yyyyMM").cast("int")
+        "created_month", F.date_format("created_at", "yyyyMM").try_cast("int")
     )
 
 
