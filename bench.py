@@ -33,8 +33,10 @@ HEADLINE = [
     "q10_returned_items",
     "q12_priority_shipping",
     "q14_promo_share",
+    "q15_top_suppliers",
     "q18_large_orders",
     "q19_bracket_revenue",
+    "q22_idle_customers",
     "top_brands_by_revenue",
     "nation_customer_rollup",
     "order_priority_counts",

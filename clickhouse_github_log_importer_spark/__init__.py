@@ -29,3 +29,7 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# convenience surface: the engine is usable with two imports
+from .session import get_spark  # noqa: E402,F401
+from .schema import EVENTS_SCHEMA, db_schema  # noqa: E402,F401
