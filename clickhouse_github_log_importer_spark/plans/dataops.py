@@ -444,6 +444,98 @@ def doc_fingerprints(spark, sf_dir):
     return TA.fingerprints(_spread(spark, t(spark, sf_dir, "documents")))
 
 
+def _corpus_summary_oracle() -> str:
+    langs = sorted(TA.LANG_MARKERS)
+    score_cols = []
+    for lang, markers in sorted(TA.LANG_MARKERS.items()):
+        arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        score_cols.append(
+            f"len(list_filter(words, w -> list_contains({arr}, w))) AS score_{lang}"
+        )
+    pred = "'unknown'"
+    for lang in reversed(langs):
+        conds = [f"score_{lang} > 0"]
+        for other in langs:
+            if other != lang:
+                op = ">=" if other > lang else ">"
+                conds.append(f"score_{lang} {op} score_{other}")
+        pred = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {pred} END"
+    return f"""
+    SELECT pred_lang,
+           COUNT(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(quality), 4) AS avg_quality
+    FROM (
+      SELECT {pred} AS pred_lang,
+             len(words) AS n_tokens,
+             round(0.35 * (CAST(len(list_distinct(words)) AS DOUBLE) / len(words))
+                 + 0.25 * (CAST(len(list_filter(words, w -> list_contains({_STOP_ARR}, w))) AS DOUBLE) / len(words))
+                 + 0.25 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text))
+                 + 0.15 * least(CAST(len(words) AS DOUBLE) / 100.0, 1.0), 4) AS quality
+      FROM (
+        SELECT text, {', '.join(score_cols)}, words
+        FROM (SELECT text, {_WORDS} AS words FROM documents)
+      )
+    )
+    GROUP BY pred_lang
+    """
+
+
+@register(
+    "corpus_quality_summary",
+    _corpus_summary_oracle(),
+    tags=("text", "pipeline"),
+    doc="End-to-end corpus profile: language-ID + quality scoring + token "
+    "counting composed in ONE projection (featurizers are per-row column "
+    "expressions, so composition costs zero extra passes/joins), then a "
+    "per-language rollup — the shape of a real pre-training data audit.",
+)
+def corpus_quality_summary(spark, sf_dir):
+    # Single pass: every featurizer (language scores, quality features,
+    # token count) is a column expression over the same row, so composing
+    # them costs zero extra scans or joins — deliberately NOT
+    # lang_id(...).join(quality_features(...)).
+    from ..operators.dedup_text import words_of
+
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    words = words_of("text")
+    scores = TA.lang_scores("text")
+    langs = sorted(scores)
+    pred = F.lit("unknown")
+    for lang in reversed(langs):
+        cond = scores[lang] > 0
+        for other in langs:
+            if other != lang:
+                op = scores[lang] >= scores[other] if other > lang else scores[lang] > scores[other]
+                cond = cond & op
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    n_tokens = F.size(words)
+    stop_arr = F.array(*[F.lit(s) for s in TA.EN_STOPWORDS])
+    quality = F.round(
+        0.35 * (F.size(F.array_distinct(words)).cast("double") / n_tokens)
+        + 0.25
+        * (
+            F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x))).cast(
+                "double"
+            )
+            / n_tokens
+        )
+        + 0.25
+        * (
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("double")
+            / F.length("text")
+        )
+        + 0.15 * F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)),
+        4,
+    )
+    per_doc = docs.select(pred.alias("pred_lang"), n_tokens.alias("n_tokens"), quality.alias("quality"))
+    return per_doc.groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+    )
+
+
 # =====================================================================
 # Multimodal plumbing
 # =====================================================================

@@ -90,18 +90,31 @@ def import_verified(
     """
     todo = manifest.keys_with(FileStatus.Verified)[:batch_files]
     if not todo:
-        return 0
+        return 0, 0
     paths = [os.path.join(data_dir, k) for k in todo]
-    events = project_events(read_raw(spark, paths))
-    (
-        events.write.mode("append")
-        .partitionBy("created_month")
-        .parquet(table_path)
-    )
+    # Cache the parsed batch: Catalyst refuses plans whose referenced columns
+    # are ONLY `_corrupt_record` (QUERY_ONLY_CORRUPT_RECORD_COLUMN) unless the
+    # parse result is materialized first. The cache is bounded — one ingest
+    # batch of hourly files, not the corpus — and is reused by both the write
+    # and the quarantine count, so the gzip files are decompressed once.
+    raw = read_raw(spark, paths).cache()
+    try:
+        events = project_events(raw)
+        (
+            events.write.mode("append")
+            .partitionBy("created_month")
+            .parquet(table_path)
+        )
+        # row-level quarantine accounting (T5 at line granularity): lines the
+        # permissive reader could not parse were skipped by project_events;
+        # surface the count in the status document (importFail analog).
+        n_corrupt = raw.filter(F.col("_corrupt_record").isNotNull()).count()
+    finally:
+        raw.unpersist()
     for k in todo:
         manifest.set(k, FileStatus.Imported)
     manifest.save()
-    return len(todo)
+    return len(todo), n_corrupt
 
 
 def reconcile(
@@ -138,7 +151,9 @@ def reconcile(
     return sorted(missing)
 
 
-def update_status(manifest: Manifest, status_path: str, reason: str = "ok") -> dict:
+def update_status(
+    manifest: Manifest, status_path: str, reason: str = "ok", import_fail: int = 0
+) -> dict:
     """A10/S13: status.json roll-up (app/service/update_status.ts:9-41)."""
     statuses = dict(manifest.items())
     total = len(statuses)
@@ -148,7 +163,7 @@ def update_status(manifest: Manifest, status_path: str, reason: str = "ok") -> d
         "reason": reason,
         "total": total,
         "imported": imported,
-        "importFail": 0,
+        "importFail": import_fail,
         "missing": total - imported,
         "missingRate": round((total - imported) / total, 6) if total else 0.0,
         "missingArr": missing,
@@ -180,8 +195,10 @@ def run_incremental(
         check_validity(manifest, data_dir)
     if os.path.exists(table_path):
         reconcile(spark, manifest, table_path)
-    n = import_verified(spark, manifest, data_dir, table_path)
-    status = update_status(manifest, status_path or meta_path + ".status.json")
+    n, n_corrupt = import_verified(spark, manifest, data_dir, table_path)
+    status = update_status(
+        manifest, status_path or meta_path + ".status.json", import_fail=n_corrupt
+    )
     status["imported_this_run"] = n
     return status
 

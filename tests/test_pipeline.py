@@ -137,3 +137,30 @@ def test_corrupt_file_demoted(tmp_path):
     assert m.get(bad_rel) == FileStatus.NeedDownload  # deleted + demoted (T5)
     assert not bad.exists()
     assert m.get(ok_rel) == FileStatus.Verified
+
+
+def test_corrupt_lines_counted_in_status(spark, tmp_path):
+    # a file that passes the whole-file validity gate can still carry no
+    # corrupt lines; inject one post-validation to exercise the row-level
+    # quarantine counter (permissive parse skips it, status reports it)
+    import gzip
+
+    data_dir = str(tmp_path / "data")
+    rel = "2015/01/01/2015-01-01-15.json.gz"
+    write_gz(os.path.join(data_dir, rel), events(), corrupt_lines=0)
+    meta = str(tmp_path / "meta.json")
+    m = Manifest(meta)
+    m.ensure([rel])
+    m.set(rel, FileStatus.Verified)  # bypass the file-level gate
+    m.save()
+    with gzip.open(os.path.join(data_dir, rel), "at") as f:
+        f.write("{broken json\n")
+    from clickhouse_github_log_importer_spark.streaming.pipeline import (
+        import_verified,
+        update_status,
+    )
+
+    n_files, n_corrupt = import_verified(spark, m, data_dir, str(tmp_path / "tbl"))
+    assert n_files == 1 and n_corrupt == 1
+    status = update_status(m, meta + ".status.json", import_fail=n_corrupt)
+    assert status["importFail"] == 1
