@@ -37,6 +37,10 @@ HEADLINE = [
     "q18_large_orders",
     "q19_bracket_revenue",
     "q22_idle_customers",
+    "q4_late_shipments",
+    "q13_customer_distribution",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
     "top_brands_by_revenue",
     "nation_customer_rollup",
     "order_priority_counts",

@@ -1080,6 +1080,156 @@ def q22_idle_customers(spark, sf_dir):
 
 
 @register(
+    "q4_late_shipments",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    tags=("semi-join", "bench"),
+    doc="TPC-H Q4 shape: correlated EXISTS as a LEFT SEMI join with a "
+    "non-equi residual condition (l_shipdate > o_orderdate) on top of the "
+    "orderkey equi-key, then a grouped count by priority.",
+)
+def q4_late_shipments(spark, sf_dir):
+    # Semi join: the equi component (orderkey) drives the shuffle; the
+    # date comparison rides along as a residual condition — one pass over
+    # lineitem, no duplication of matched orders (EXISTS semantics for free).
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("J2", "outer-join", "bench"),
+    doc="TPC-H Q13 shape: LEFT OUTER join with an ON-clause filter on the "
+    "right side (kept customers with zero orders count as c_count=0 — the "
+    "outer-join/WHERE distinction), then a distribution-of-counts rollup.",
+)
+def q13_customer_distribution(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q16_supplier_diversity",
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+    tags=("U2", "distinct-agg", "bench"),
+    doc="TPC-H Q16 shape: NOT IN as a broadcast LEFT ANTI join against a "
+    "tiny exclusion dim, broadcast part join, COUNT(DISTINCT) grouped agg "
+    "(Spark plans partial distinct via a two-phase expand/agg).",
+)
+def q16_supplier_diversity(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#45").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    bad_supp = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH brand_parts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+    li AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN brand_parts ON p_partkey = l_partkey
+    ),
+    th AS (
+      SELECT l_partkey AS pk, sum(l_quantity) AS sum_qty, COUNT(*) AS cnt
+      FROM li GROUP BY l_partkey
+    )
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM li JOIN th ON l_partkey = pk
+    WHERE l_quantity * 5 * cnt < sum_qty
+    """,
+    tags=("scalar-subquery", "bench"),
+    doc="TPC-H Q17 shape: correlated scalar AVG subquery (per-part mean "
+    "quantity) decorrelated into a grouped agg + broadcast join back. The "
+    "threshold qty < 0.2*avg is algebraized to 5*qty*cnt < sum_qty — "
+    "exact integer-valued double arithmetic, so Spark and the oracle agree "
+    "bit-for-bit regardless of summation order.",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    # Restrict lineitem to the brand's parts FIRST (broadcast), so the
+    # per-part threshold agg and the probe both run over the reduced set —
+    # the classic decorrelation, but with the selective filter pushed below
+    # both sides (at 100 TB this is the difference between scanning one
+    # brand's slice twice and scanning all of lineitem twice).
+    parts = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+    )
+    th = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    return (
+        li.join(F.broadcast(th), li.l_partkey == th.pk)
+        .filter(F.col("l_quantity") * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
     "user_sessions",
     """
     WITH flagged AS (

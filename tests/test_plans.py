@@ -98,3 +98,31 @@ def test_parse_layer_is_single_stage(spark, tmp_path):
 def test_watermark_join_broadcasts_agg_side(spark, sf_smoke):
     p = explain(spark, "user_watermarks", sf_smoke)
     assert "BroadcastHashJoin" in p
+
+
+def test_q4_semi_join_no_duplication(spark, sf_smoke):
+    # EXISTS must plan as a LEFT SEMI join (no row duplication, no
+    # post-join distinct) with the date residual riding the equi-key
+    p = explain(spark, "q4_late_shipments", sf_smoke)
+    assert "LeftSemi" in p
+    assert "HashAggregate" in p
+    # lineitem scan pruned to the two columns the semi join needs
+    reads = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert any("l_orderkey" in r and "l_shipdate" in r and "l_quantity" not in r for r in reads)
+
+
+def test_q16_anti_join_broadcasts_exclusion(spark, sf_smoke):
+    # NOT IN over the tiny negative-balance supplier set must broadcast,
+    # never shuffle lineitem for the exclusion
+    p = explain(spark, "q16_supplier_diversity", sf_smoke)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q17_threshold_join_broadcasts(spark, sf_smoke):
+    # the decorrelated per-part threshold is brand-filtered (tiny): it must
+    # come back as a broadcast, and the brand filter must reach both
+    # lineitem passes via the broadcasted part keys
+    p = explain(spark, "q17_small_quantity_revenue", sf_smoke)
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
