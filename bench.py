@@ -54,6 +54,7 @@ HEADLINE = [
     "simhash_signatures",
     "ann_cosine_topk",
     "ann_lsh_buckets",
+    "ann_ivf_topk",
     "lang_id",
     "text_quality",
     "token_stats",

@@ -197,6 +197,129 @@ def near_dup_pairs(
     )
 
 
+def ivf_codebook(
+    df: DataFrame,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[int], int]]:
+    """IVF coarse codebook: the `n_lists` smallest-id vectors, collected
+    driver-side as (centroid_id, quantized_vec, norm2).
+
+    The codebook is deliberately driver-side state (like a FAISS IVF
+    quantizer): n_lists x dims integers, inlined as literals so that list
+    assignment is a pure projection — zero shuffle over the corpus. The
+    smallest-id selection is a deterministic stand-in for an offline
+    k-means; swap the selection, keep the plumbing.
+    """
+    rows = (
+        with_quantized_norm(df, vec_col, id_col)
+        .orderBy(F.col(id_col))
+        .limit(n_lists)
+        .collect()
+    )
+    return [(r[0], list(r["q"]), r["norm2"]) for r in rows]
+
+
+def _probe_lists(
+    qcol: Column, norm2col: Column, codebook: list[tuple[int, list[int], int]], nprobe: int
+) -> Column:
+    """Top-`nprobe` centroid ids by exact cosine (ties -> smaller id),
+    as an array<long> — computed per row from inlined centroid literals."""
+    entries = []
+    for cid, cq, cn in codebook:
+        cqlit = F.array(*[F.lit(v) for v in cq])
+        cos = _dot(qcol, cqlit).cast("double") / (
+            F.sqrt(norm2col.cast("double")) * F.sqrt(F.lit(float(cn)))
+        )
+        # sort key: cos desc, then nid=-cid desc == cid asc on ties
+        entries.append(
+            F.struct(cos.alias("cos"), F.lit(-cid).cast("long").alias("nid"))
+        )
+    best = F.slice(F.sort_array(F.array(*entries), asc=False), 1, nprobe)
+    return F.transform(best, lambda s: -s["nid"])
+
+
+def ivf_assign(
+    df: DataFrame,
+    codebook: list[tuple[int, list[int], int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, list_id): nearest-centroid assignment as a narrow projection
+    (the inverted-file build). No shuffle, no join — the codebook is
+    literal constants in the plan."""
+    qn = with_quantized_norm(df, vec_col, id_col)
+    return qn.select(
+        F.col(id_col),
+        F.element_at(_probe_lists(F.col("q"), F.col("norm2"), codebook, 1), 1).alias(
+            "list_id"
+        ),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_lists: int = 16,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: each query probes its `nprobe` nearest
+    inverted lists; exact cosine ranking over only those lists' members.
+
+    Scale shape: corpus-side list assignment is a projection; the query
+    side (queries x nprobe rows) broadcasts; the candidate join keys on
+    list_id. Recall/cost tunes via nprobe (= ClickHouse/FAISS IVF probes).
+    """
+    codebook = ivf_codebook(corpus, n_lists, vec_col, id_col)
+    c = with_quantized_norm(corpus, vec_col, id_col)
+    c = c.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("q").alias("cq"),
+        F.col("norm2").alias("cn"),
+        F.element_at(
+            _probe_lists(F.col("q"), F.col("norm2"), codebook, 1), 1
+        ).alias("list_id"),
+    )
+    qd = with_quantized_norm(queries, vec_col, id_col)
+    qd = qd.select(
+        F.col(id_col).alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qn"),
+        F.explode(
+            _probe_lists(F.col("q"), F.col("norm2"), codebook, nprobe)
+        ).alias("list_id"),
+    )
+    scored = (
+        c.join(F.broadcast(qd), ["list_id"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qq"), F.col("cq")).cast("double")
+                / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double")))
+            ).alias("cos_exact"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_exact"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_exact", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -268,6 +268,91 @@ def ann_lsh_buckets(spark, sf_dir):
     )
 
 
+_IVF_QN = f"""
+    qn AS (
+      SELECT * FROM (
+        SELECT vec_id, q, {_DOT.format(a='q', b='q')} AS norm2
+        FROM (SELECT vec_id, {_QUANT} AS q FROM embeddings)
+      ) WHERE norm2 > 0
+    ),
+    cents AS (
+      SELECT vec_id AS c_id, q AS cq, norm2 AS cn
+      FROM qn ORDER BY vec_id LIMIT 16
+    ),
+    centroid_cos AS (
+      SELECT v.vec_id, c.c_id,
+             CAST({_DOT.format(a='v.q', b='c.cq')} AS DOUBLE)
+               / (sqrt(CAST(v.norm2 AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS ccos,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY CAST({_DOT.format(a='v.q', b='c.cq')} AS DOUBLE)
+                                      / (sqrt(CAST(v.norm2 AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
+                                      c.c_id ASC) AS rn
+      FROM qn v CROSS JOIN cents c
+    )
+"""
+
+
+@register(
+    "ann_ivf_lists",
+    f"""
+    WITH {_IVF_QN}
+    SELECT c_id AS list_id, COUNT(*) AS n_vectors, min(vec_id) AS min_vec_id
+    FROM centroid_cos WHERE rn = 1
+    GROUP BY c_id
+    """,
+    tags=("similarity", "ivf"),
+    doc="IVF inverted-file build: 16-centroid coarse codebook (smallest-id "
+    "vectors; deterministic k-means stand-in), nearest-centroid assignment "
+    "as a shuffle-free projection over inlined codebook literals; list "
+    "occupancy histogram. operators.similarity.ivf_assign.",
+)
+def ann_ivf_lists(spark, sf_dir):
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    codebook = SIM.ivf_codebook(emb, n_lists=16)
+    return (
+        SIM.ivf_assign(emb, codebook)
+        .groupBy("list_id")
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH {_IVF_QN},
+    assigned AS (SELECT vec_id, c_id AS list_id FROM centroid_cos WHERE rn = 1),
+    probes AS (
+      SELECT cc.vec_id AS query_id, cc.c_id AS list_id
+      FROM centroid_cos cc WHERE cc.rn <= 2 AND cc.vec_id < 8
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST({_DOT.format(a='q.q', b='c.q')} AS DOUBLE)
+               / (sqrt(CAST(q.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))) AS cos_exact
+      FROM probes p
+      JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+      JOIN qn q ON q.vec_id = p.query_id
+      JOIN qn c ON c.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos_exact, 6) AS cos_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_exact DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    WHERE rank <= 3
+    """,
+    tags=("similarity", "ivf"),
+    doc="IVF-Flat approximate top-3 with nprobe=2 for 8 query vectors: "
+    "exact cosine ranking restricted to each query's two nearest inverted "
+    "lists. Corpus assignment is a projection; probe side broadcasts. "
+    "operators.similarity.ivf_topk.",
+)
+def ann_ivf_topk(spark, sf_dir):
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=3, n_lists=16, nprobe=2)
+
+
 @register(
     "ann_lsh_topk",
     None,  # exercised rows-only here; exactness is covered by

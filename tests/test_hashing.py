@@ -39,3 +39,23 @@ def test_seeds_decorrelate(spark):
     df = spark.createDataFrame([("abc",)], "w string")
     h0, h1 = df.select(seeded_hash64("w", 0), seeded_hash64("w", 1)).first()
     assert h0 != h1
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    # IVF with nprobe=n_lists must EQUAL brute force (probing every list
+    # is exhaustive search); with nprobe=2 it returns a subset ranking
+    from clickhouse_github_log_importer_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 4")
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in SIM.cosine_topk(emb, q, k=3).collect()
+    }
+    full_probe = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in SIM.ivf_topk(emb, q, k=3, n_lists=8, nprobe=8).collect()
+    }
+    assert full_probe == exact
+    approx = SIM.ivf_topk(emb, q, k=3, n_lists=8, nprobe=2).collect()
+    assert 0 < len(approx) <= len(exact)

@@ -126,3 +126,19 @@ def test_q17_threshold_join_broadcasts(spark, sf_smoke):
     p = explain(spark, "q17_small_quantity_revenue", sf_smoke)
     assert p.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in p
+
+
+def test_ivf_assignment_is_projection(spark, sf_smoke):
+    # the inverted-file build must be a shuffle-free projection over
+    # inlined codebook literals: one corpus scan, NO join anywhere —
+    # exchanges only for the occupancy groupBy
+    p = explain(spark, "ann_ivf_lists", sf_smoke)
+    assert "Join" not in p
+    assert tree(p).count("Scan parquet") == 1
+
+
+def test_ivf_search_broadcasts_probes(spark, sf_smoke):
+    # probe side (queries x nprobe) broadcasts; candidates join on list_id
+    p = explain(spark, "ann_ivf_topk", sf_smoke)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
