@@ -43,6 +43,7 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "top_brands_by_revenue",
     "nation_customer_rollup",
+    "order_status_cube",
     "order_priority_counts",
     "top_events_per_user",
     "daily_running_totals",

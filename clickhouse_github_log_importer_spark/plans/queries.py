@@ -979,6 +979,38 @@ def region_nation_rollup(spark, sf_dir):
 
 
 @register(
+    "order_status_cube",
+    """
+    SELECT COALESCE(o_orderpriority, '<all>') AS priority,
+           COALESCE(o_orderstatus, '<all>') AS status,
+           COUNT(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    tags=("A2", "cube"),
+    doc="CUBE grouping-sets aggregate (all four marginal combinations in "
+    "one pass — Spark plans a single Expand + hash aggregate, not four "
+    "scans); the WITH CUBE analog beyond the reference's flat GROUP BYs.",
+)
+def order_status_cube(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
     "platform_union_counts",
     """
     SELECT src, COUNT(*) AS count
