@@ -353,10 +353,39 @@ def ann_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=3, n_lists=16, nprobe=2)
 
 
+def _lsh_topk_oracle(k: int = 3, n_queries: int = 8, dims: int = 64) -> str:
+    w = SIM.plane_weights(SIM.LSH_PLANES, dims)
+    return f"""
+    WITH qn AS (
+      SELECT * FROM (
+        SELECT vec_id, q, {_DOT.format(a='q', b='q')} AS norm2
+        FROM (SELECT vec_id, {_QUANT} AS q FROM embeddings)
+      ) WHERE norm2 > 0
+    ),
+    b AS (
+      SELECT vec_id, q, norm2, CAST({_lsh_bucket_sql(w)} AS BIGINT) AS bucket
+      FROM qn
+    ),
+    scored AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST({_DOT.format(a='qs.q', b='c.q')} AS DOUBLE)
+               / (sqrt(CAST(qs.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))) AS cos_exact
+      FROM (SELECT * FROM b WHERE vec_id < {n_queries}) qs
+      JOIN b c ON c.bucket = qs.bucket AND c.vec_id <> qs.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos_exact, 6) AS cos_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_exact DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    WHERE rank <= {k}
+    """
+
+
 @register(
     "ann_lsh_topk",
-    None,  # exercised rows-only here; exactness is covered by
-    # ann_cosine_topk (same scorer) + ann_lsh_buckets (same bucketing)
+    _lsh_topk_oracle(),
     tags=("similarity", "lsh"),
     doc="Bucket-restricted approximate top-3: exact cosine ranking within "
     "the query's LSH bucket. operators.similarity.lsh_topk.",
