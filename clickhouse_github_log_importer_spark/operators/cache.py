@@ -1,0 +1,59 @@
+"""Caller-controlled lifetimes for persisted intermediates.
+
+Several operators persist an intermediate that both sides of a self-join
+consume (MinHash band table, SimHash signatures, LSH-bucketed vectors,
+Jaccard shingle sets). Persisting is the right call — without it the join
+recomputes the full upstream pipeline per side (~2x measured) — but a
+bare ``.persist()`` leaks: in a long-lived pipeline the blocks accrete
+until LRU eviction starts thrashing.
+
+:class:`CacheScope` makes the lifetime explicit. Operators accept an
+optional ``scope``; when given, every internal persist registers there
+and the caller unpersists after the consuming action:
+
+    with CacheScope(spark) as scope:
+        pairs = lsh_candidate_pairs(docs, scope=scope)
+        pairs.write.parquet(out)          # consuming action inside scope
+    # exiting unpersists the band table
+
+Without a scope the operator keeps the historical behavior (persist and
+rely on LRU), which is fine for one-shot queries like the driver's
+correctness runs where the session ends soon after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class CacheScope:
+    """Tracks DataFrames persisted on behalf of a caller.
+
+    Context-manager: ``__exit__`` unpersists everything registered, in
+    reverse registration order (dependents before dependencies).
+    """
+
+    def __init__(self) -> None:
+        self._frames: list[DataFrame] = []
+
+    def persist(self, df: DataFrame) -> DataFrame:
+        out = df.persist()
+        self._frames.append(out)
+        return out
+
+    def unpersist_all(self, blocking: bool = False) -> None:
+        for df in reversed(self._frames):
+            df.unpersist(blocking)
+        self._frames.clear()
+
+    def __enter__(self) -> "CacheScope":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.unpersist_all()
+        return False
+
+
+def persist_in(scope: CacheScope | None, df: DataFrame) -> DataFrame:
+    """persist `df`, registering with `scope` when one is given."""
+    return scope.persist(df) if scope is not None else df.persist()

@@ -26,10 +26,13 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash64
+from .cache import CacheScope, persist_in
 
 #: MinHash defaults: 12 permutations in 4 bands of 3 rows — detects
 #: Jaccard >~ 0.6 pairs with high probability while keeping the signature
@@ -152,6 +155,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     perms: int = MINHASH_PERMS,
     bands: int = MINHASH_BANDS,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any MinHash band.
 
@@ -162,8 +166,8 @@ def lsh_candidate_pairs(
     # persist the (small) band table: the self-join would otherwise
     # recompute the full shingle+hash pipeline for BOTH sides (~2x cost
     # measured). One row per band per doc — tiny relative to the corpus;
-    # Spark evicts LRU, long-lived pipelines should manage unpersist.
-    bh = band_hashes(sig, perms, bands).persist()
+    # pass a CacheScope to control the unpersist point (operators/cache.py).
+    bh = persist_in(scope, band_hashes(sig, perms, bands))
     a = bh.alias("a")
     b = bh.alias("b")
     return (
@@ -180,6 +184,42 @@ def lsh_candidate_pairs(
     )
 
 
+def _simhash_col(hs_col: Column, bits: int) -> Column:
+    """Fold an array<long> of token hashes into the `bits`-bit SimHash.
+
+    Arrow-batched numpy, not column expressions: the expression form is
+    `bits` interpreted (CodegenFallback) passes over the token-hash array
+    per row — measured at ~1.1 s on the sf0.01 corpus for bits=32, and
+    linear in rows at scale. Here the whole batch's hashes concatenate
+    into one (total_tokens x bits) bit matrix, per-bit majorities come
+    from a cumulative-sum slice per row (exact integer math, identical
+    ties — cnt*2 > n — to the expression form and the SQL oracle), and
+    empty token lists yield simhash 0 exactly as before.
+    """
+    pows = (1 << np.arange(bits)).astype(np.int64)
+
+    @F.pandas_udf("bigint")
+    def fold(hs: pd.Series) -> pd.Series:
+        if len(hs) == 0:
+            return pd.Series([], dtype="int64")
+        lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=len(hs))
+        flat = (
+            np.concatenate([np.asarray(x, dtype=np.int64) for x in hs])
+            if lens.sum()
+            else np.empty(0, dtype=np.int64)
+        )
+        bitmat = (flat[:, None] >> np.arange(bits)) & 1  # (tokens, bits)
+        csum = np.zeros((len(flat) + 1, bits), dtype=np.int64)
+        np.cumsum(bitmat, axis=0, out=csum[1:])
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        cnt = csum[ends] - csum[starts]  # per-row bit counts; empty rows -> 0
+        majority = cnt * 2 > lens[:, None]
+        return pd.Series((majority * pows[None, :]).sum(axis=1))
+
+    return fold(hs_col)
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
@@ -189,23 +229,14 @@ def simhash(
     """Per-doc SimHash over whitespace tokens (term frequency weighted).
 
     bit b is set iff more than half the tokens have bit b set in their
-    60-bit hash; exact ties round down. Per-row array math, no shuffle.
+    60-bit hash; exact ties round down. Per-row math, no shuffle; the
+    bit-majority fold is one vectorized pass per Arrow batch
+    (see `_simhash_col`).
     """
     hs = F.transform(words_of(text_col), md5_hash64)
-    out = df.select(F.col(id_col), hs.alias("_hs"), F.size(hs).alias("_n"))
-    acc = F.lit(0).cast("long")
-
-    # NB: a one-arg lambda per bit — a (x, b=b) default would make pyspark
-    # treat the lambda as (element, index) and bind the array index to b.
-    def bit_set(b: int):
-        return lambda x: F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1
-
-    for b in range(bits):
-        cnt = F.size(F.filter("_hs", bit_set(b)))
-        acc = acc + F.when(cnt * 2 > F.col("_n"), F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out.select(F.col(id_col), acc.alias("simhash"))
+    return df.select(F.col(id_col), hs.alias("_hs")).select(
+        F.col(id_col), _simhash_col(F.col("_hs"), bits).alias("simhash")
+    )
 
 
 def simhash_candidate_pairs(
@@ -215,6 +246,7 @@ def simhash_candidate_pairs(
     bits: int = SIMHASH_BITS,
     bands: int = SIMHASH_BANDS,
     max_hamming: int = 3,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -223,7 +255,7 @@ def simhash_candidate_pairs(
     equality and only candidates pay the exact popcount.
     """
     assert max_hamming < bands, "pigeonhole requires max_hamming < bands"
-    sh = simhash(df, text_col, id_col, bits).persist()  # see lsh note
+    sh = persist_in(scope, simhash(df, text_col, id_col, bits))  # see lsh note
     width = bits // bands
     mask = (1 << width) - 1
     bandcols = [
@@ -310,6 +342,7 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs (the verify stage).
 
@@ -317,9 +350,13 @@ def jaccard_verify(
     candidate set back to the shingle arrays, set math per-row.
     """
     # persisted: joined twice (once per pair side)
-    sets = df.select(
-        F.col(id_col), F.array_distinct(shingles_of(text_col, shingle_n)).alias("sh")
-    ).persist()
+    sets = persist_in(
+        scope,
+        df.select(
+            F.col(id_col),
+            F.array_distinct(shingles_of(text_col, shingle_n)).alias("sh"),
+        ),
+    )
     out = (
         pairs.join(sets.withColumnRenamed("sh", "sh_a"), pairs.id_a == sets[id_col])
         .drop(id_col)

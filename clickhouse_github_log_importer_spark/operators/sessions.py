@@ -101,7 +101,10 @@ def sessionize_streaming(
         if state.hasTimedOut:
             if state.exists:
                 s, e, n, v = state.get
-                rows.append((user_id, s, e, n, v))
+                # round exactly like the in-batch close below and the batch
+                # operator — the same logical session must not surface with
+                # float noise depending on which path closes it
+                rows.append((user_id, s, e, n, round(v, 2)))
                 state.remove()
         else:
             ts_list: list[int] = []

@@ -16,10 +16,15 @@ math; the final cosine is one IEEE-exact division+sqrt — bit-identical
 on any engine. Hyperplanes are pseudo-random +-1 vectors derived from
 md5 (functions.hashing family) so every engine derives the same planes.
 
-All column expressions — no Python in the scoring loop. A Pandas-UDF
-variant (numpy matmul per Arrow batch) is the right swap if embedding
-width grows into the thousands; at <=1k dims the codegen'd array math
-keeps data JVM-side and wins.
+Scoring is Arrow-batched numpy, NOT column expressions: Spark evaluates
+``aggregate``/``zip_with`` lambdas as CodegenFallback — interpreted per
+array element — so a dot product written as a higher-order function
+costs d interpreted ops per row (and the 8-plane LSH sketch costs 8*d).
+One int64 matmul per Arrow batch does the same exact integer math
+vectorized; measured ~6 s -> sub-second on a 2k-vector corpus for the
+IVF probe, and the LSH/pair-scoring paths have identical shape. The
+quantization step itself stays a column expression (one pass per row,
+and Spark's HALF_UP rounding must be preserved bit-exactly).
 """
 
 from __future__ import annotations
@@ -31,6 +36,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .cache import CacheScope, persist_in
+
 LSH_PLANES = 8
 QUANT_SCALE = 1000
 
@@ -38,8 +45,10 @@ QUANT_SCALE = 1000
 def plane_weights(planes: int, dims: int) -> list[list[int]]:
     """Deterministic +-1 hyperplanes: sign of bit 0 of md5(f"{j}_{i}").
 
-    Same derivation as functions.hashing's md5 family, computed driver-side
-    once (planes x dims constants) and inlined as literals in the plan.
+    Same derivation as functions.hashing's md5 family; tiny (planes x
+    dims) and derived identically driver-side (for the SQL oracle) and
+    executor-side (inside the bucket UDF, from the batch's actual
+    vector width) — no data scan needed to learn `dims`.
     """
     out = []
     for j in range(planes):
@@ -51,6 +60,19 @@ def plane_weights(planes: int, dims: int) -> list[list[int]]:
     return out
 
 
+#: executor-side memo: (planes, dims) -> (dims x planes) int64 matrix
+_PLANE_MATRIX_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
+def _plane_matrix(planes: int, dims: int) -> np.ndarray:
+    key = (planes, dims)
+    if key not in _PLANE_MATRIX_CACHE:
+        _PLANE_MATRIX_CACHE[key] = np.array(
+            plane_weights(planes, dims), dtype=np.int64
+        ).T
+    return _PLANE_MATRIX_CACHE[key]
+
+
 def quantized(col: Column | str) -> Column:
     """array<float> -> exact integer milli-units (array<long>)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -58,10 +80,38 @@ def quantized(col: Column | str) -> Column:
 
 
 def _dot(a: Column, b: Column) -> Column:
+    """Higher-order-function dot product. Interpreted (CodegenFallback);
+    kept ONLY for the one-pass-per-row norm in :func:`with_quantized_norm`
+    — never use it in per-pair scoring (see `_dot_pairs`)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
+    )
+
+
+def _dot_pairs(acol: Column, bcol: Column) -> Column:
+    """Row-wise exact int64 dot of two array<bigint> columns, one einsum
+    per Arrow batch. Bit-identical to the HOF form (pure integer math).
+    (The UDF is built per call: pandas_udf parses its DDL return type
+    against the ACTIVE session, so module-import-time creation would
+    require a SparkContext before any session exists.)"""
+
+    @F.pandas_udf("bigint")
+    def dot(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        am = np.vstack(a.to_numpy()).astype(np.int64, copy=False)
+        bm = np.vstack(b.to_numpy()).astype(np.int64, copy=False)
+        return pd.Series(np.einsum("ij,ij->i", am, bm))
+
+    return dot(acol, bcol)
+
+
+def _cosine(qq: Column, cq: Column, qn: Column, cn: Column) -> Column:
+    """Exact cosine from quantized vectors + precomputed integer norms."""
+    return _dot_pairs(qq, cq).cast("double") / (
+        F.sqrt(qn.cast("double")) * F.sqrt(cn.cast("double"))
     )
 
 
@@ -103,10 +153,9 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("qq"), F.col("cq")).cast("double")
-                / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double")))
-            ).alias("cos_exact"),
+            _cosine(F.col("qq"), F.col("cq"), F.col("qn"), F.col("cn")).alias(
+                "cos_exact"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -124,16 +173,25 @@ def cosine_topk(
     )
 
 
-def bucket_expr(qcol: Column, planes: list[list[int]]) -> Column:
-    """Sign-sketch bucket id from a quantized vector column."""
-    acc = F.lit(0).cast("long")
-    for j, w in enumerate(planes):
-        wlit = F.array(*[F.lit(v) for v in w])
-        proj = _dot(qcol, wlit)
-        acc = acc + F.when(proj >= 0, F.lit(2**j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return acc
+def bucket_col(qcol: Column, planes: int = LSH_PLANES) -> Column:
+    """Sign-sketch bucket id from a quantized vector column.
+
+    One (batch x dims) @ (dims x planes) int64 matmul per Arrow batch,
+    then a packbits over the sign row — the plane matrix is derived
+    inside the UDF from the batch's vector width (deterministic md5, so
+    every executor and the SQL oracle agree) and memoized per executor.
+    """
+    pows = (1 << np.arange(planes)).astype(np.int64)
+
+    @F.pandas_udf("bigint")
+    def bucket(q: pd.Series) -> pd.Series:
+        if len(q) == 0:
+            return pd.Series([], dtype="int64")
+        qm = np.vstack(q.to_numpy()).astype(np.int64, copy=False)
+        proj = qm @ _plane_matrix(planes, qm.shape[1])
+        return pd.Series(((proj >= 0) * pows[None, :]).sum(axis=1))
+
+    return bucket(qcol)
 
 
 def lsh_buckets(
@@ -143,12 +201,14 @@ def lsh_buckets(
     planes: int = LSH_PLANES,
     dims: int | None = None,
 ) -> DataFrame:
-    """(id, bucket) under the deterministic hyperplane sketch."""
-    if dims is None:
-        dims = len(df.select(vec_col).first()[0])
-    w = plane_weights(planes, dims)
+    """(id, bucket) under the deterministic hyperplane sketch.
+
+    `dims` is accepted for API compatibility but unused: the bucket UDF
+    reads the vector width off each Arrow batch, so no driver-side
+    ``first()`` scan is spent learning it.
+    """
     qn = with_quantized_norm(df, vec_col, id_col)
-    return qn.select(F.col(id_col), bucket_expr(F.col("q"), w).alias("bucket"))
+    return qn.select(F.col(id_col), bucket_col(F.col("q"), planes).alias("bucket"))
 
 
 def near_dup_pairs(
@@ -158,6 +218,7 @@ def near_dup_pairs(
     id_col: str = "vec_id",
     planes: int = LSH_PLANES,
     dims: int | None = None,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-restricted.
 
@@ -167,22 +228,20 @@ def near_dup_pairs(
     collapse near-identical vectors with high probability, so recall for
     true near-dups (cos ~ 1) is excellent; lower `planes` to trade cost
     for recall at looser thresholds.
+
+    The bucketed frame is persisted — the self-join would otherwise run
+    the quantize+sketch pipeline once per side (~2x measured on the
+    MinHash analog). Pass a :class:`CacheScope` to control unpersist.
     """
-    if dims is None:
-        dims = len(df.select(vec_col).first()[0])
-    w = plane_weights(planes, dims)
     qn = with_quantized_norm(df, vec_col, id_col)
-    qb = qn.select(
-        F.col(id_col), "q", "norm2", bucket_expr(F.col("q"), w).alias("bucket")
+    qb = persist_in(
+        scope,
+        qn.select(
+            F.col(id_col), "q", "norm2", bucket_col(F.col("q"), planes).alias("bucket")
+        ),
     )
     a, b = qb.alias("a"), qb.alias("b")
-    cos = (
-        _dot(F.col("a.q"), F.col("b.q")).cast("double")
-        / (
-            F.sqrt(F.col("a.norm2").cast("double"))
-            * F.sqrt(F.col("b.norm2").cast("double"))
-        )
-    )
+    cos = _cosine(F.col("a.q"), F.col("b.q"), F.col("a.norm2"), F.col("b.norm2"))
     return (
         a.join(
             b,
@@ -205,20 +264,23 @@ def ivf_codebook(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> list[tuple[int, list[int], int]]:
-    """IVF coarse codebook: the `n_lists` smallest-id vectors, collected
-    driver-side as (centroid_id, quantized_vec, norm2).
+    """IVF coarse codebook: the `n_lists` smallest-id NONZERO vectors,
+    collected driver-side as (centroid_id, quantized_vec, norm2).
 
     The codebook is deliberately driver-side state (like a FAISS IVF
     quantizer): n_lists x dims integers, inlined as literals so that list
     assignment is a pure projection — zero shuffle over the corpus. The
     smallest-id selection is a deterministic stand-in for an offline
     k-means; swap the selection, keep the plumbing.
+
+    Zero-norm vectors are filtered BEFORE the smallest-id cut (matching
+    the SQL oracle): a zero embedding among the n_lists smallest ids
+    must not shrink or shift the codebook. Quantize-then-TakeOrdered is
+    a narrow projection + per-partition heap — no shuffle, no second
+    scan.
     """
-    # TakeOrdered the n_lists raw rows FIRST (per-partition heaps over two
-    # columns), then quantize only those — never quantize/norm the corpus
-    # just to pick the codebook.
-    head = df.select(id_col, vec_col).orderBy(F.col(id_col)).limit(n_lists)
-    rows = with_quantized_norm(head, vec_col, id_col).collect()
+    qn = with_quantized_norm(df, vec_col, id_col)  # filters norm2 > 0
+    rows = qn.orderBy(F.col(id_col)).limit(n_lists).collect()
     return [(r[0], list(r["q"]), r["norm2"]) for r in rows]
 
 
@@ -228,14 +290,11 @@ def _probe_lists(
     """Top-`nprobe` centroid ids by exact cosine (ties -> smaller id),
     as an array<long>.
 
-    Arrow-batched numpy, deliberately NOT column expressions: the k x dims
-    dot products against a literal codebook are k aggregate/zip_with
-    higher-order functions per row, which Spark evaluates INTERPRETED
-    (CodegenFallback) — measured ~6 s on a 2k-vector corpus, and linear in
-    rows at scale. One (batch x dims) @ (dims x k) int64 matmul per Arrow
-    batch does the same exact integer math vectorized. cos = int dot /
-    (sqrt * sqrt) in float64 — bit-identical to the SQL oracle; ties take
-    the smaller centroid id via stable argsort over the id-ordered codebook.
+    Arrow-batched numpy: one (batch x dims) @ (dims x k) int64 matmul
+    per Arrow batch (see module docstring for why not column
+    expressions). cos = int dot / (sqrt * sqrt) in float64 —
+    bit-identical to the SQL oracle; ties take the smaller centroid id
+    via stable argsort over the id-ordered codebook.
     """
     cmat_t = np.array([cq for _, cq, _ in codebook], dtype=np.int64).T  # (d, k)
     csqrt = np.sqrt(np.array([cn for _, _, cn in codebook], dtype=np.float64))
@@ -317,10 +376,9 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("qq"), F.col("cq")).cast("double")
-                / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double")))
-            ).alias("cos_exact"),
+            _cosine(F.col("qq"), F.col("cq"), F.col("qn"), F.col("cn")).alias(
+                "cos_exact"
+            ),
         )
     )
     win = Window.partitionBy("query_id").orderBy(
@@ -349,21 +407,19 @@ def lsh_topk(
     """Approximate top-k: exact cosine ranking restricted to the query's
     LSH bucket. Recall is tunable via `planes` (fewer planes = bigger
     buckets = higher recall & cost)."""
-    dims = len(corpus.select(vec_col).first()[0])
-    w = plane_weights(planes, dims)
     c = with_quantized_norm(corpus, vec_col, id_col)
     c = c.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("q").alias("cq"),
         F.col("norm2").alias("cn"),
-        bucket_expr(F.col("q"), w).alias("bucket"),
+        bucket_col(F.col("q"), planes).alias("bucket"),
     )
     qd = with_quantized_norm(queries, vec_col, id_col)
     qd = qd.select(
         F.col(id_col).alias("query_id"),
         F.col("q").alias("qq"),
         F.col("norm2").alias("qn"),
-        bucket_expr(F.col("q"), w).alias("bucket"),
+        bucket_col(F.col("q"), planes).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(qd), ["bucket"])
@@ -371,10 +427,9 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("qq"), F.col("cq")).cast("double")
-                / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double")))
-            ).alias("cos_exact"),
+            _cosine(F.col("qq"), F.col("cq"), F.col("qn"), F.col("cn")).alias(
+                "cos_exact"
+            ),
         )
     )
     win = Window.partitionBy("query_id").orderBy(

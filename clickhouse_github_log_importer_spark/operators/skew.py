@@ -73,9 +73,17 @@ def replicated_salted_join(
     The probe side gets a partition-derived salt; the build side is
     replicated once per salt value (explode of a literal range); the join
     key becomes (on..., salt). Row-identical to ``probe.join(build, on,
-    how)`` with `salt`x the build-side shuffle volume as the price for
-    even reducers.
+    how)`` for inner/left joins, with `salt`x the build-side shuffle
+    volume as the price for even reducers. Right/full outer joins are
+    rejected: an unmatched build row would surface once per salt value
+    (`salt` duplicated null-extension rows), which is not the semantics
+    of the plain join.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"replicated_salted_join supports inner/left joins only, got {how!r}: "
+            "build-side replication would duplicate unmatched right-side rows"
+        )
     p = probe.withColumn("_salt", F.spark_partition_id() % salt)
     b = build.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -108,7 +108,21 @@ GITEE_RAW_SCHEMA = T.StructType(
                 + [
                     T.StructField("action", T.StringType()),
                     T.StructField("issue", _GITEE_ISSUE),
-                    T.StructField("pull_request", _GITEE_ISSUE),
+                    # pull_request carries its own action/merged_at: for
+                    # PullRequestReviewCommentEvent the reference runs
+                    # parsePull(payload.pull_request) (gitee_importer.ts:
+                    # 242-250, 275), reading merged state from the NESTED
+                    # struct, not the top-level payload
+                    T.StructField(
+                        "pull_request",
+                        T.StructType(
+                            list(_GITEE_ISSUE.fields)
+                            + [
+                                T.StructField("action", T.StringType()),
+                                T.StructField("merged_at", T.StringType()),
+                            ]
+                        ),
+                    ),
                     T.StructField("comment", _GITEE_COMMENT),
                     T.StructField("merged_at", T.StringType()),
                     # push fields (parsePush, ts:258-268)
@@ -151,6 +165,14 @@ def _map_expr(mapping: dict[str, str], col: Column) -> Column:
 def _base36(col: Column) -> Column:
     """F11: parseInt(number, 36) (gitee_importer.ts:201)."""
     return F.conv(col, 36, 10).cast("long")
+
+
+def _pull_src(p: Column, mapped_type: Column, field: str) -> Column:
+    """parsePull's input struct field: payload.pull_request.<field> for
+    PullRequestReviewCommentEvent, payload.<field> otherwise."""
+    return F.when(
+        mapped_type == "PullRequestReviewCommentEvent", p["pull_request"][field]
+    ).otherwise(p[field])
 
 
 def project_gitee_events(raw: DataFrame) -> DataFrame:
@@ -258,12 +280,18 @@ def project_gitee_events(raw: DataFrame) -> DataFrame:
         "issue_comment_author_login": F.when(
             mapped_type.isin(*comment_family), comment["user"]["login"]
         ),
-        # parsePull (ts:241-251): merged iff action string == 'merged'
+        # parsePull (ts:241-251): merged iff action string == 'merged'.
+        # The source struct is the top-level payload for PullRequestEvent
+        # but payload.pull_request for PullRequestReviewCommentEvent
+        # (parsePull(payload) ts:272 vs parsePull(payload.pull_request)
+        # ts:275).
         "pull_merged": F.when(
-            mapped_type.isin(*pull_family) & (p["action"] == "merged"), F.lit(1)
+            mapped_type.isin(*pull_family) & (_pull_src(p, mapped_type, "action") == "merged"),
+            F.lit(1),
         ),
         "pull_merged_at": F.when(
-            mapped_type.isin(*pull_family), F.to_timestamp(p["merged_at"])
+            mapped_type.isin(*pull_family),
+            F.to_timestamp(_pull_src(p, mapped_type, "merged_at")),
         ),
         "commit_comment_id": F.when(mapped_type == "CommitCommentEvent", comment["id"]),
         "commit_comment_sha": F.when(

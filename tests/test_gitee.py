@@ -58,6 +58,18 @@ RAW_EVENTS = [
                  "comment": {"id": 900, "body": "hi",
                              "user": {"id": 11, "login": "u2"}}},
      "created_at": "2022-01-02T02:00:00+08:00"},
+    # PR review comment: merged state comes from the NESTED pull_request
+    # (parsePull(payload.pull_request), gitee_importer.ts:275), not the
+    # top-level payload, which carries no action/merged_at here
+    {"id": 7, "type": "PullRequestCommentEvent", "actor": {"id": 11, "login": "u2"},
+     "repo": {"id": 100, "full_name": "o/r"},
+     "payload": {"pull_request": {"id": 77, "number": "12", "title": "pr",
+                                  "user": {"id": 11, "login": "u2"},
+                                  "action": "merged",
+                                  "merged_at": "2022-01-02T00:00:00+08:00"},
+                 "comment": {"id": 901, "body": "lgtm",
+                             "user": {"id": 10, "login": "u1"}}},
+     "created_at": "2022-01-02T03:00:00+08:00"},
 ]
 
 
@@ -68,7 +80,7 @@ def gitee_events(spark):
 
 
 def test_type_and_action_mapping(gitee_events):
-    assert set(gitee_events) == {1, 2, 5, 6}  # 3 (progressing), 4 (unsupported) dropped
+    assert set(gitee_events) == {1, 2, 5, 6, 7}  # 3 (progressing), 4 (unsupported) dropped
     assert gitee_events[1]["type"] == "WatchEvent"
     assert gitee_events[1]["action"] == "started"
     assert gitee_events[2]["type"] == "IssuesEvent"
@@ -96,6 +108,17 @@ def test_comment_projection(gitee_events):
     e = gitee_events[6]
     assert e["issue_comment_id"] == 900 and e["body"] == "hi"
     assert e["issue_id"] == 55  # from nested issue
+
+
+def test_review_comment_nested_pull_merged(gitee_events):
+    e = gitee_events[7]
+    assert e["type"] == "PullRequestReviewCommentEvent"
+    assert e["action"] == "created"  # comment family forced
+    assert e["issue_id"] == 77 and e["issue_number"] == 12
+    assert e["issue_comment_id"] == 901 and e["body"] == "lgtm"
+    # merged state from payload.pull_request, normalized +08:00 -> UTC
+    assert e["pull_merged"] == 1
+    assert e["pull_merged_at"] == datetime(2022, 1, 1, 16, 0, 0)
 
 
 def test_dedup_orgs_repos(spark):

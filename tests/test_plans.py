@@ -58,19 +58,38 @@ def test_topk_uses_take_ordered(spark, sf_smoke):
         assert "\n   Sort " not in p, name
 
 
+#: queries whose plans legitimately contain Arrow-batched pandas UDFs —
+#: the vectorized scoring paths (ANN dot products / LSH sketches / SimHash
+#: bit-majority folds: a column-expression form is d (or bits) interpreted
+#: CodegenFallback HOF ops per row, measured 3-6x slower even at sf0.01 and
+#: linear-in-rows at scale) plus the multimodal binary codecs. Everything
+#: reference-parity stays pure JVM codegen.
+DECLARED_ARROW = (
+    "multimodal_",
+    "ann_",
+    "simhash_signatures",
+    "embedding_near_dup_pairs",
+)
+
+
 def test_no_python_in_hot_paths(spark, sf_smoke):
-    # every query except the declared pandas-UDF paths must stay JVM-side
-    # (no row-at-a-time or batched Python eval). Declared exceptions:
-    # multimodal (binary codecs) and IVF (k x dims codebook matmul — the
-    # column-expression form is k interpreted HOF aggregates per row,
-    # measured 3x slower even at 2k vectors; numpy per Arrow batch wins)
+    # every query except the declared Arrow paths must stay JVM-side
+    # (no row-at-a-time or batched Python eval anywhere)
     for name in sorted(REGISTRY):
-        if name.startswith("multimodal_features") or name.startswith("ann_ivf"):
+        if name.startswith(DECLARED_ARROW):
             continue
         p = explain(spark, name, sf_smoke)
         assert "BatchEvalPython" not in p, name
         assert "ArrowEvalPython" not in p, name
         assert "MapInPandas" not in p, name
+
+
+def test_no_row_python_anywhere(spark, sf_smoke):
+    # even the declared Arrow paths must never fall back to row-at-a-time
+    # Python eval
+    for name in sorted(REGISTRY):
+        p = explain(spark, name, sf_smoke)
+        assert "BatchEvalPython" not in p, name
 
 
 def test_multimodal_uses_arrow_batches(spark, sf_smoke):
