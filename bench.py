@@ -15,53 +15,12 @@ import json
 import os
 import time
 
-HEADLINE = [
-    "record_count",
-    "events_per_type",
-    "most_used_prop",
-    "most_used_word",
-    "user_activity",
-    "missing_hours",
-    "user_watermarks",
-    "dedup_last_write_wins",
-    "top_users_by_value",
-    "hourly_event_counts",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q14_promo_share",
-    "q15_top_suppliers",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q22_idle_customers",
-    "q4_late_shipments",
-    "q13_customer_distribution",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "top_brands_by_revenue",
-    "nation_customer_rollup",
-    "order_status_cube",
-    "order_priority_counts",
-    "top_events_per_user",
-    "daily_running_totals",
-    "region_nation_rollup",
-    "user_sessions",
-    "value_percentiles",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "simhash_signatures",
-    "ann_cosine_topk",
-    "ann_lsh_buckets",
-    "ann_ivf_topk",
-    "lang_id",
-    "text_quality",
-    "token_stats",
-    "doc_fingerprints",
-    "multimodal_features",
-]
+# every registered query is benched — new registry entries join the suite
+# automatically, so a regression can never hide in an unbenched query
+def headline_names() -> list[str]:
+    from clickhouse_github_log_importer_spark.plans.queries import REGISTRY
+
+    return sorted(REGISTRY)
 
 
 def bench_ingest(spark, n_events: int = 128_000, n_files: int = 32) -> dict:
@@ -169,9 +128,7 @@ def main() -> None:
     # long-running cluster sees)
     timings: dict[str, float] = {}
     for _pass in range(2):
-        for name in HEADLINE:
-            if name not in REGISTRY:
-                continue
+        for name in headline_names():
             t0 = time.monotonic()
             REGISTRY[name].spark(spark, sf_dir).collect()
             dt = round(time.monotonic() - t0, 3)
