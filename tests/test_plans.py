@@ -150,6 +150,62 @@ def test_q17_threshold_join_broadcasts(spark, sf_smoke):
     assert "SortMergeJoin" not in p
 
 
+def test_q2_decorrelated_min_broadcasts(spark, sf_smoke):
+    # the per-part regional min must come back as a broadcast equality
+    # join (the decorrelated correlated-MIN), dims all broadcast, top-100
+    # via TakeOrdered — no sort-merge, no cartesian
+    p = explain(spark, "q2_min_cost_supplier", sf_smoke)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "Cartesian" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q7_q9_dims_broadcast(spark, sf_smoke):
+    # two-role nation joins and the derived-supply join must never plan a
+    # cartesian; every dim side broadcasts
+    for name in ("q7_nation_trade_volume", "q9_product_profit"):
+        p = explain(spark, name, sf_smoke)
+        assert "BroadcastHashJoin" in p, name
+        assert "Cartesian" not in p and "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_q8_semi_join_no_duplication(spark, sf_smoke):
+    # region membership is a LEFT SEMI (a customer matching twice must not
+    # duplicate revenue rows); the part filter broadcasts into lineitem
+    p = explain(spark, "q8_market_share", sf_smoke)
+    assert "LeftSemi" in p
+    assert "BroadcastHashJoin" in p
+    assert "Cartesian" not in p
+
+
+def test_q11_scalar_threshold_broadcast(spark, sf_smoke):
+    # group-vs-global: the one-row threshold side must broadcast (nested
+    # loop over a single row), the national agg must semi-join, and
+    # lineitem must not sort-merge anywhere
+    p = explain(spark, "q11_important_parts", sf_smoke)
+    assert "LeftSemi" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q20_nested_semi_joins(spark, sf_smoke):
+    # both nesting levels plan as LEFT SEMI: parts into lineitem,
+    # qualifying suppliers into the supplier dim — no duplication, no
+    # distinct needed
+    p = explain(spark, "q20_excess_suppliers", sf_smoke)
+    assert p.split("\n\n")[0].count("LeftSemi") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_q21_exists_and_not_exists(spark, sf_smoke):
+    # EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, both with the
+    # supplier-inequality residual riding the order-key equi-join; top-100
+    # via TakeOrdered
+    p = explain(spark, "q21_sole_blame_suppliers", sf_smoke)
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "Cartesian" not in p
+    assert "TakeOrderedAndProject" in p
+
+
 def test_ivf_assignment_is_projection(spark, sf_smoke):
     # the inverted-file build must be a shuffle-free projection (Arrow-
     # batched codebook matmul): one corpus scan, NO join anywhere —
