@@ -27,10 +27,12 @@ import json
 import os
 import random
 import subprocess
+import time
 from concurrent.futures import ThreadPoolExecutor
 from datetime import datetime, timedelta, timezone
 
 from .manifest import FileStatus, Manifest
+from .retry import RetryPolicy, retrying_fetcher
 
 BASE_URL = "https://data.gharchive.org"
 
@@ -126,11 +128,23 @@ def download_missing(
     timeout_s: int = 300,
     max_age_days: int = 183,
     fetcher=None,
+    retry_policy: "RetryPolicy | None" = None,
+    worker_passes: int = 1,
+    worker_pass_interval_s: float = 10.0,
 ) -> None:
     """S1: fetch NeedDownload files (3-worker pool, 5-min timeout, shuffle).
 
     ``fetcher(url, dest) -> bool`` is injectable for tests / air-gapped
     runs; default shells out to wget -c like the reference.
+
+    Transient-failure handling mirrors the reference's request executor
+    (``request_executor.ts:108-158``) at both levels: ``retry_policy``
+    retries each file in place with bounded backoff (maxAttempts /
+    retryDelay), and ``worker_passes`` re-drains the still-missing queue
+    after ``worker_pass_interval_s`` (workerRetry / workerRetryInterval)
+    — so a CDN blip costs one delayed retry, while a permanently missing
+    hour demotes cleanly and is retried next tick. The sleep is the
+    policy's (injectable; tests run instantly).
     """
     now = datetime.now(timezone.utc)
 
@@ -142,29 +156,41 @@ def download_missing(
         except ValueError:
             return False
 
-    todo = [k for k in manifest.keys_with(FileStatus.NeedDownload) if not too_old(k)]
-    random.shuffle(todo)  # X5 load spreading (log_downloader.ts:33-42)
+    def fetch_once(url: str, dest: str) -> bool:
+        if fetcher is not None:
+            return bool(fetcher(url, dest))
+        try:
+            proc = subprocess.run(
+                ["wget", "-c", "-q", "-O", dest, url], timeout=timeout_s
+            )
+            return proc.returncode == 0
+        except Exception:
+            return False
+
+    do_fetch = (
+        retrying_fetcher(fetch_once, retry_policy)
+        if retry_policy is not None
+        else fetch_once
+    )
 
     def fetch(key: str) -> None:
         dest = os.path.join(data_dir, key)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
-        ok = False
-        if fetcher is not None:
-            ok = fetcher(url_for(key), dest)
-        else:
-            try:
-                proc = subprocess.run(
-                    ["wget", "-c", "-q", "-O", dest, url_for(key)],
-                    timeout=timeout_s,
-                )
-                ok = proc.returncode == 0
-            except Exception:
-                ok = False
-        if ok:
+        if do_fetch(url_for(key), dest):
             manifest.set(key, FileStatus.Downloaded)
         elif os.path.exists(dest):
             os.remove(dest)  # partial-file cleanup (downloader_worker.js:20-27)
 
-    with ThreadPoolExecutor(max_workers=workers) as pool:
-        list(pool.map(fetch, todo))
+    sleep = retry_policy.sleep if retry_policy is not None else time.sleep
+    for p in range(max(1, worker_passes)):
+        todo = [
+            k for k in manifest.keys_with(FileStatus.NeedDownload) if not too_old(k)
+        ]
+        if not todo:
+            break
+        if p:
+            sleep(worker_pass_interval_s)
+        random.shuffle(todo)  # X5 load spreading (log_downloader.ts:33-42)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            list(pool.map(fetch, todo))
     manifest.save()

@@ -399,6 +399,7 @@ def paginate_repo_events(
     fetch_page,
     sink,
     page_limit: int = 10000,
+    retry_policy=None,
 ) -> RepoCursor:
     """The two-sided fill (T6, gitee_importer.ts:57-106).
 
@@ -408,7 +409,20 @@ def paginate_repo_events(
     e.id > max_id), then either 'break' (history already complete: oldest
     stored event within 3 days of repo creation) or 'old' (resume
     backwards from min_id). Stage 'old': pull until no data.
+
+    ``retry_policy`` adds bounded in-place retries around each page fetch
+    (request_executor.ts retryOption semantics) — only EXCEPTIONS retry;
+    an empty page is the legitimate end-of-data signal. A page that still
+    fails after max_attempts ends the tick with the cursor intact, so the
+    next tick resumes exactly where this one stopped (the watermark makes
+    the re-pull idempotent).
     """
+    if retry_policy is not None:
+        from .retry import retrying_fetcher
+
+        fetch_page = retrying_fetcher(
+            fetch_page, retry_policy, retry_on=lambda exc, res: exc is not None
+        )
     pages = 0
     while cursor.stage != "break" and pages < page_limit:
         pages += 1
