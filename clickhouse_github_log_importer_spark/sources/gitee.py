@@ -12,7 +12,7 @@ is control-plane work — a few requests per repo — not a Spark job).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -358,6 +358,133 @@ def dedup_orgs_repos(df: DataFrame) -> DataFrame:
     """OPTIMIZE TABLE ... DEDUPLICATE analog (A8, ts:426): ReplacingMergeTree
     ORDER BY (id, name, type) with no version column -> dropDuplicates."""
     return df.dropDuplicates(["id", "name", "type"])
+
+
+def discover_orgs_repos(
+    spark: SparkSession,
+    stored: DataFrame | None,
+    config_repos: list[str],
+    config_orgs: list[str],
+    fetch_entity,
+    fetch_org_repos_page,
+    csv_path: str | None = None,
+    per_page: int = 100,
+    parse_orgs: bool = True,
+    page_limit: int = 10000,
+    retry_policy=None,
+) -> tuple[DataFrame, list[str]]:
+    """getGiteeOrgsAndRepos (gitee_importer.ts:290-433): populate/refresh
+    the ``gitee_orgs_repos`` dimension from config + the Gitee API.
+
+    Flow (reference parity):
+
+    1. candidate repos = config list + optional CSV localFile (3rd column,
+       header skipped — ts:295-302); candidate orgs = config list;
+    2. anti-join candidates against the STORED dimension on name — only
+       missing names hit the API (ts:327-356);
+    3. ``fetch_entity(name, type) -> dict | None`` pulls entity metadata
+       (``/repos/{name}`` or ``/orgs/{name}``); responses without a
+       truthy ``id`` are skipped exactly like the reference's missing-id
+       guard (ts:312-315);
+    4. every stored-or-new org is split into its repo pages via
+       ``fetch_org_repos_page(org, page, per_page) -> list[dict]``,
+       following full pages to the next one (ts:365-419);
+    5. append + A8 dedup (OPTIMIZE ... DEDUPLICATE analog), returning the
+       refreshed dimension and the repo-name list the event importer
+       feeds from (ts:426-432).
+
+    The dimension is config-bounded driver-side state (like the
+    reference's in-memory name list); the anti-join runs as a broadcast
+    LEFT ANTI so the stored side streams. ``retry_policy`` wraps both
+    fetchers with bounded retries (exceptions only — a None/empty
+    response is the legitimate "no such entity / last page" signal).
+    """
+    if retry_policy is not None:
+        from .retry import retrying_fetcher
+
+        _retry_exc = lambda exc, res: exc is not None  # noqa: E731
+        fetch_entity = retrying_fetcher(fetch_entity, retry_policy, retry_on=_retry_exc)
+        fetch_org_repos_page = retrying_fetcher(
+            fetch_org_repos_page, retry_policy, retry_on=_retry_exc
+        )
+
+    def _dt(v, default=None):
+        """API created_at (ISO-8601, often +08:00) -> naive UTC; absent
+        falls back to `default` (the reference uses new Date())."""
+        if v is None:
+            return default
+        if isinstance(v, datetime):
+            dt = v
+        else:
+            dt = datetime.fromisoformat(v)
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+        return dt
+
+    repos = list(config_repos)
+    if csv_path is not None:
+        repos += read_repo_list(spark, csv_path)
+    candidates = [(r, "repo") for r in dict.fromkeys(repos)] + [
+        (o, "org") for o in dict.fromkeys(config_orgs)
+    ]
+
+    if stored is None:
+        stored = spark.createDataFrame([], ORGS_REPOS_SCHEMA)
+    cand_df = spark.createDataFrame(
+        [(n, ty) for n, ty in candidates], "name string, type string"
+    )
+    missing = [
+        (r["name"], r["type"])
+        for r in cand_df.join(
+            F.broadcast(stored.select("name")), "name", "left_anti"
+        ).collect()
+    ]
+
+    new_rows = []
+    for name, ty in missing:
+        data = fetch_entity(name, ty)
+        if not data or not data.get("id"):
+            continue  # missing-id guard (ts:312-315)
+        new_rows.append(
+            (
+                int(data["id"]),
+                name,
+                ty,
+                _dt(data.get("created_at"), default=datetime.utcnow()),
+            )
+        )
+
+    dim = stored
+    if new_rows:
+        dim = dim.unionByName(
+            spark.createDataFrame(new_rows, ORGS_REPOS_SCHEMA)
+        )
+
+    split_rows = []
+    if parse_orgs:
+        org_names = [r["name"] for r in dim.filter(F.col("type") == "org").select("name").distinct().collect()]
+        for org in org_names:
+            page = 1
+            while page <= page_limit:
+                batch = fetch_org_repos_page(org, page, per_page) or []
+                for r in batch:
+                    if not r.get("id"):
+                        continue
+                    split_rows.append(
+                        (int(r["id"]), r["full_name"], "repo", _dt(r.get("created_at")))
+                    )
+                if len(batch) < per_page:
+                    break  # last page (ts:385-399)
+                page += 1
+    if split_rows:
+        dim = dim.unionByName(spark.createDataFrame(split_rows, ORGS_REPOS_SCHEMA))
+
+    dim = dedup_orgs_repos(dim)
+    repo_names = [
+        r["name"]
+        for r in dim.filter(F.col("type") == "repo").select("name").distinct().collect()
+    ]
+    return dim, sorted(repo_names)
 
 
 def repo_watermarks(events: DataFrame, orgs_repos: DataFrame) -> DataFrame:

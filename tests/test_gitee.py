@@ -130,6 +130,81 @@ def test_dedup_orgs_repos(spark):
     assert dedup_orgs_repos(df).count() == 2
 
 
+def test_discover_orgs_repos_from_empty(spark, tmp_path):
+    """getGiteeOrgsAndRepos flow (gitee_importer.ts:290-433): empty
+    dimension -> entity fetches for missing names -> org split into repo
+    pages -> dedup -> repo list feeding repo_watermarks."""
+    from clickhouse_github_log_importer_spark.sources.gitee import (
+        discover_orgs_repos,
+    )
+
+    csv = tmp_path / "repos.csv"
+    csv.write_text("a,b,repo\n1,x,o1/csvrepo\n2,y,o1/csvrepo\n")  # dup row
+
+    fetched = []
+
+    def fetch_entity(name, ty):
+        fetched.append((name, ty))
+        if name == "ghost/repo":
+            return {"message": "404"}  # no id -> skipped (ts:312-315)
+        return {
+            "id": abs(hash(name)) % 10_000,
+            "created_at": "2022-03-01T10:00:00+08:00",
+        }
+
+    # org1 has 3 repos across two pages (per_page=2): the full first page
+    # must trigger a second fetch
+    pages = {
+        ("org1", 1): [
+            {"id": 501, "full_name": "org1/r1", "created_at": "2022-01-01T00:00:00Z"},
+            {"id": 502, "full_name": "org1/r2", "created_at": "2022-01-02T00:00:00Z"},
+        ],
+        ("org1", 2): [
+            {"id": 503, "full_name": "org1/r3", "created_at": "2022-01-03T00:00:00Z"},
+        ],
+    }
+
+    def fetch_org_repos_page(org, page, per_page):
+        assert per_page == 2
+        return pages.get((org, page), [])
+
+    dim, repos = discover_orgs_repos(
+        spark,
+        stored=None,
+        config_repos=["o2/confrepo", "ghost/repo"],
+        config_orgs=["org1"],
+        fetch_entity=fetch_entity,
+        fetch_org_repos_page=fetch_org_repos_page,
+        csv_path=str(csv),
+        per_page=2,
+    )
+    rows = {(r["name"], r["type"]) for r in dim.collect()}
+    assert ("org1", "org") in rows
+    assert repos == ["o1/csvrepo", "o2/confrepo", "org1/r1", "org1/r2", "org1/r3"]
+    # ghost/repo fetched but skipped; csv dup deduplicated to one fetch+row
+    assert fetched.count(("o1/csvrepo", "repo")) == 1
+    assert dim.filter(F.col("name") == "o1/csvrepo").count() == 1
+    # +08:00 normalized to UTC
+    ts = dim.filter(F.col("name") == "o2/confrepo").collect()[0]["created_at"]
+    assert ts == datetime(2022, 3, 1, 2, 0, 0)
+
+    # second run with the populated dimension: anti-join means NO
+    # re-fetching of known names
+    fetched.clear()
+    dim2, repos2 = discover_orgs_repos(
+        spark,
+        stored=dim,
+        config_repos=["o2/confrepo"],
+        config_orgs=["org1"],
+        fetch_entity=fetch_entity,
+        fetch_org_repos_page=fetch_org_repos_page,
+        per_page=2,
+    )
+    assert fetched == []  # nothing missing
+    assert repos2 == repos
+    assert dim2.count() == dim.count()  # split re-pull deduped away
+
+
 def test_repo_watermarks(spark):
     from clickhouse_github_log_importer_spark.sources.gitee import ORGS_REPOS_SCHEMA
 
