@@ -1317,6 +1317,80 @@ def value_percentiles(spark, sf_dir):
     )
 
 
+@register(
+    "approx_distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
+    FROM events GROUP BY event_type
+    """,
+    tags=("A-approx", "bench"),
+    doc="HLL++ approximate distinct count per group, verified against its "
+    "error contract: the query carries the exact distinct count AND a "
+    "boolean asserting |approx - exact| <= 3*rsd*exact (rsd=0.05). The "
+    "sketch value itself is engine-specific, so the ORACLE checks the "
+    "bounded-error CLAIM (exact values + TRUE) — a broken or drifting "
+    "sketch flips the boolean and fails the hash. At 100 TB the approx "
+    "path is the one to run: one pass, fixed-size sketches, no "
+    "distinct-expand shuffle.",
+)
+def approx_distinct_users(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.05).alias("_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= 0.15 * F.col("exact_users")
+        ).alias("hll_ok"),
+    )
+
+
+@register(
+    "approx_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           TRUE AS p50_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type
+    """,
+    tags=("A-approx", "bench"),
+    doc="approx_percentile (Greenwald-Khanna rank sketch, accuracy 10000) "
+    "verified against its RANK contract next to the exact percentiles: "
+    "the sketch guarantees rank error <= n/accuracy and returns an actual "
+    "data value, so the booleans assert the approx p50 lies within the "
+    "exact [p49, p51] value band and the approx p99 within [p98, max] — "
+    "robust at any group size, unlike a value tolerance (a heavy tail "
+    "puts the p99-neighborhood order statistics far apart). Same oracle "
+    "strategy as approx_distinct_users: the claim is hashed, not the "
+    "sketch. The approx form is the 100 TB path (bounded memory per "
+    "group vs exact percentile's full sort).",
+)
+def approx_value_percentiles(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        F.expr("percentile(value, 0.49)").alias("_e49"),
+        F.expr("percentile(value, 0.51)").alias("_e51"),
+        F.expr("percentile(value, 0.98)").alias("_e98"),
+        F.max("value").alias("_vmax"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("_a50"),
+        F.expr("approx_percentile(value, 0.99, 10000)").alias("_a99"),
+    )
+    return agg.select(
+        "event_type",
+        "p50",
+        "p99",
+        F.col("_a50").between(F.col("_e49"), F.col("_e51")).alias("p50_ok"),
+        F.col("_a99").between(F.col("_e98"), F.col("_vmax")).alias("p99_ok"),
+    )
+
+
 # =====================================================================
 # TPC-H join/subquery shapes without a partsupp table: supply cost is
 # derived from lineitem (min unit price per (part, supplier)), which

@@ -21,3 +21,26 @@ def con(sf_smoke):
 def test_query_matches_oracle(spark, con, sf_smoke, name):
     r = compare_query(spark, con, name, sf_smoke)
     assert r.ok, f"{name}: {r.detail}"
+
+
+def test_approx_sketches_deterministic(spark, sf_smoke):
+    # HLL++ and approx_percentile are hash/rank sketches with no RNG:
+    # the same data must yield bit-identical estimates run-to-run (this
+    # is what lets the bounded-error booleans be driver-hashable at all)
+    from pyspark.sql import functions as F
+
+    from clickhouse_github_log_importer_spark.plans.queries import t
+
+    def once():
+        return sorted(
+            (r["event_type"], r["a"], tuple(r["p"]))
+            for r in t(spark, sf_smoke, "events")
+            .groupBy("event_type")
+            .agg(
+                F.approx_count_distinct("user_id", 0.05).alias("a"),
+                F.expr("approx_percentile(value, array(0.5, 0.99), 10000)").alias("p"),
+            )
+            .collect()
+        )
+
+    assert once() == once()
