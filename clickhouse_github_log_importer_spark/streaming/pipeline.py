@@ -25,7 +25,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup_replacing import replacing_dedup
+from ..operators.dedup_replacing import compact, replacing_dedup
 from ..operators.parsers import project_events, read_raw
 from ..sources.gharchive import check_existing, check_validity, download_missing
 from ..sources.manifest import FileStatus, Manifest
@@ -90,7 +90,7 @@ def import_verified(
     """
     todo = manifest.keys_with(FileStatus.Verified)[:batch_files]
     if not todo:
-        return 0, 0
+        return 0, 0, []
     paths = [os.path.join(data_dir, k) for k in todo]
     # Cache the parsed batch: Catalyst refuses plans whose referenced columns
     # are ONLY `_corrupt_record` (QUERY_ONLY_CORRUPT_RECORD_COLUMN) unless the
@@ -109,12 +109,20 @@ def import_verified(
         # permissive reader could not parse were skipped by project_events;
         # surface the count in the status document (importFail analog).
         n_corrupt = raw.filter(F.col("_corrupt_record").isNotNull()).count()
+        # partitions touched by this batch, FROM THE DATA (an hourly file
+        # can carry rows of other months — late events); feeds the
+        # compaction cadence so only dirtied months ever rewrite
+        months = sorted(
+            r[0]
+            for r in events.select("created_month").distinct().collect()
+            if r[0] is not None
+        )
     finally:
         raw.unpersist()
     for k in todo:
         manifest.set(k, FileStatus.Imported)
     manifest.save()
-    return len(todo), n_corrupt
+    return len(todo), n_corrupt, months
 
 
 def reconcile(
@@ -174,6 +182,53 @@ def update_status(
     return status
 
 
+def _compact_state_load(path: str) -> dict:
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {"ticks_since_compact": 0, "pending_months": []}
+
+
+def _compact_state_save(path: str, state: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)
+
+
+def maybe_compact(
+    spark: SparkSession,
+    table_path: str,
+    state_path: str,
+    new_months: list[int],
+    compact_every: int,
+) -> list[int]:
+    """The OPTIMIZE-on-a-cadence leg of the lifecycle (A8 as maintenance,
+    not just on demand — ClickHouse merges ReplacingMergeTree parts in the
+    background; here every append tick accrues its touched months and
+    every ``compact_every``-th accruing tick rewrites exactly those
+    partitions via :func:`..operators.dedup_replacing.compact`.
+
+    Returns the months compacted this tick (empty when the cadence has
+    not come due). State (tick counter + pending month set) lives in a
+    small JSON sidecar next to the manifest, written atomically — a crash
+    between compact and save merely re-compacts the same months, which is
+    idempotent. Compaction cost tracks the accrued batch's months, never
+    the table: the O(batch) tick property survives.
+    """
+    state = _compact_state_load(state_path)
+    if new_months:
+        state["pending_months"] = sorted(set(state["pending_months"]) | set(new_months))
+        state["ticks_since_compact"] += 1
+    done: list[int] = []
+    if state["pending_months"] and state["ticks_since_compact"] >= compact_every:
+        done = list(state["pending_months"])
+        compact(spark, table_path, months=done)
+        state = {"ticks_since_compact": 0, "pending_months": []}
+    _compact_state_save(state_path, state)
+    return done
+
+
 def run_incremental(
     spark: SparkSession,
     meta_path: str,
@@ -183,8 +238,15 @@ def run_incremental(
     expected_files: list[str] | None = None,
     fetcher=None,
     download: bool = False,
+    compact_every: int | None = 24,
 ) -> dict:
-    """One full pipeline tick (the hourly cron body, update_log.ts:10-52)."""
+    """One full pipeline tick (the hourly cron body, update_log.ts:10-52).
+
+    ``compact_every``: every N importing ticks, the months appended since
+    the last compaction are partition-rewritten through the
+    ReplacingMergeTree OPTIMIZE analog (24 = daily at the hourly cadence);
+    None disables the maintenance leg.
+    """
     manifest = Manifest(meta_path)
     if expected_files:
         manifest.ensure(expected_files)
@@ -195,11 +257,17 @@ def run_incremental(
         check_validity(manifest, data_dir)
     if os.path.exists(table_path):
         reconcile(spark, manifest, table_path)
-    n, n_corrupt = import_verified(spark, manifest, data_dir, table_path)
+    n, n_corrupt, months = import_verified(spark, manifest, data_dir, table_path)
+    compacted: list[int] = []
+    if compact_every is not None and os.path.exists(table_path):
+        compacted = maybe_compact(
+            spark, table_path, meta_path + ".compact.json", months, compact_every
+        )
     status = update_status(
         manifest, status_path or meta_path + ".status.json", import_fail=n_corrupt
     )
     status["imported_this_run"] = n
+    status["compacted_months"] = compacted
     return status
 
 

@@ -82,6 +82,43 @@ def test_run_incremental_and_reconcile(spark, tmp_path):
     assert spark.read.parquet(table).count() == n1
 
 
+def test_compaction_cadence_in_lifecycle(spark, tmp_path):
+    """A8 as lifecycle maintenance: re-imports accrue duplicate rows; the
+    Nth importing tick compacts exactly the touched months, the physical
+    read cost drops back, and the deduped view never changes."""
+    data_dir = str(tmp_path / "data")
+    rel = "2015/01/01/2015-01-01-15.json.gz"
+    write_gz(os.path.join(data_dir, rel), events(), corrupt_lines=0)
+    table = str(tmp_path / "events_table")
+    meta = str(tmp_path / "meta.json")
+
+    def reimport():
+        m = Manifest(meta)
+        m.set(rel, FileStatus.Verified)
+        m.save()
+        return run_incremental(spark, meta, data_dir, table, compact_every=3)
+
+    s1 = run_incremental(
+        spark, meta, data_dir, table, expected_files=[rel], compact_every=3
+    )
+    n_logical = replacing_dedup(spark.read.parquet(table)).count()
+    assert s1["compacted_months"] == []  # tick 1 of 3
+    s2 = reimport()
+    assert s2["compacted_months"] == []  # tick 2 of 3
+    assert spark.read.parquet(table).count() == 2 * n_logical  # duplicates piled up
+    s3 = reimport()
+    # tick 3: cadence due -> exactly the accrued months rewritten
+    assert s3["compacted_months"] == [201501, 201502]
+    # physical row count back to logical: the deduped events_view now reads
+    # 1x the data instead of 3x
+    assert spark.read.parquet(table).count() == n_logical
+    assert replacing_dedup(spark.read.parquet(table)).count() == n_logical
+    # counter reset: the next import starts a fresh cadence window
+    s4 = reimport()
+    assert s4["compacted_months"] == []
+    assert spark.read.parquet(table).count() == 2 * n_logical
+
+
 def test_reconcile_demotes_missing_hours(spark, tmp_path):
     data_dir = str(tmp_path / "data")
     rel = "2015/01/01/2015-01-01-15.json.gz"
@@ -160,7 +197,9 @@ def test_corrupt_lines_counted_in_status(spark, tmp_path):
         update_status,
     )
 
-    n_files, n_corrupt = import_verified(spark, m, data_dir, str(tmp_path / "tbl"))
-    assert n_files == 1 and n_corrupt == 1
+    n_files, n_corrupt, months = import_verified(
+        spark, m, data_dir, str(tmp_path / "tbl")
+    )
+    assert n_files == 1 and n_corrupt == 1 and months == [201501, 201502]
     status = update_status(m, meta + ".status.json", import_fail=n_corrupt)
     assert status["importFail"] == 1
