@@ -1318,6 +1318,60 @@ def value_percentiles(spark, sf_dir):
 
 
 @register(
+    "tumbling_window_counts",
+    """
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           strftime(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS window_end,
+           event_type, COUNT(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    tags=("T1", "streaming", "window"),
+    doc="Tumbling 1-hour window(ts) aggregate — the batch-mode check of "
+    "the streaming windowed-counts operator (same code path runs under "
+    "readStream with a watermark; streaming.windows.windowed_event_counts). "
+    "One shuffle keyed by (window, type), map-side partial agg.",
+)
+def tumbling_window_counts(spark, sf_dir):
+    from ..streaming.windows import windowed_event_counts
+
+    return windowed_event_counts(t(spark, sf_dir, "events"), window="1 hour")
+
+
+@register(
+    "sliding_window_counts",
+    """
+    WITH shifted AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, ts) - o.off * INTERVAL 30 MINUTE
+               AS win_start,
+             event_type, value
+      FROM events CROSS JOIN (VALUES (0), (1)) o(off)
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(win_start + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S')
+             AS window_end,
+           event_type, COUNT(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM shifted GROUP BY 1, 2, 3
+    """,
+    tags=("T1", "streaming", "window"),
+    doc="Sliding window(ts, 1 hour, 30 min): every event lands in "
+    "window/slide = 2 windows (the oracle derives them as two shifted "
+    "30-min buckets). Streaming state is O(groups x windows-in-horizon) "
+    "under a watermark, not O(history). "
+    "streaming.windows.windowed_event_counts.",
+)
+def sliding_window_counts(spark, sf_dir):
+    from ..streaming.windows import windowed_event_counts
+
+    return windowed_event_counts(
+        t(spark, sf_dir, "events"), window="1 hour", slide="30 minutes"
+    )
+
+
+@register(
     "approx_distinct_users",
     """
     SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
