@@ -124,6 +124,34 @@ def token_stats(
     )
 
 
+#: PII-ish patterns, deliberately restricted to syntax identical in Java
+#: regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONG_DIGIT_PATTERN = "[0-9]{7,}"
+
+
+def pii_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII-ish pattern counts (emails, long digit runs —
+    phone/account-number shaped) and the resulting redaction flag. The
+    standard pre-training hygiene scan: narrow map work, zero shuffle;
+    swap in heavier recognizers via a Pandas UDF at the same call site.
+    """
+    emails = F.size(F.regexp_extract_all(text_col, F.lit(EMAIL_PATTERN), 0)).cast(
+        "long"
+    )
+    digits = F.size(
+        F.regexp_extract_all(text_col, F.lit(LONG_DIGIT_PATTERN), 0)
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        emails.alias("email_hits"),
+        digits.alias("long_digit_hits"),
+        ((emails > 0) | (digits > 0)).alias("needs_review"),
+    )
+
+
 def fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -691,3 +691,179 @@ def multimodal_features(spark, sf_dir):
 def multimodal_frame_sample(spark, sf_dir):
     media = MM.as_media_table(_spread(spark, t(spark, sf_dir, "documents")))
     return MM.frame_sample(media)
+
+
+# =====================================================================
+# Sampling / hygiene / cross-modal curation
+# =====================================================================
+
+
+@register(
+    "docs_hash_sample",
+    f"""
+    SELECT lang, COUNT(*) AS n_total,
+           sum(CASE WHEN {md5_hash64_sql("CAST(doc_id AS VARCHAR)")} % 8 = 0
+                    THEN 1 ELSE 0 END) AS n_sampled,
+           min(CASE WHEN {md5_hash64_sql("CAST(doc_id AS VARCHAR)")} % 8 = 0
+                    THEN doc_id END) AS min_sampled_key
+    FROM documents GROUP BY lang
+    """,
+    tags=("sampling",),
+    doc="Deterministic hash sampling (1-in-8 by 60-bit md5 of the key), "
+    "audited per language stratum: totals, kept counts, smallest kept "
+    "key. Reproducible on any engine, no RNG, no coordination — the "
+    "scalable way to cut a training subset. "
+    "operators.sampling.stratified_sample_summary.",
+)
+def docs_hash_sample(spark, sf_dir):
+    from ..operators.sampling import stratified_sample_summary
+
+    return stratified_sample_summary(
+        _spread(spark, t(spark, sf_dir, "documents")), "doc_id", "lang"
+    )
+
+
+@register(
+    "pii_scan",
+    f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           sum(CASE WHEN email_hits > 0 THEN 1 ELSE 0 END) AS docs_with_email,
+           sum(CASE WHEN long_digit_hits > 0 THEN 1 ELSE 0 END)
+             AS docs_with_long_digits,
+           sum(email_hits) AS total_email_hits
+    FROM (
+      SELECT lang,
+             len(regexp_extract_all(text, '{TA.EMAIL_PATTERN}')) AS email_hits,
+             len(regexp_extract_all(text, '{TA.LONG_DIGIT_PATTERN}'))
+               AS long_digit_hits
+      FROM documents
+    )
+    GROUP BY lang
+    """,
+    tags=("text", "hygiene"),
+    doc="PII hygiene scan: per-language counts of documents containing "
+    "email-shaped or long-digit-run patterns (regex dialect restricted "
+    "to the Java/RE2 common subset so both engines agree). Narrow map + "
+    "one rollup shuffle. operators.text_analysis.pii_features.",
+)
+def pii_scan(spark, sf_dir):
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    feats = TA.pii_features(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(feats, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("email_hits") > 0).cast("long")).alias("docs_with_email"),
+            F.sum((F.col("long_digit_hits") > 0).cast("long")).alias(
+                "docs_with_long_digits"
+            ),
+            F.sum("email_hits").alias("total_email_hits"),
+        )
+    )
+
+
+@register(
+    "cross_modal_near_dups",
+    f"""
+    WITH pairs AS ({_lsh_pairs_oracle()}),
+    qn AS (
+      SELECT vec_id, q, {_DOT.format(a='q', b='q')} AS norm2
+      FROM (SELECT vec_id, {_QUANT} AS q FROM embeddings)
+      WHERE {_DOT.format(a='q', b='q')} > 0
+    )
+    SELECT id_a, id_b,
+           round(CAST({_DOT.format(a='a.q', b='b.q')} AS DOUBLE)
+                 / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))),
+                 6) AS cos_sim
+    FROM pairs
+    JOIN qn a ON a.vec_id = id_a
+    JOIN qn b ON b.vec_id = id_b
+    """,
+    tags=("dedup", "similarity", "cross-modal"),
+    doc="Cross-modal dedup consistency: MinHash-LSH text candidate pairs "
+    "scored by exact integer-quantized embedding cosine (doc_id aligns "
+    "with vec_id). The candidate set is the (tiny) LSH output, so the "
+    "embedding join touches candidates only — never all pairs. Composes "
+    "operators.dedup_text.lsh_candidate_pairs + operators.similarity.",
+)
+def cross_modal_near_dups(spark, sf_dir):
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    pairs = DT.lsh_candidate_pairs(docs)
+    qn = SIM.with_quantized_norm(_spread(spark, t(spark, sf_dir, "embeddings")))
+    a = qn.select(
+        F.col("vec_id").alias("id_a"), F.col("q").alias("qa"), F.col("norm2").alias("na")
+    )
+    b = qn.select(
+        F.col("vec_id").alias("id_b"), F.col("q").alias("qb"), F.col("norm2").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                SIM._cosine(F.col("qa"), F.col("qb"), F.col("na"), F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "cluster_keepers",
+    f"""
+    WITH RECURSIVE pairs AS ({_lsh_pairs_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach (id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+      FROM clusters c JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS keeper_id, n_chars AS keeper_chars,
+           n_docs AS cluster_size
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("dedup",),
+    doc="Canonical-document selection: per near-dup cluster keep the "
+    "longest document (ties to the smallest id) — the final step that "
+    "turns dedup clusters into a drop list. Clustered docs only "
+    "(singletons never enter the pair graph). Composes "
+    "connected_components + a per-cluster ranking window.",
+)
+def cluster_keepers(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    clusters = DT.connected_components(DT.lsh_candidate_pairs(docs))
+    joined = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    cw = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(cw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("n_chars").alias("keeper_chars"),
+            "cluster_size",
+        )
+    )

@@ -69,6 +69,7 @@ DECLARED_ARROW = (
     "ann_",
     "simhash_signatures",
     "embedding_near_dup_pairs",
+    "cross_modal_near_dups",
 )
 
 
