@@ -1975,6 +1975,136 @@ def q21_sole_blame_suppliers(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Temporal joins (additive engine surface: as-of / band joins and
+# time-RANGE frames Spark lacks or a warehouse user expects — see
+# operators/temporal.py for the scale argument)
+# =====================================================================
+
+
+@register(
+    "purchase_attribution",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    j AS (
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+             c.event_id AS last_click_id, epoch_us(c.ts) AS click_ts_us,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC NULLS LAST,
+                                         c.event_id DESC) AS rn
+      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT event_id, user_id, last_click_id,
+           (ts_us - click_ts_us) // 1000000 AS lag_seconds
+    FROM j WHERE rn = 1
+    """,
+    tags=("temporal", "asof"),
+    doc="As-of attribution: each purchase matched to the same user's "
+    "latest click at or before it (ties pinned to the max click id). "
+    "Spark side is the single-shuffle union+window asof_join "
+    "(operators.temporal) — the oracle deliberately uses the expand+rank "
+    "formulation so the two engines cross-check different algorithms.",
+)
+def purchase_attribution(spark, sf_dir):
+    from ..operators import temporal as TMP
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.col("event_id").alias("last_click_id")
+    )
+    j = TMP.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        probe_time="ts_us",
+        ref_time="ts_us",
+        payload=["last_click_id"],
+        tiebreak="last_click_id",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "last_click_id",
+        F.expr(f"(ts_us - {TMP.ASOF_TIME}) div 1000000").alias("lag_seconds"),
+    )
+
+
+@register(
+    "concurrent_event_counts",
+    """
+    SELECT a.event_id, count(b.event_id) AS n_concurrent
+    FROM events a LEFT JOIN events b
+      ON b.event_id <> a.event_id
+     AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN -60000000 AND 60000000
+    GROUP BY 1
+    """,
+    tags=("temporal", "range-join"),
+    doc="Keyless band self-join: per event, how many other events (any "
+    "user) landed within +-60s. Spark expresses it as a bucketed range "
+    "join (operators.temporal.range_join_bucketed: minute cells + exact "
+    "band refine — a real equi-join, never a nested-loop); the oracle is "
+    "DuckDB's native inequality join.",
+)
+def concurrent_event_counts(spark, sf_dir):
+    from ..operators import temporal as TMP
+
+    ev = t(spark, sf_dir, "events").select("event_id", "ts_us")
+    pairs = TMP.range_join_bucketed(
+        ev,
+        ev.select(F.col("event_id").alias("other_id"), F.col("ts_us").alias("ots")),
+        probe_time="ts_us",
+        ref_time="ots",
+        lower=-60_000_000,
+        upper=60_000_000,
+        payload=["other_id"],
+    )
+    counts = (
+        pairs.filter(F.col("other_id") != F.col("event_id"))
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_concurrent"))
+    )
+    return ev.select("event_id").join(counts, "event_id", "left").select(
+        "event_id", F.coalesce("n_concurrent", F.lit(0).cast("long")).alias("n_concurrent")
+    )
+
+
+@register(
+    "user_trailing_7d_value",
+    """
+    SELECT event_id, user_id,
+           round(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+                 ) / 100.0, 2) AS trailing_7d_value
+    FROM events
+    """,
+    tags=("temporal", "window"),
+    doc="Time-RANGE window frame: per event, the user's trailing-7-day "
+    "value sum. Frame bounds are exact epoch-micro offsets and the sum "
+    "runs over integer cents, so the sliding aggregation is "
+    "order-insensitive and bit-identical across engines.",
+)
+def user_trailing_7d_value(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-7 * 86400 * 1_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(cents).over(w) / 100.0, 2).alias("trailing_7d_value"),
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401
