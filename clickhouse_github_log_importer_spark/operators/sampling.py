@@ -17,7 +17,7 @@ iff ``hash(key) % denominator == remainder``. Properties:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash64
@@ -35,6 +35,32 @@ def hash_sample(
         raise ValueError(f"remainder {remainder} outside [0, {denominator})")
     h = md5_hash64(F.col(key_col).cast("string"))
     return df.filter(h % denominator == remainder)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    strata_col: str,
+    tau: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled mixture weights per stratum: ``w_s ∝ n_s^tau``
+    normalized (tau=1 reproduces natural sampling, tau=0 uniform) — the
+    standard multilingual/domain re-balancing rule for training mixes.
+
+    One aggregation pass plus a global window over the (tiny) stratum
+    table: the window runs on |strata| rows, never on the corpus.
+    Shares are rounded to 6 decimals so the cross-engine comparison is
+    insensitive to pow()/summation last-ulp differences.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy()
+    n = F.col("n_docs").cast("double")
+    scaled = F.pow(n, F.lit(tau))
+    return counts.select(
+        strata_col,
+        "n_docs",
+        F.round(n / F.sum(n).over(w), 6).alias("raw_share"),
+        F.round(scaled / F.sum(scaled).over(w), 6).alias("temp_share"),
+    )
 
 
 def stratified_sample_summary(

@@ -152,6 +152,57 @@ def pii_features(
     )
 
 
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals: duplicate-word
+    fraction and the share of the single most frequent word bigram —
+    the filters that catch boilerplate/spam documents exact dedup and
+    MinHash (cross-document by construction) never see.
+
+    Shape: duplicate-word fraction is pure narrow map work
+    (``array_distinct`` is a codegen collection expression, not an
+    interpreted lambda); the top-bigram share explodes bigrams and
+    aggregates twice on (doc, bigram) then (doc) — shuffle volume is the
+    token stream, the intrinsic cost of an exact per-doc mode. Empty
+    documents are excluded (every fraction would be 0/0).
+    """
+    from .dedup_text import shingles_of, words_of
+
+    words = words_of(text_col)
+    # two independent branches over the scan: word stats (narrow) and the
+    # bigram mode (explode + map-side-combined aggs). Keeping shingle
+    # generation out of the join's left lineage matters: a joined plan
+    # re-evaluates each side's expressions, and the n-gram build is the
+    # expensive one.
+    base = df.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("_n_distinct"),
+    ).filter(F.col("n_words") > 0)
+    counts = (
+        df.select(id_col, F.explode(shingles_of(text_col, 2)).alias("_bg"))
+        .groupBy(id_col, "_bg")
+        .agg(F.count("*").alias("_c"))
+    )
+    top = counts.groupBy(id_col).agg(
+        F.max("_c").alias("_top_cnt"), F.sum("_c").alias("_n_bigrams")
+    )
+    return (
+        base.join(top, id_col)
+        .select(
+            id_col,
+            "n_words",
+            F.round(
+                1 - F.col("_n_distinct") / F.col("n_words").cast("double"), 6
+            ).alias("dup_word_frac"),
+            F.round(
+                F.col("_top_cnt") / F.col("_n_bigrams").cast("double"), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -867,3 +867,103 @@ def cluster_keepers(spark, sf_dir):
             "cluster_size",
         )
     )
+
+
+# =====================================================================
+# Decontamination / mixture weighting / repetition filters
+# =====================================================================
+
+_IS_EVAL = md5_hash64_sql("CAST(doc_id AS VARCHAR)") + " % 16 = 0"
+
+
+@register(
+    "decontamination_report",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, {_IS_EVAL} AS is_eval,
+             {md5_hash64_sql('s')} AS shingle_hash
+      FROM (
+        SELECT doc_id, unnest({_shingles_sql(3)}) AS s
+        FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+      )
+    )
+    SELECT t.doc_id, count(DISTINCT t.shingle_hash) AS n_shared_shingles,
+           count(DISTINCT e.doc_id) AS n_eval_docs
+    FROM (SELECT doc_id, shingle_hash FROM sh WHERE NOT is_eval) t
+    JOIN (SELECT doc_id, shingle_hash FROM sh WHERE is_eval) e
+      USING (shingle_hash)
+    GROUP BY 1
+    """,
+    tags=("text", "hygiene", "decontamination"),
+    doc="Benchmark decontamination: training docs (the 15/16 hash split) "
+    "sharing any word 3-gram with the held-out eval split (the 1/16), "
+    "with shared-shingle and touched-eval-doc counts. Eval side "
+    "broadcast; both sides reduced to distinct (doc, shingle-hash) "
+    "before the join. operators.decontamination.eval_overlap_report.",
+)
+def decontamination_report(spark, sf_dir):
+    from ..functions.hashing import md5_hash64
+    from ..operators import decontamination as DC
+
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    h = md5_hash64(F.col("doc_id").cast("string"))
+    return DC.eval_overlap_report(
+        docs.filter(h % 16 != 0), docs.filter(h % 16 == 0)
+    )
+
+
+@register(
+    "corpus_mixture_weights",
+    """
+    SELECT lang, count(*) AS n_docs,
+           round(CAST(count(*) AS DOUBLE) / sum(CAST(count(*) AS DOUBLE)) OVER (), 6)
+             AS raw_share,
+           round(pow(count(*), 0.7) / sum(pow(count(*), 0.7)) OVER (), 6)
+             AS temp_share
+    FROM documents GROUP BY lang
+    """,
+    tags=("sampling", "mixture"),
+    doc="Temperature-scaled mixture weights per language (w ∝ n^0.7 "
+    "normalized, tau the standard multilingual re-balancing knob): the "
+    "sampling plan for a training mix. The global window runs on "
+    "|languages| rows, never the corpus. "
+    "operators.sampling.temperature_mixture.",
+)
+def corpus_mixture_weights(spark, sf_dir):
+    from ..operators.sampling import temperature_mixture
+
+    return temperature_mixture(
+        _spread(spark, t(spark, sf_dir, "documents")), "lang"
+    )
+
+
+@register(
+    "doc_repetition_profile",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    base AS (
+      SELECT doc_id, len(words) AS n_words,
+             len(list_distinct(words)) AS n_distinct
+      FROM w WHERE len(words) > 0
+    ),
+    bg AS (
+      SELECT doc_id, unnest({_shingles_sql(2)}) AS b FROM w
+      WHERE len(words) > 0
+    ),
+    cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_bigrams
+      FROM cnt GROUP BY 1
+    )
+    SELECT doc_id, n_words,
+           round(1 - n_distinct / CAST(n_words AS DOUBLE), 6) AS dup_word_frac,
+           round(top_cnt / CAST(n_bigrams AS DOUBLE), 6) AS top_bigram_frac
+    FROM base JOIN top USING (doc_id)
+    """,
+    tags=("text", "quality"),
+    doc="Gopher-style repetition filter: per-doc duplicate-word fraction "
+    "and top-bigram share — the boilerplate/spam signals cross-document "
+    "dedup cannot see. operators.text_analysis.repetition_profile.",
+)
+def doc_repetition_profile(spark, sf_dir):
+    return TA.repetition_profile(_spread(spark, t(spark, sf_dir, "documents")))

@@ -165,3 +165,95 @@ def test_near_dup_pairs_finds_planted(vecs):
     pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in out}
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.999  # planted near-identical
     assert all(a != 3 and b != 3 for a, b in pairs)  # opposite vector excluded
+
+
+# --- sampling / decontamination / repetition (curation operators) ---------
+
+
+def test_hash_sample_deterministic_and_partitioning(docs):
+    from clickhouse_github_log_importer_spark.operators.sampling import hash_sample
+
+    parts = [
+        set(r["doc_id"] for r in hash_sample(docs, "doc_id", 4, rem).collect())
+        for rem in range(4)
+    ]
+    # residue classes partition the table exactly
+    assert sorted(i for p in parts for i in p) == [1, 2, 3, 4, 5]
+    # re-derivable bit-for-bit
+    again = set(r["doc_id"] for r in hash_sample(docs, "doc_id", 4, 0).collect())
+    assert again == parts[0]
+    with pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", 4, 4)
+
+
+def test_temperature_mixture_shares(spark):
+    from clickhouse_github_log_importer_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en") for i in range(80)] + [(i, "fr") for i in range(20)],
+        "doc_id long, lang string",
+    )
+    rows = {r["lang"]: r for r in temperature_mixture(df, "lang").collect()}
+    assert rows["en"]["raw_share"] == 0.8
+    # temperature flattens: minority share rises above natural rate
+    assert rows["fr"]["temp_share"] > rows["fr"]["raw_share"]
+    assert abs(rows["en"]["temp_share"] + rows["fr"]["temp_share"] - 1) < 1e-5
+    # tau=1 reproduces natural sampling
+    nat = {r["lang"]: r for r in temperature_mixture(df, "lang", tau=1.0).collect()}
+    assert nat["en"]["temp_share"] == nat["en"]["raw_share"]
+
+
+def test_eval_overlap_report(spark):
+    from clickhouse_github_log_importer_spark.operators.decontamination import (
+        eval_overlap_report,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # shares 3-grams with eval 10
+            (2, "totally unrelated words in here"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "alpha beta gamma delta zeta")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in eval_overlap_report(train, ev).collect()}
+    assert set(got) == {1}  # doc 2 is clean -> absent from the drop list
+    # shared 3-grams: "alpha beta gamma", "beta gamma delta"
+    assert got[1]["n_shared_shingles"] == 2
+    assert got[1]["n_eval_docs"] == 1
+
+
+def test_repetition_profile(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "all words here are distinct tokens"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TA.repetition_profile(df).collect()}
+    assert set(got) == {1, 2}  # empty doc excluded
+    assert got[1]["dup_word_frac"] == 0.75  # 4 words, 1 distinct
+    assert got[1]["top_bigram_frac"] == 1.0  # "spam spam" is every bigram
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["n_words"] == 6
+
+
+def test_pii_features(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at a.user@example.com or b@test.org please"),
+            (2, "call 12345678 maybe"),
+            (3, "clean text no identifiers 123"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TA.pii_features(df).collect()}
+    assert (got[1]["email_hits"], got[1]["needs_review"]) == (2, True)
+    assert (got[2]["long_digit_hits"], got[2]["needs_review"]) == (1, True)
+    assert (got[3]["email_hits"], got[3]["long_digit_hits"], got[3]["needs_review"]) == (0, 0, False)
