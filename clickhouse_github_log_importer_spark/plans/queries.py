@@ -2105,6 +2105,164 @@ def user_trailing_7d_value(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Graph analytics (in-engine analog of the reference's Neo4j/TuGraph
+# export+query split — operators/graph_analytics.py)
+# =====================================================================
+
+#: co-activity pair list: users touching the same item (props.k) in the
+#: same hour — the sparse projection used by the triangle/degree queries
+_COACTIVITY_SQL = """
+    ek AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k,
+             date_trunc('hour', ts) AS h
+      FROM events
+    ),
+    co AS (
+      SELECT DISTINCT a.u AS id_a, b.u AS id_b
+      FROM ek a JOIN ek b ON a.k = b.k AND a.h = b.h AND a.u < b.u
+    )"""
+
+
+def _coactivity_pairs(ev: DataFrame) -> DataFrame:
+    ek = ev.select(
+        F.col("user_id").alias("u"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.date_trunc("hour", "ts").alias("h"),
+    ).distinct()
+    return (
+        ek.select(F.col("u").alias("id_a"), "k", "h")
+        .join(ek.select(F.col("u").alias("id_b"), "k", "h"), ["k", "h"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    from ..operators.graph_analytics import PR_SCALE
+
+    parts = [
+        f"""
+    WITH b AS (
+      SELECT DISTINCT user_id AS u,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    ),
+    e AS (
+      SELECT u AS src, 10000 + k AS dst FROM b
+      UNION ALL
+      SELECT 10000 + k AS src, u AS dst FROM b
+    ),
+    deg AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+    r0 AS (SELECT src AS id, CAST({PR_SCALE} AS BIGINT) AS r FROM deg)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+      SELECT e.dst AS id,
+             CAST(({15 * PR_SCALE} + 85 * CAST(sum(p.r // d.od) AS BIGINT)) // 100
+                  AS BIGINT) AS r
+      FROM e JOIN deg d ON e.src = d.src JOIN r{i - 1} p ON p.id = e.src
+      GROUP BY e.dst
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CASE WHEN id >= 10000 THEN 'item' ELSE 'user' END AS node_type,
+           id, r AS rank_fp, round(r / {PR_SCALE}.0, 6) AS rank
+    FROM r{iters}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "pagerank_user_item",
+    _pagerank_oracle(3),
+    tags=("graph", "iterative"),
+    doc="Fixed-point integer PageRank (3 damped iterations, 1.0 == 1e9) "
+    "on the undirected user<->item bipartite graph from events.props.k. "
+    "All-integer update rule makes the ranks bit-identical across "
+    "engines and shuffle orders — float PageRank cannot be "
+    "hash-verified. operators.graph_analytics.pagerank_fixed_point; "
+    "oracle is the same recurrence unrolled as SQL CTEs.",
+)
+def pagerank_user_item(spark, sf_dir):
+    from ..operators import graph_analytics as GA
+
+    ev = t(spark, sf_dir, "events")
+    b = ev.select(
+        F.col("user_id").alias("u"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    ).distinct()
+    e = GA.undirected(
+        b.select(F.col("u").alias("id_a"), (F.col("k") + 10000).alias("id_b"))
+    )
+    pr = GA.pagerank_fixed_point(e, iters=3)
+    return pr.select(
+        F.when(F.col("id") >= 10000, F.lit("item")).otherwise(F.lit("user")).alias(
+            "node_type"
+        ),
+        "id",
+        F.col("r").alias("rank_fp"),
+        F.round(F.col("r") / F.lit(float(GA.PR_SCALE)), 6).alias("rank"),
+    )
+
+
+@register(
+    "coactivity_triangles",
+    f"""
+    WITH {_COACTIVITY_SQL.lstrip()},
+    nodes AS (
+      SELECT count(DISTINCT id) AS n_nodes
+      FROM (SELECT id_a AS id FROM co UNION ALL SELECT id_b FROM co)
+    ),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM co e1
+      JOIN co e2 ON e2.id_a = e1.id_b
+      JOIN co e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    )
+    SELECT nodes.n_nodes, (SELECT count(*) FROM co) AS n_edges,
+           tri.n_triangles
+    FROM nodes, tri
+    """,
+    tags=("graph",),
+    doc="Triangle census of the user co-activity graph (same item, same "
+    "hour). Spark counts on (degree, id)-oriented edges — wedge fan-out "
+    "capped at O(sqrt(E)) — while the oracle uses the naive ordered "
+    "triple join; equal counts cross-check the orientation argument. "
+    "operators.graph_analytics.triangle_summary.",
+)
+def coactivity_triangles(spark, sf_dir):
+    from ..operators import graph_analytics as GA
+
+    return GA.triangle_summary(_coactivity_pairs(t(spark, sf_dir, "events")))
+
+
+@register(
+    "coactivity_degrees",
+    f"""
+    WITH {_COACTIVITY_SQL.lstrip()},
+    d AS (
+      SELECT id, count(*) AS degree
+      FROM (SELECT id_a AS id FROM co UNION ALL SELECT id_b AS id FROM co)
+      GROUP BY 1
+    )
+    SELECT degree, count(*) AS n_nodes FROM d GROUP BY 1
+    """,
+    tags=("graph",),
+    doc="Degree histogram of the co-activity graph — two map-side "
+    "combined aggregations. operators.graph_analytics.degree_distribution.",
+)
+def coactivity_degrees(spark, sf_dir):
+    from ..operators import graph_analytics as GA
+
+    return GA.degree_distribution(_coactivity_pairs(t(spark, sf_dir, "events")))
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401
