@@ -37,6 +37,52 @@ def hash_sample(
     return df.filter(h % denominator == remainder)
 
 
+def pack_plan(
+    df: DataFrame,
+    size_col: str,
+    id_col: str,
+    strata_col: str,
+    capacity: int = 2048,
+) -> DataFrame:
+    """Sequence-packing plan: stream documents in ``id_col`` order into
+    fixed-capacity token bins, per stratum — the batching step that turns
+    a curated corpus into training sequences. A document's bin is the bin
+    of its starting token offset (documents may straddle bins; the
+    trainer splits at the boundary).
+
+    Per-stratum running sums keep the window partitioned (packing is
+    per-language/domain in real mixes anyway) — a global ordered cumsum
+    would serialize onto one partition, the classic window scale-killer.
+    All arithmetic is exact integers: the plan is bit-reproducible on any
+    engine, which RNG- or partition-dependent packing never is.
+
+    Returns (strata, bin_id, n_docs, bin_tokens, fill_ratio) — one row
+    per bin with how many documents start in it.
+    """
+    from .temporal import floor_div
+
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    size = F.col(size_col).cast("long")
+    start = F.sum(size).over(w) - size
+    return (
+        df.select(
+            F.col(strata_col),
+            floor_div(start, capacity).alias("bin_id"),
+            size.alias("_sz"),
+        )
+        .groupBy(strata_col, "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_sz").alias("bin_tokens"),
+            F.round(F.sum("_sz") / float(capacity), 4).alias("fill_ratio"),
+        )
+    )
+
+
 def temperature_mixture(
     df: DataFrame,
     strata_col: str,

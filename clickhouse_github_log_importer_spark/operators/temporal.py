@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 ASOF_TIME = "_asof_time"
 
 
-def _floor_div(col: Column, width: int) -> Column:
+def floor_div(col: Column, width: int) -> Column:
     """Exact floor division on longs. Naive ``/`` rounds through double
     (wrong cells once ulp(quotient) ~ 1); subtracting the positive mod
     first makes the dividend exactly divisible, so the double division is
@@ -151,10 +151,10 @@ def range_join_bucketed(
     hi_cell = (pt + F.lit(upper)).cast("long")
     p = probe.withColumn(
         "_cell",
-        F.explode(F.sequence(_floor_div(lo_cell, width), _floor_div(hi_cell, width))),
+        F.explode(F.sequence(floor_div(lo_cell, width), floor_div(hi_cell, width))),
     ).withColumn("_pt", pt)
     r = reference.select(
-        _floor_div(rt, width).alias("_cell"),
+        floor_div(rt, width).alias("_cell"),
         rt.alias("_rt"),
         *payload,
     )

@@ -967,3 +967,115 @@ def corpus_mixture_weights(spark, sf_dir):
 )
 def doc_repetition_profile(spark, sf_dir):
     return TA.repetition_profile(_spread(spark, t(spark, sf_dir, "documents")))
+
+
+# =====================================================================
+# Packing + end-to-end curation funnel
+# =====================================================================
+
+
+@register(
+    "sequence_packing_plan",
+    f"""
+    WITH s AS (
+      SELECT lang, doc_id, len({_WORDS}) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT lang, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS start
+      FROM s
+    )
+    SELECT lang, start // 2048 AS bin_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           round(CAST(sum(n_tokens) AS BIGINT) / 2048.0, 4) AS fill_ratio
+    FROM c GROUP BY 1, 2
+    """,
+    tags=("sampling", "packing"),
+    doc="Sequence packing: documents streamed in doc_id order into "
+    "2048-token bins per language — the batching plan that turns a "
+    "curated corpus into training sequences. Per-stratum windows keep "
+    "the cumsum partitioned; exact integer arithmetic keeps the plan "
+    "bit-reproducible. operators.sampling.pack_plan.",
+)
+def sequence_packing_plan(spark, sf_dir):
+    from ..operators.sampling import pack_plan
+
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    sized = docs.select(
+        "lang", "doc_id", F.size(DT.words_of("text")).alias("n_tokens")
+    )
+    return pack_plan(sized, "n_tokens", "doc_id", "lang", capacity=2048)
+
+
+_QSCORE = f"""round(0.35 * (CAST(len(list_distinct(words)) AS DOUBLE) / len(words))
+               + 0.25 * (CAST(len(list_filter(words, w -> list_contains({_STOP_ARR}, w))) AS DOUBLE) / len(words))
+               + 0.25 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text))
+               + 0.15 * least(CAST(len(words) AS DOUBLE) / 100.0, 1.0), 4)"""
+
+
+@register(
+    "curation_funnel",
+    f"""
+    WITH q AS (
+      SELECT doc_id, {_QSCORE} AS quality_score
+      FROM (SELECT doc_id, text, {_WORDS} AS words FROM documents)
+    ),
+    k AS (
+      SELECT min(doc_id) AS doc_id FROM documents
+      GROUP BY {md5_hash64_sql('text')}
+    ),
+    p AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{TA.EMAIL_PATTERN}')) AS e,
+             len(regexp_extract_all(text, '{TA.LONG_DIGIT_PATTERN}')) AS d
+      FROM documents
+    ),
+    f AS (
+      SELECT q.doc_id, q.quality_score >= 0.5 AS q_ok,
+             k.doc_id IS NOT NULL AS is_kept,
+             (p.e = 0 AND p.d = 0) AS pii_ok
+      FROM q LEFT JOIN k ON k.doc_id = q.doc_id
+             JOIN p ON p.doc_id = q.doc_id
+    )
+    SELECT count(*) AS n_total,
+           sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS n_quality,
+           sum(CASE WHEN q_ok AND is_kept THEN 1 ELSE 0 END) AS n_unique,
+           sum(CASE WHEN q_ok AND is_kept AND pii_ok THEN 1 ELSE 0 END)
+             AS n_clean
+    FROM f
+    """,
+    tags=("text", "hygiene", "dedup", "funnel"),
+    doc="End-to-end curation funnel: survivors after each stage of "
+    "quality filter (composite score >= 0.5) -> exact dedup (canonical "
+    "doc per content hash) -> PII screen, composed from the "
+    "quality_features + exact_dedup + pii_features operators in one "
+    "aggregation pass over the flag joins.",
+)
+def curation_funnel(spark, sf_dir):
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    q = TA.quality_features(docs).select("doc_id", "quality_score")
+    kept = DT.exact_dedup(docs).select(
+        F.col("kept_id").alias("doc_id"), F.lit(1).alias("_kept")
+    )
+    p = TA.pii_features(docs).select("doc_id", "email_hits", "long_digit_hits")
+    flags = (
+        q.join(kept, "doc_id", "left")
+        .join(p, "doc_id")
+        .select(
+            (F.col("quality_score") >= 0.5).alias("q_ok"),
+            F.col("_kept").isNotNull().alias("is_kept"),
+            ((F.col("email_hits") == 0) & (F.col("long_digit_hits") == 0)).alias(
+                "pii_ok"
+            ),
+        )
+    )
+    return flags.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("q_ok").cast("long")).alias("n_quality"),
+        F.sum((F.col("q_ok") & F.col("is_kept")).cast("long")).alias("n_unique"),
+        F.sum((F.col("q_ok") & F.col("is_kept") & F.col("pii_ok")).cast("long")).alias(
+            "n_clean"
+        ),
+    )

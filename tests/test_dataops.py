@@ -257,3 +257,26 @@ def test_pii_features(spark):
     assert (got[1]["email_hits"], got[1]["needs_review"]) == (2, True)
     assert (got[2]["long_digit_hits"], got[2]["needs_review"]) == (1, True)
     assert (got[3]["email_hits"], got[3]["long_digit_hits"], got[3]["needs_review"]) == (0, 0, False)
+
+
+def test_pack_plan(spark):
+    from clickhouse_github_log_importer_spark.operators.sampling import pack_plan
+
+    df = spark.createDataFrame(
+        [
+            ("en", 1, 1500),
+            ("en", 2, 1000),  # starts at 1500 -> bin 0, straddles into 1
+            ("en", 3, 600),   # starts at 2500 -> bin 1
+            ("fr", 4, 100),   # strata are packed independently
+        ],
+        "lang string, doc_id long, n_tokens long",
+    )
+    rows = {
+        (r["lang"], r["bin_id"]): (r["n_docs"], r["bin_tokens"], r["fill_ratio"])
+        for r in pack_plan(df, "n_tokens", "doc_id", "lang", capacity=2048).collect()
+    }
+    assert rows == {
+        ("en", 0): (2, 2500, round(2500 / 2048.0, 4)),
+        ("en", 1): (1, 600, round(600 / 2048.0, 4)),
+        ("fr", 0): (1, 100, round(100 / 2048.0, 4)),
+    }
