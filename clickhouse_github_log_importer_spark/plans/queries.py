@@ -2105,6 +2105,33 @@ def user_trailing_7d_value(spark, sf_dir):
     )
 
 
+@register(
+    "event_rank_profile",
+    """
+    SELECT event_id, event_type,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    tags=("window",),
+    doc="Distribution-rank window battery (percent_rank / cume_dist / "
+    "ntile) per event type — the remaining ranking-family functions the "
+    "window surface had not exercised. Ordering carries the unique "
+    "event_id tiebreak so every rank is engine-deterministic.",
+)
+def event_rank_profile(spark, sf_dir):
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
 # =====================================================================
 # Graph analytics (in-engine analog of the reference's Neo4j/TuGraph
 # export+query split — operators/graph_analytics.py)

@@ -69,3 +69,47 @@ def test_sliding_streaming_matches_batch(spark, src_dir):
     assert _rows(streamed) == _rows(batch)
     # each event belongs to exactly window/slide = 2 windows
     assert batch.agg({"n_events": "sum"}).collect()[0][0] == 2 * len(ROWS)
+
+
+# --- streaming dedup (bounded-state ReplacingMergeTree twin) --------------
+
+DUP_ROWS = [
+    (1, "click", datetime(2022, 1, 1, 10, 5), 1.5),
+    (1, "click", datetime(2022, 1, 1, 10, 6), 1.5),   # duplicate key
+    (2, "view", datetime(2022, 1, 1, 10, 7), 2.0),
+    (2, "view", datetime(2022, 1, 1, 10, 8), 2.0),    # duplicate key
+    (3, "click", datetime(2022, 1, 1, 10, 9), 0.5),
+]
+
+
+@pytest.fixture(scope="module")
+def dup_src_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dedup_src"))
+    spark.createDataFrame(DUP_ROWS, DDL).coalesce(1).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_streaming_dedup_matches_batch_keys(spark, dup_src_dir):
+    from clickhouse_github_log_importer_spark.streaming.dedup_stream import (
+        dedup_events_stream,
+    )
+
+    batch = dedup_events_stream(
+        spark.read.parquet(dup_src_dir), key_cols=("user_id",)
+    )
+    assert sorted(r["user_id"] for r in batch.collect()) == [1, 2, 3]
+
+    stream = spark.readStream.schema(DDL).parquet(dup_src_dir)
+    out = dedup_events_stream(
+        stream, key_cols=("user_id",), watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_smoke")
+    assert sorted(r["user_id"] for r in got.collect()) == [1, 2, 3]
