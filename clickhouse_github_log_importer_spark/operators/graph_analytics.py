@@ -82,19 +82,20 @@ def pagerank_fixed_point(
     return ranks
 
 
-def triangle_summary(
+def _closed_triangles(
     pairs: DataFrame,
-    id_a: str = "id_a",
-    id_b: str = "id_b",
-    scope: CacheScope | None = None,
-) -> DataFrame:
-    """One row: (n_nodes, n_edges, n_triangles) for an a<b pair list.
+    id_a: str,
+    id_b: str,
+    scope: CacheScope | None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared triangle machinery: (pairs persisted, per-node degrees,
+    closed triangles as (a, b, c) in orientation order).
 
-    Orientation by (degree, id) bounds the wedge fan-out; the closing
-    check is a two-column LEFT SEMI join (no dedup, no /3). The pair
-    list and the oriented edges each feed multiple consumers (degrees,
-    wedge sides, closing side), so both are persisted — without this the
-    upstream projection runs ~5x (cache.py lifetime notes)."""
+    Orientation by (degree, id) bounds the wedge fan-out at O(sqrt(E));
+    edges are distinct, so the closing inner join has multiplicity 1 and
+    each triangle surfaces exactly once — no dedup, no /3. The pair list
+    and the oriented edges each feed multiple consumers, so both are
+    persisted (without this the upstream projection runs ~5x)."""
     pairs = persist_in(scope, pairs)
     und = undirected(pairs, id_a, id_b)
     deg = und.groupBy("src").agg(F.count("*").alias("d")).withColumnRenamed("src", "n")
@@ -116,15 +117,65 @@ def triangle_summary(
     wedges = (
         e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
         .join(e.select(F.col("src").alias("b"), F.col("dst").alias("c")), "b")
-        .select("a", "c")
+        .select("a", "b", "c")
     )
-    closed = wedges.join(
-        e.select(F.col("src").alias("a"), F.col("dst").alias("c")), ["a", "c"], "left_semi"
+    tri = wedges.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("c")), ["a", "c"]
     )
+    return pairs, deg, tri
+
+
+def triangle_summary(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """One row: (n_nodes, n_edges, n_triangles) for an a<b pair list
+    (see :func:`_closed_triangles` for the shape argument)."""
+    pairs, deg, tri = _closed_triangles(pairs, id_a, id_b, scope)
     return (
         deg.agg(F.count("*").alias("n_nodes"))
         .crossJoin(pairs.agg(F.count("*").alias("n_edges")))
-        .crossJoin(closed.agg(F.count("*").alias("n_triangles")))
+        .crossJoin(tri.agg(F.count("*").alias("n_triangles")))
+    )
+
+
+def local_clustering(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Local clustering coefficient per node: 2T / (d * (d-1)) for every
+    node with degree >= 2 (degree-1 nodes have no possible wedge).
+
+    Each closed triangle is exploded to its three vertices and counted
+    per node — triangle volume, not corpus volume, so the explode is
+    cheap even on graphs where enumeration dwarfs the summary count.
+    The coefficient is an exact int/int division (deterministic), only
+    rounded for display.
+    """
+    _, deg, tri = _closed_triangles(pairs, id_a, id_b, scope)
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("n")
+        )
+        .groupBy("n")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    d = F.col("d").cast("double")
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(per_node, "n", "left")
+        .select(
+            F.col("n").alias("id"),
+            F.col("d").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"),
+            F.round(
+                2.0 * F.coalesce("n_triangles", F.lit(0)) / (d * (d - 1)), 6
+            ).alias("clustering_coeff"),
+        )
     )
 
 

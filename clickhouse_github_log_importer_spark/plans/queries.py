@@ -2270,6 +2270,47 @@ def coactivity_triangles(spark, sf_dir):
 
 
 @register(
+    "coactivity_clustering",
+    f"""
+    WITH {_COACTIVITY_SQL.lstrip()},
+    tr AS (
+      SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM co e1
+      JOIN co e2 ON e2.id_a = e1.id_b
+      JOIN co e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    tc AS (
+      SELECT id, count(*) AS n_triangles
+      FROM (SELECT a AS id FROM tr UNION ALL SELECT b FROM tr
+            UNION ALL SELECT c FROM tr)
+      GROUP BY 1
+    ),
+    d AS (
+      SELECT id, count(*) AS degree
+      FROM (SELECT id_a AS id FROM co UNION ALL SELECT id_b FROM co)
+      GROUP BY 1
+    )
+    SELECT d.id, d.degree,
+           COALESCE(tc.n_triangles, 0) AS n_triangles,
+           round(2.0 * COALESCE(tc.n_triangles, 0)
+                 / (d.degree * (d.degree - 1)), 6) AS clustering_coeff
+    FROM d LEFT JOIN tc USING (id)
+    WHERE d.degree >= 2
+    """,
+    tags=("graph",),
+    doc="Local clustering coefficient per user (2T / d(d-1), degree>=2): "
+    "how clique-like each user's co-activity neighborhood is. Triangles "
+    "exploded to their three vertices and counted per node — triangle "
+    "volume, not corpus volume. "
+    "operators.graph_analytics.local_clustering.",
+)
+def coactivity_clustering(spark, sf_dir):
+    from ..operators import graph_analytics as GA
+
+    return GA.local_clustering(_coactivity_pairs(t(spark, sf_dir, "events")))
+
+
+@register(
     "coactivity_degrees",
     f"""
     WITH {_COACTIVITY_SQL.lstrip()},

@@ -68,3 +68,33 @@ def test_degree_distribution(spark):
         for r in degree_distribution(pairs(spark, [(0, 1), (0, 2), (0, 3)])).collect()
     }
     assert rows == {3: 1, 1: 3}
+
+
+def test_local_clustering(spark):
+    from clickhouse_github_log_importer_spark.operators.graph_analytics import (
+        local_clustering,
+    )
+
+    # K3 plus a pendant at node 3: 1,2 fully clustered; 3 has d=3 with
+    # one closed pair of three; 4 has degree 1 -> excluded
+    rows = {
+        r["id"]: r
+        for r in local_clustering(
+            pairs(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["clustering_coeff"] == 1.0
+    assert rows[2]["clustering_coeff"] == 1.0
+    assert rows[3]["n_triangles"] == 1 and rows[3]["degree"] == 3
+    assert rows[3]["clustering_coeff"] == round(2.0 * 1 / (3 * 2), 6)
+
+
+def test_local_clustering_triangle_free(spark):
+    from clickhouse_github_log_importer_spark.operators.graph_analytics import (
+        local_clustering,
+    )
+
+    rows = local_clustering(pairs(spark, [(1, 2), (2, 3), (3, 4), (1, 4)])).collect()
+    assert all(r["n_triangles"] == 0 and r["clustering_coeff"] == 0.0 for r in rows)
+    assert len(rows) == 4

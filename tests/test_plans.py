@@ -222,3 +222,32 @@ def test_ivf_search_broadcasts_probes(spark, sf_smoke):
     p = explain(spark, "ann_ivf_topk", sf_smoke)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_decontamination_broadcasts_eval_side(spark, sf_smoke):
+    # the benchmark side must broadcast: decontaminating a 100 TB corpus
+    # has to be one map-side join over training shingles
+    p = explain(spark, "decontamination_report", sf_smoke)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in tree(p)
+
+
+def test_graph_and_temporal_queries_never_nested_loop(spark, sf_smoke):
+    # iterative/band/graph plans must stay equi-join shaped — a nested
+    # loop or cartesian over DATA here is quadratic at scale. The only
+    # sanctioned nested loops are triangle_summary's two crossJoins of
+    # single-row aggregates (1x1 by construction).
+    allowed_bnlj = {"coactivity_triangles": 2}
+    for name in (
+        "pagerank_user_item",
+        "coactivity_triangles",
+        "coactivity_clustering",
+        "coactivity_degrees",
+        "concurrent_event_counts",
+        "purchase_attribution",
+    ):
+        p = explain(spark, name, sf_smoke)
+        assert tree(p).count("BroadcastNestedLoopJoin") <= allowed_bnlj.get(
+            name, 0
+        ), name
+        assert "CartesianProduct" not in tree(p), name
