@@ -1079,3 +1079,146 @@ def curation_funnel(spark, sf_dir):
             "n_clean"
         ),
     )
+
+
+# =====================================================================
+# Deterministic k-means clustering + semantic dedup (SemDeDup-style)
+# =====================================================================
+
+KM_K, KM_ITERS, KM_DIMS = 8, 3, 64
+
+
+def _kmeans_cte(k: int, iters: int, dims: int) -> str:
+    """Unrolled Lloyd's iteration as CTEs (same pattern as the PageRank
+    oracle): every step exact integer math, ending at centroids c{iters}
+    and final assignment af(vec_id, cid, d2)."""
+    parts = [
+        f"""
+    WITH qn AS (
+      SELECT * FROM (
+        SELECT vec_id, q, {_DOT.format(a='q', b='q')} AS norm2
+        FROM (SELECT vec_id, {_QUANT} AS q FROM embeddings)
+      ) WHERE norm2 > 0
+    ),
+    pos AS (SELECT unnest(generate_series(1, {dims})) AS pos),
+    vx AS (SELECT vec_id, pos, q[pos] AS x FROM qn, pos),
+    c0 AS (
+      SELECT cid, pos, q[pos] AS val
+      FROM (SELECT q, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+            FROM qn ORDER BY vec_id LIMIT {k}), pos
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY sum((v.x - c.val) * (v.x - c.val)) ASC,
+                                        c.cid ASC) AS rn
+        FROM vx v JOIN c{i - 1} c ON c.pos = v.pos
+        GROUP BY v.vec_id, c.cid
+      ) WHERE rn = 1
+    ),
+    c{i} AS (
+      SELECT p.cid, p.pos, COALESCE(s.val, p.val) AS val
+      FROM c{i - 1} p LEFT JOIN (
+        SELECT a.cid, v.pos,
+               CAST(sum(v.x) AS BIGINT) // CAST(count(*) AS BIGINT) AS val
+        FROM a{i} a JOIN vx v ON v.vec_id = a.vec_id
+        GROUP BY a.cid, v.pos
+      ) s ON s.cid = p.cid AND s.pos = p.pos
+    )"""
+        )
+    parts.append(
+        f""",
+    af AS (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT v.vec_id, c.cid,
+               CAST(sum((v.x - c.val) * (v.x - c.val)) AS BIGINT) AS d2,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY sum((v.x - c.val) * (v.x - c.val)) ASC,
+                                        c.cid ASC) AS rn
+        FROM vx v JOIN c{iters} c ON c.pos = v.pos
+        GROUP BY v.vec_id, c.cid
+      ) WHERE rn = 1
+    )"""
+    )
+    return "".join(parts)
+
+
+_KM_CTE = _kmeans_cte(KM_K, KM_ITERS, KM_DIMS)
+
+
+def _kmeans(spark, sf_dir):
+    from ..operators import clustering as KM
+
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    return KM.kmeans_fit(emb, k=KM_K, iters=KM_ITERS)
+
+
+@register(
+    "kmeans_centroids",
+    f"""
+    {_KM_CTE}
+    SELECT cid AS cluster_id, pos - 1 AS pos, val FROM c{KM_ITERS}
+    """,
+    tags=("clustering",),
+    doc=f"Final centroids of {KM_ITERS}-step deterministic integer "
+    f"Lloyd's k-means (k={KM_K}) in long form (cluster_id, pos, val): "
+    "the oracle re-derives every iteration via unrolled CTEs. "
+    "operators.clustering.kmeans_fit.",
+)
+def kmeans_centroids(spark, sf_dir):
+    from ..operators import clustering as KM
+
+    _, cents = _kmeans(spark, sf_dir)
+    return KM.kmeans_centroids_long(spark, cents)
+
+
+@register(
+    "kmeans_cluster_profile",
+    f"""
+    {_KM_CTE}
+    SELECT af.cid AS cluster_id, count(*) AS n_members,
+           min(af.vec_id) AS min_vec_id, cn.centroid_norm2
+    FROM af JOIN (
+      SELECT cid, CAST(sum(val * val) AS BIGINT) AS centroid_norm2
+      FROM c{KM_ITERS} GROUP BY cid
+    ) cn ON cn.cid = af.cid
+    GROUP BY af.cid, cn.centroid_norm2
+    """,
+    tags=("clustering",),
+    doc="Per-cluster audit of the final k-means assignment: member "
+    "count, smallest member id, and the exact integer centroid norm. "
+    "operators.clustering.kmeans_profile.",
+)
+def kmeans_cluster_profile(spark, sf_dir):
+    from ..operators import clustering as KM
+
+    assigned, cents = _kmeans(spark, sf_dir)
+    return KM.kmeans_profile(assigned, cents)
+
+
+@register(
+    "semantic_dedup_keepers",
+    f"""
+    {_KM_CTE}
+    SELECT cid AS cluster_id, vec_id AS keeper_vec_id, d2
+    FROM (
+      SELECT cid, vec_id, d2,
+             row_number() OVER (PARTITION BY cid ORDER BY d2 ASC, vec_id ASC) AS rn
+      FROM af
+    ) WHERE rn = 1
+    """,
+    tags=("clustering", "dedup"),
+    doc="SemDeDup representative selection: the member nearest its "
+    "final centroid per cluster (exact integer squared-L2, ties to the "
+    "smaller id). operators.clustering.kmeans_keepers.",
+)
+def semantic_dedup_keepers(spark, sf_dir):
+    assigned, _ = _kmeans(spark, sf_dir)
+    from ..operators import clustering as KM
+
+    return KM.kmeans_keepers(assigned)
