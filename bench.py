@@ -115,13 +115,26 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: JVM + parquet footers + Python UDF workers, not counted
-    REGISTRY["record_count"].spark(spark, sf_dir).collect()
-    spark.createDataFrame([(1,)], "x long").mapInPandas(
-        lambda it: it, "x long"
-    ).collect()
+    # Every step below is error-isolated: one broken query (or a broken
+    # warm-up / ingest) must never zero the whole bench artifact — the JSON
+    # summary line is always emitted, with per-query `err` entries for
+    # whatever failed.
+    errors: dict[str, str] = {}
 
-    ingest = bench_ingest(spark)
+    # warm-up: JVM + parquet footers + Python UDF workers, not counted
+    try:
+        REGISTRY["record_count"].spark(spark, sf_dir).collect()
+        spark.createDataFrame([(1,)], "x long").mapInPandas(
+            lambda it: it, "x long"
+        ).collect()
+    except Exception as e:  # noqa: BLE001
+        errors["_warmup"] = f"{type(e).__name__}: {e}"[:500]
+
+    try:
+        ingest = bench_ingest(spark)
+    except Exception as e:  # noqa: BLE001
+        ingest = {}
+        errors["_ingest"] = f"{type(e).__name__}: {e}"[:500]
 
     # two passes, report the min per query: strips one-off plan-codegen /
     # JIT costs so the figure reflects steady-state execution (what a
@@ -129,29 +142,33 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name in headline_names():
-            t0 = time.monotonic()
-            REGISTRY[name].spark(spark, sf_dir).collect()
-            dt = round(time.monotonic() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            if name in errors:
+                continue  # failed on pass 1; don't pay the crash twice
+            try:
+                t0 = time.monotonic()
+                REGISTRY[name].spark(spark, sf_dir).collect()
+                dt = round(time.monotonic() - t0, 3)
+                if name not in timings or dt < timings[name]:
+                    timings[name] = dt
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                **ingest,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        **ingest,
+    }
+    if errors:
+        summary["errors"] = errors
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -119,17 +119,16 @@ def serve(
     """Start the server on a background thread; returns it (use
     ``server.server_address`` for the bound port, ``shutdown()`` to stop)."""
     if table_paths:
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
+        from clickhouse_github_log_importer_spark.plans.queries import (
+            normalize_events_ts,
+        )
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         for name, path in table_paths.items():
-            df = spark.read.parquet(path)
-            # TIMESTAMP(NANOS) columns arrive as epoch-ns longs: expose a
-            # usable micro-precision timestamp to SQL clients
-            if "ts" in df.columns and isinstance(df.schema["ts"].dataType, T.LongType):
-                df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            # type-adaptive ts handling (nanos-as-long or native timestamp):
+            # SQL clients always see micro-precision `ts` + bigint `ts_us`
+            df = normalize_events_ts(spark.read.parquet(path))
             df.createOrReplaceTempView(name)
     server = ThreadingHTTPServer(
         ("127.0.0.1", port), make_handler(spark, status_path)

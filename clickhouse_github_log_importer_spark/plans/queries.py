@@ -67,25 +67,64 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     """Make any driver-provided session safe for these plans.
 
     Both confs are runtime-settable: UTC rendering parity with the oracle's
-    naive timestamps, and TIMESTAMP(NANOS) parquet columns read as
-    epoch-nano longs instead of erroring (the events table is NANOS).
+    naive timestamps, and — should the testdata ever regress to parquet
+    TIMESTAMP(NANOS) — nanos columns read as epoch-nano longs instead of
+    erroring. ``nanosAsLong`` is a no-op for MICROS/MILLIS columns (the
+    current testdata is MICROS, loaded as timestamp_ntz); the actual ts
+    handling is type-adaptive in ``t()``.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table; for ``events`` derive the portable time pair.
+
+    Contract (type-adaptive — the parquet writer's timestamp resolution has
+    drifted across driver rounds, so never assume one):
+
+    - ``ts_us``: epoch MICROseconds as BIGINT — the exact portable value the
+      oracle compares on (DuckDB also works in micros).
+    - ``ts``: TIMESTAMP (UTC session) at micro resolution for calendar ops.
+
+    Handled loads: parquet TIMESTAMP(MICROS/MILLIS) → timestamp/timestamp_ntz
+    column (use ``unix_micros``); parquet TIMESTAMP(NANOS) + ``nanosAsLong``
+    → bigint epoch-nanos column (``div 1000``). Derivations are plain
+    projections — free at any scale, never a shuffle.
+    """
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): read as epoch-ns long
-        # (session conf nanosAsLong); DuckDB likewise truncates to micro, so
-        # ts_us (epoch micros) is the portable exact value and ts the micro
-        # timestamp for calendar ops.
-        df = df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+        df = normalize_events_ts(df)
+    return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Derive the (``ts`` timestamp, ``ts_us`` bigint-micros) pair from
+    whatever physical type the ``ts`` column loaded as. See ``t()`` for the
+    contract. No-op if the frame has no ``ts`` column. Every events consumer
+    (query registry, API server views, streaming sources, bench) must route
+    through here so a testdata resolution drift is handled in exactly one
+    place."""
+    if "ts" not in df.columns:
+        return df
+    dtype = dict(df.dtypes)["ts"]
+    if dtype.startswith("timestamp"):
+        # MICROS/MILLIS parquet: loaded as timestamp(_ntz); unix_micros
+        # needs a zoned timestamp, and the session is pinned UTC so the
+        # ntz->tz cast is the identity on the wall-clock value.
+        return df.withColumn(
+            "ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    if dtype == "bigint":
+        # NANOS parquet read via nanosAsLong: epoch-ns long.
+        return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)")
         )
-    return df
+    raise TypeError(
+        f"events.ts has unsupported dtype {dtype!r}; expected a "
+        "timestamp type or bigint epoch-nanos"
+    )
 
 
 # =====================================================================

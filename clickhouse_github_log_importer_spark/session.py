@@ -44,9 +44,12 @@ def get_spark(
         # GH event ids exceed 2^31; make sure implicit int types stay wide.
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
-        # TIMESTAMP(NANOS) parquet columns surface as LongType epoch-nanos
-        # (Spark has no nanosecond timestamp); plans derive micro timestamps
-        # and keep the exact ns value for ordering/watermarks.
+        # Safety net only: IF a parquet column is TIMESTAMP(NANOS) it
+        # surfaces as LongType epoch-nanos instead of erroring (Spark has no
+        # nanosecond timestamp). No-op for MICROS/MILLIS columns — the
+        # current testdata events.ts is MICROS and loads as timestamp_ntz.
+        # All events loading is type-adaptive via
+        # plans.queries.normalize_events_ts; never assume one resolution.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Keep broadcast threshold generous: every dimension table in the
         # model (region/nation/customer-sized dims, gitee_orgs_repos) is

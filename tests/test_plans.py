@@ -12,6 +12,18 @@ import pytest
 from clickhouse_github_log_importer_spark.plans.queries import REGISTRY
 
 
+@pytest.fixture(autouse=True)
+def _pristine_plan_state(spark):
+    """Plan-shape assertions must not depend on test order: a cached
+    relation leaked by an earlier test rewrites `Scan parquet` into
+    `InMemoryTableScan`, and a leaked conf flips join strategies. Clear
+    both before every gate."""
+    spark.catalog.clearCache()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    yield
+
+
 def explain(spark, name: str, sf_dir: str) -> str:
     df = REGISTRY[name].spark(spark, sf_dir)
     qe = df._jdf.queryExecution()
@@ -70,6 +82,12 @@ DECLARED_ARROW = (
     "simhash_signatures",
     "embedding_near_dup_pairs",
     "cross_modal_near_dups",
+    # distributed Lloyd's: broadcast-centroid assignment is an Arrow-batched
+    # int64 matmul by design (clustering.py kmeans_fit) — the column-expr
+    # form is k*d CodegenFallback HOF ops per row
+    "kmeans_",
+    "semantic_dedup_keepers",
+    "cluster_keepers",
 )
 
 

@@ -1,0 +1,89 @@
+"""Schema-drift canary for the events ``ts`` column.
+
+Round 2 post-mortem: the testdata's parquet timestamp resolution drifted
+from NANOS (read as bigint via ``nanosAsLong``) to MICROS (read as
+``timestamp_ntz``), and a hard-coded ``ts div 1000`` in the shared events
+loader took down every events-family query. This battery pins the
+type-adaptive contract of ``normalize_events_ts`` / ``t()`` for each
+physical encoding the driver has ever produced — plus the ones it could
+plausibly produce next — so that class of bug cannot silently recur.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from clickhouse_github_log_importer_spark.plans.queries import (
+    normalize_events_ts,
+    t,
+)
+
+# one known instant: 2024-01-02 03:04:05.678901 UTC
+US = 1704164645678901
+
+
+def _write_events(tmpdir: str, ts_array: pa.Array) -> str:
+    sf_dir = os.path.join(tmpdir, "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    table = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([7], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([1.5], pa.float64()),
+            "props": pa.array(['{"k": 1}'], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(sf_dir, "events.parquet"))
+    return sf_dir
+
+
+ENCODINGS = {
+    # current driver output: TIMESTAMP(MICROS), no tz -> Spark timestamp_ntz
+    "micros_ntz": pa.array([US], pa.timestamp("us")),
+    # instant-typed micros -> Spark timestamp (tz-aware)
+    "micros_utc": pa.array([US], pa.timestamp("us", tz="UTC")),
+    # round-1-era: TIMESTAMP(NANOS) -> bigint epoch-ns via nanosAsLong
+    "nanos": pa.array([US * 1000], pa.timestamp("ns")),
+    # millis round-trips too (pa ints are unit-scaled: pass millis)
+    "millis": pa.array([US // 1000], pa.timestamp("ms")),
+}
+
+
+@pytest.mark.parametrize("enc", sorted(ENCODINGS))
+def test_events_ts_loader_handles_all_resolutions(spark, tmp_path, enc):
+    sf_dir = _write_events(str(tmp_path), ENCODINGS[enc])
+    df = t(spark, sf_dir, "events")
+    dtypes = dict(df.dtypes)
+    assert dtypes["ts_us"] == "bigint"
+    assert dtypes["ts"] == "timestamp"
+    row = df.select("ts_us", "ts").first()
+    expect_us = US if enc != "millis" else (US // 1000) * 1000
+    assert row["ts_us"] == expect_us
+    # ts renders the same UTC wall clock in every encoding
+    got = row["ts"].strftime("%Y-%m-%d %H:%M:%S")
+    assert got == "2024-01-02 03:04:05"
+
+
+def test_normalize_is_a_pure_projection(spark, tmp_path):
+    # the derivation must stay shuffle-free whatever the input type
+    sf_dir = _write_events(str(tmp_path), ENCODINGS["micros_ntz"])
+    df = t(spark, sf_dir, "events")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_normalize_rejects_garbage_ts_type(spark):
+    df = spark.createDataFrame([(1, "not-a-time")], "event_id long, ts string")
+    with pytest.raises(TypeError, match="unsupported dtype"):
+        normalize_events_ts(df)
+
+
+def test_normalize_noop_without_ts(spark):
+    df = spark.createDataFrame([(1,)], "event_id long")
+    assert normalize_events_ts(df) is df
