@@ -81,6 +81,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scope: CacheScope | None = None,
+    centroids: list[list[int]] | None = None,
 ) -> tuple[DataFrame, list[list[int]]]:
     """Run `iters` Lloyd's update steps from a deterministic seed (the k
     smallest-id nonzero vectors, ordered by id -> cluster ids 0..k-1).
@@ -88,8 +89,23 @@ def kmeans_fit(
     Returns (assignments, centroids): assignments has
     (id_col, norm2, cluster_id, d2) against the FINAL centroids;
     centroids is the k x dims integer matrix after the last update.
+
+    ``centroids`` short-circuits the fit: pass an already-fitted codebook
+    (k x dims ints — e.g. memoized from an identical earlier fit, which is
+    safe because the whole procedure is bit-deterministic) and only the
+    final assignment projection is built — zero extra scans.
     """
     qn = persist_in(scope, with_quantized_norm(df, vec_col, id_col))
+    if centroids is not None:
+        cents = centroids
+        s = _assign_struct(F.col("q"), cents)
+        assigned = qn.select(
+            F.col(id_col),
+            F.col("norm2"),
+            s.getField("cluster_id").alias("cluster_id"),
+            s.getField("d2").alias("d2"),
+        )
+        return assigned, cents
     init = qn.orderBy(id_col).limit(k).collect()
     if len(init) < k:
         raise ValueError(f"need >= {k} nonzero vectors, got {len(init)}")

@@ -304,6 +304,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
+    # materialize once: edges are re-joined every round, and their lineage
+    # (the whole candidate-pair pipeline: shingle -> minhash -> band join)
+    # must not re-execute per iteration
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "cluster_id", F.col("id")
     )

