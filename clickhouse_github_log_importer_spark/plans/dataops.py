@@ -1253,3 +1253,120 @@ def semantic_dedup_keepers(spark, sf_dir):
     from ..operators import clustering as KM
 
     return KM.kmeans_keepers(assigned)
+
+
+# =====================================================================
+# Index quality audit + corpus hygiene composition
+# =====================================================================
+
+
+@register(
+    "ann_recall_report",
+    f"""
+    WITH {_IVF_QN},
+    assigned AS (SELECT vec_id, c_id AS list_id FROM centroid_cos WHERE rn = 1),
+    probes AS (
+      SELECT cc.vec_id AS query_id, cc.c_id AS list_id
+      FROM centroid_cos cc WHERE cc.rn <= 2 AND cc.vec_id < 8
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST({_DOT.format(a='q.q', b='c.q')} AS DOUBLE)
+               / (sqrt(CAST(q.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))) AS cos_exact
+      FROM probes p
+      JOIN assigned a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+      JOIN qn q ON q.vec_id = p.query_id
+      JOIN qn c ON c.vec_id = a.vec_id
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_exact DESC, neighbor_id ASC) AS rank
+        FROM scored
+      ) WHERE rank <= 3
+    ),
+    brute AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY CAST({_DOT.format(a='q.q', b='c.q')} AS DOUBLE)
+                                        / (sqrt(CAST(q.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))) DESC,
+                                        c.vec_id ASC) AS rank
+        FROM (SELECT * FROM qn WHERE vec_id < 8) q
+        JOIN qn c ON c.vec_id <> q.vec_id
+      ) WHERE rank <= 3
+    )
+    SELECT b.query_id, count(i.neighbor_id) AS n_matched,
+           round(CAST(count(i.neighbor_id) AS DOUBLE) / 3, 6) AS recall_at_3
+    FROM brute b LEFT JOIN ivf i
+      ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+    tags=("similarity", "ivf", "audit"),
+    doc="Index quality audit: recall@3 of the IVF(nprobe=2) index against "
+    "exact brute-force cosine top-3 per query vector. The self-evaluation "
+    "loop a production ANN deployment runs on a held-out query sample; "
+    "both sides reuse the memoized coarse quantizer. "
+    "operators.similarity.ivf_topk vs cosine_topk.",
+)
+def ann_recall_report(spark, sf_dir):
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    qv = emb.filter(F.col("vec_id") < 8)
+    cb = _ivf_codebook(spark, sf_dir)
+    ivf = SIM.ivf_topk(
+        emb, qv, k=3, n_lists=16, nprobe=2, codebook=cb
+    ).select(F.col("query_id").alias("iq"), F.col("neighbor_id").alias("in_"))
+    exact = SIM.cosine_topk(emb, qv, k=3).select("query_id", "neighbor_id")
+    return (
+        exact.join(
+            ivf,
+            (exact.query_id == ivf.iq) & (exact.neighbor_id == ivf.in_),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("in_").alias("n_matched"))
+        .select(
+            "query_id",
+            "n_matched",
+            F.round(F.col("n_matched").cast("double") / 3, 6).alias(
+                "recall_at_3"
+            ),
+        )
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    """
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           round(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+                 / count(*), 6) AS dup_rate
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("dedup", "audit"),
+    doc="Per-source exact-duplicate audit: content-hash distinct counts "
+    "vs raw counts, the first diagnostic a corpus curation run prints. "
+    "Two-phase distinct aggregation on (source, hash) — map-side "
+    "combined, never a full-row shuffle.",
+)
+def dedup_rate_by_source(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.round(
+                (F.col("n_docs") - F.col("n_unique")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )

@@ -2370,6 +2370,150 @@ def coactivity_degrees(spark, sf_dir):
     return GA.degree_distribution(_coactivity_pairs(t(spark, sf_dir, "events")))
 
 
+# =====================================================================
+# Behavioral analytics: cohorts, funnels, transition matrices
+# =====================================================================
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH f AS (SELECT user_id, min(epoch_us(ts)) AS first_us
+               FROM events GROUP BY user_id),
+    c AS (SELECT user_id,
+                 CAST(date_trunc('week', make_timestamp(first_us)) AS DATE)
+                   AS cw
+          FROM f),
+    w AS (SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS week
+          FROM events)
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cw, week) // 7 AS BIGINT)
+             AS week_offset,
+           count(DISTINCT user_id) AS n_users
+    FROM w JOIN c USING (user_id)
+    GROUP BY cw, week_offset
+    """,
+    tags=("A2", "cohort"),
+    doc="Weekly retention cohorts: users grouped by the Monday-start week "
+    "of their first event; n distinct users active per (cohort, offset) "
+    "cell. Two aggregations sharing the user_id shuffle key — the cohort "
+    "dim joins back on the same partitioning, no extra exchange shape at "
+    "scale.",
+)
+def retention_cohorts(spark, sf_dir):
+    # single scan: distinct (user, week), cohort week = min week per user
+    # (the week of the first event IS the minimum week) via a window over
+    # the same user_id partitioning the distinct just shuffled on — no
+    # join, no second scan of the fact table
+    ev = t(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    cw = F.min("week").over(Window.partitionBy("user_id"))
+    return (
+        wk.withColumn("cw", cw)
+        .groupBy(
+            "cw", F.expr("datediff(week, cw) div 7").cast("long").alias("week_offset")
+        )
+        # rows are distinct (user, week), so count(*) == distinct users
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            # dates render as yyyy-MM-dd strings in output columns (repo
+            # convention: engine-portable, hash-stable)
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+    )
+
+
+@register(
+    "event_funnel_conversion",
+    """
+    WITH su AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
+                FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    ck AS (SELECT e.user_id, min(epoch_us(e.ts)) AS click_us
+           FROM events e JOIN su USING (user_id)
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > su.signup_us
+           GROUP BY e.user_id),
+    pu AS (SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+           FROM events e JOIN ck USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > ck.click_us
+           GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM su) AS n_signup,
+           (SELECT count(*) FROM ck) AS n_click_after,
+           (SELECT count(*) FROM pu) AS n_purchase_after
+    """,
+    tags=("J1", "funnel"),
+    doc="Strict-order funnel: users who signed up, then clicked AFTER the "
+    "first signup, then purchased AFTER that first click. Single scan, "
+    "ONE shuffle on user_id: the three stage timestamps cascade as "
+    "conditional window mins over the same partitioning (min skips "
+    "nulls), then a per-user rollup and a scalar count row — no joins.",
+)
+def event_funnel_conversion(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    w = Window.partitionBy("user_id")
+    su = F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).over(w)
+    staged = ev.withColumn("su", su)
+    ck = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_us") > F.col("su")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    staged = staged.withColumn("ck", ck)
+    pu = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("ck")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    per_user = (
+        staged.withColumn("pu", pu)
+        .groupBy("user_id")
+        .agg(F.max("su").alias("su"), F.max("ck").alias("ck"), F.max("pu").alias("pu"))
+    )
+    return per_user.agg(
+        F.count("su").alias("n_signup"),
+        F.count("ck").alias("n_click_after"),
+        F.count("pu").alias("n_purchase_after"),
+    )
+
+
+@register(
+    "event_type_transitions",
+    """
+    SELECT event_type, next_type, count(*) AS n
+    FROM (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id)
+               AS next_type
+      FROM events
+    )
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    tags=("window",),
+    doc="Markov transition counts between consecutive event types per "
+    "user (lead window ordered by (ts, event_id) for tie determinism): "
+    "one shuffle on user_id, then a map-side-combined count.",
+)
+def event_type_transitions(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401
