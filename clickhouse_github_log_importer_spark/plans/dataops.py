@@ -1370,3 +1370,96 @@ def dedup_rate_by_source(spark, sf_dir):
             ).alias("dup_rate"),
         )
     )
+
+
+def _minhash_est_sql(perms: int = DT.MINHASH_PERMS) -> str:
+    """SUM of per-permutation signature-component matches between pair
+    sides a/b, as SQL."""
+    return " + ".join(
+        f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)" for i in range(perms)
+    )
+
+
+@register(
+    "minhash_estimate_report",
+    f"""
+    WITH pairs AS ({_lsh_pairs_oracle()}),
+    sig AS (
+      SELECT doc_id,
+             {', '.join(f'{e} AS mh_{i}' for i, e in enumerate(_minhash_sql(DT.MINHASH_PERMS)))}
+      FROM (
+        SELECT doc_id,
+               list_transform(sh, x -> {md5_hash64_sql('x')} % {DT.MERSENNE31}) AS bases
+        FROM (
+          SELECT doc_id, {_shingles_sql(3)} AS sh
+          FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+        )
+      )
+    ),
+    est AS (
+      SELECT p.id_a, p.id_b,
+             round(CAST(({_minhash_est_sql()}) AS DOUBLE)
+                   / {DT.MINHASH_PERMS}, 6) AS est_jaccard
+      FROM pairs p
+      JOIN sig a ON a.doc_id = p.id_a
+      JOIN sig b ON b.doc_id = p.id_b
+    ),
+    sets AS (
+      SELECT doc_id, list_distinct(sh) AS sh
+      FROM (
+        SELECT doc_id, {_shingles_sql(3)} AS sh
+        FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+      )
+    ),
+    ex AS (
+      SELECT id_a, id_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS exact_jaccard
+      FROM pairs
+      JOIN sets a ON pairs.id_a = a.doc_id
+      JOIN sets b ON pairs.id_b = b.doc_id
+    )
+    SELECT e.id_a, e.id_b, e.est_jaccard, x.exact_jaccard,
+           round(abs(e.est_jaccard - x.exact_jaccard), 6) AS abs_err
+    FROM est e JOIN ex x ON x.id_a = e.id_a AND x.id_b = e.id_b
+    """,
+    tags=("dedup", "lsh", "audit"),
+    doc="Sketch quality audit for the MinHash dedup path: per LSH "
+    "candidate pair, the signature-agreement Jaccard estimate "
+    "(matches/12) against the exact shingle-set Jaccard, with absolute "
+    "error. The estimator-calibration check a dedup deployment runs "
+    "before trusting banding thresholds at corpus scale; candidates "
+    "only, never all-pairs. operators.dedup_text.minhash_signatures + "
+    "jaccard_verify.",
+)
+def minhash_estimate_report(spark, sf_dir):
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    sig = DT.minhash_signatures(docs)
+    pairs = DT.lsh_candidate_pairs(docs)
+    matches = sum(
+        (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int")
+        for i in range(DT.MINHASH_PERMS)
+    )
+    est = (
+        pairs.join(sig.alias("a"), F.col("id_a") == F.col("a.doc_id"))
+        .join(sig.alias("b"), F.col("id_b") == F.col("b.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                matches.cast("double") / DT.MINHASH_PERMS, 6
+            ).alias("est_jaccard"),
+        )
+    )
+    exact = DT.jaccard_verify(docs, pairs, threshold=0.0).withColumnRenamed(
+        "jaccard", "exact_jaccard"
+    )
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        "exact_jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6).alias(
+            "abs_err"
+        ),
+    )

@@ -87,3 +87,27 @@ def test_normalize_rejects_garbage_ts_type(spark):
 def test_normalize_noop_without_ts(spark):
     df = spark.createDataFrame([(1,)], "event_id long")
     assert normalize_events_ts(df) is df
+
+
+# ---------------------------------------------------------------------
+# embeddings drift: float32 vs float64 element type must not change any
+# quantized value (quantized() casts through double before rounding)
+# ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("elem", ["float", "double"])
+def test_embedding_element_type_drift(spark, tmp_path, elem):
+    from clickhouse_github_log_importer_spark.operators.similarity import (
+        with_quantized_norm,
+    )
+
+    sf_dir = str(tmp_path / f"emb_{elem}")
+    os.makedirs(sf_dir, exist_ok=True)
+    rng = [0.125, -0.5, 0.0009765625, 1.0]  # exactly representable in f32
+    arr = pa.array([rng], pa.list_(pa.float32() if elem == "float" else pa.float64()))
+    table = pa.table({"vec_id": pa.array([1], pa.int64()), "embedding": arr})
+    pq.write_table(table, os.path.join(sf_dir, "embeddings.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    row = with_quantized_norm(df).first()
+    assert list(row["q"]) == [round(v * 1000) for v in rng]
+    assert row["norm2"] == sum(round(v * 1000) ** 2 for v in rng)
