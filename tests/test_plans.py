@@ -269,3 +269,35 @@ def test_graph_and_temporal_queries_never_nested_loop(spark, sf_smoke):
             name, 0
         ), name
         assert "CartesianProduct" not in tree(p), name
+
+
+def test_retention_cohorts_single_scan_no_join(spark, sf_smoke):
+    # cohort week must come from a window over the SAME distinct pass —
+    # a second fact-table scan or a join here doubles the 100 TB cost
+    p = explain(spark, "retention_cohorts", sf_smoke)
+    assert tree(p).count("Scan parquet") == 1
+    assert "Join" not in p
+
+
+def test_funnel_single_scan_single_shuffle(spark, sf_smoke):
+    # the three stage timestamps are cascading conditional window mins
+    # over one user_id shuffle; no self-joins, no extra exchanges beyond
+    # the window hash + the final single-partition rollup
+    p = explain(spark, "event_funnel_conversion", sf_smoke)
+    assert tree(p).count("Scan parquet") == 1
+    assert "Join" not in p
+    assert tree(p).count("Exchange") <= 3
+
+
+def test_transitions_one_shuffle(spark, sf_smoke):
+    p = explain(spark, "event_type_transitions", sf_smoke)
+    assert tree(p).count("Scan parquet") == 1
+    assert "Join" not in p
+
+
+def test_minhash_report_no_cartesian(spark, sf_smoke):
+    # estimator audit joins candidates back to signatures/shingles on
+    # equi-keys only — any nested loop over doc pairs is quadratic
+    p = explain(spark, "minhash_estimate_report", sf_smoke)
+    assert "CartesianProduct" not in tree(p)
+    assert "BroadcastNestedLoopJoin" not in tree(p)
