@@ -2530,6 +2530,65 @@ def event_type_transitions(spark, sf_dir):
     )
 
 
+@register(
+    "user_activity_gini",
+    """
+    WITH pu AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+    h AS (SELECT c, count(*) AS m FROM pu GROUP BY c),
+    s AS (
+      SELECT c, m,
+             CAST(COALESCE(sum(m) OVER (ORDER BY c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS prev
+      FROM h
+    ),
+    agg AS (
+      SELECT CAST(sum(c * (m * prev + (m * (m + 1)) // 2)) AS BIGINT) AS rank_sum,
+             CAST(sum(m) AS BIGINT) AS n,
+             CAST(sum(c * m) AS BIGINT) AS total
+      FROM s
+    )
+    SELECT n AS n_users, total AS total_events,
+           round(2.0 * rank_sum / (CAST(n AS DOUBLE) * total)
+                 - (n + 1.0) / n, 6) AS gini
+    FROM agg
+    """,
+    tags=("A2", "audit"),
+    doc="Contributor-concentration audit: exact Gini coefficient of "
+    "per-user event counts. Scalable shape: aggregate users to an "
+    "activity HISTOGRAM (rows = distinct activity levels, thousands at "
+    "most), then exact integer rank-block sums over that tiny frame — "
+    "the user dimension is never globally sorted. Within an equal-count "
+    "tie block the rank-weighted sum is order-independent, so the value "
+    "is deterministic on any engine. Final formula is the only float op.",
+)
+def user_activity_gini(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(F.count("*").alias("c"))
+    h = pu.groupBy("c").agg(F.count("*").alias("m"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    s = h.withColumn(
+        "prev", F.coalesce(F.sum("m").over(w), F.lit(0)).cast("long")
+    )
+    agg = s.agg(
+        F.sum(F.expr("c * (m * prev + (m * (m + 1)) div 2)"))
+        .cast("long")
+        .alias("rank_sum"),
+        F.sum("m").cast("long").alias("n"),
+        F.sum(F.expr("c * m")).cast("long").alias("total"),
+    )
+    return agg.select(
+        F.col("n").alias("n_users"),
+        F.col("total").alias("total_events"),
+        F.round(
+            F.lit(2.0) * F.col("rank_sum")
+            / (F.col("n").cast("double") * F.col("total"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401
