@@ -4,6 +4,17 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
+The printed line is kept COMPACT (< ~1.8 KB): the driver captures only the
+last 2 KB of stdout, and with 92 registered queries a full per-query map
+blows past that (round 3's artifact was truncated to unparseability).
+The printed `queries` map therefore holds only the top-10 slowest; the
+complete per-query map (and full error strings) is written to
+BENCH_FULL.json beside this script.
+
+If any query fails, `value` is null — a partial sum would read as a
+speedup to any consumer that doesn't check `errors`; `queries_failed`
+carries the count.
+
 Each query is executed with a count()-style full materialization (collect
 on the final, already-small result) after a warm-up of the input parquet
 footers. Timings are per-query wall clock.
@@ -158,17 +169,58 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    summary = {
+    # Full artifact -> sidecar file (complete per-query map + full errors).
+    full = {
         "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
+        "value": None if errors else round(sum(timings.values()), 3),
+        "total_timed": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
         **ingest,
     }
     if errors:
-        summary["errors"] = errors
-    print(json.dumps(summary))
+        full["errors"] = errors
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError as e:
+        errors["_sidecar"] = f"{type(e).__name__}: {e}"[:200]
+
+    # Printed line -> compact: top-10 slowest queries, error strings capped
+    # hard, and a final byte-budget guard so the driver's 2 KB tail capture
+    # always sees valid JSON with the headline `value` intact.
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": None if errors else round(sum(timings.values()), 3),
+        "total_timed": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "queries_benched": len(timings),
+        "queries_failed": len(errors),
+        "queries": top10,
+        "full": "BENCH_FULL.json",
+        **ingest,
+    }
+    if errors:
+        summary["errors"] = {
+            k: v[:80] for k, v in list(sorted(errors.items()))[:5]
+        }
+        if len(errors) > 5:
+            summary["errors"]["_more"] = f"{len(errors) - 5} more, see sidecar"
+    line = json.dumps(summary)
+    while len(line.encode()) > 1800 and summary["queries"]:
+        # drop the cheapest of the remaining top-N until the line fits
+        drop = min(summary["queries"], key=summary["queries"].get)
+        del summary["queries"][drop]
+        line = json.dumps(summary)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

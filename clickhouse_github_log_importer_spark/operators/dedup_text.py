@@ -106,6 +106,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     perms: int = MINHASH_PERMS,
     shingle_n: int = 3,
+    keep_shingles: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature as `perms` columns mh_0..mh_{p-1}.
 
@@ -113,10 +114,19 @@ def minhash_signatures(
     explode, no shuffle, embarrassingly parallel over the scan. One md5
     per shingle; permutations are affine maps over M31 (see
     perm_constants).
+
+    With ``keep_shingles`` the distinct shingle array rides along as an
+    ``sh`` column, so a caller that needs BOTH signatures and exact
+    shingle sets (the estimator-calibration audit) pays one corpus scan
+    instead of re-shingling per consumer. Signatures are unchanged:
+    min over a permuted hash is invariant to duplicate shingles.
     """
-    sh = shingles_of(text_col, shingle_n)
+    sh = F.array_distinct(shingles_of(text_col, shingle_n))
     bases = F.transform(sh, lambda x: md5_hash64(x) % MERSENNE31)
-    out = df.select(F.col(id_col), bases.alias("_bases"))
+    if keep_shingles:
+        out = df.select(F.col(id_col), sh.alias("sh"), bases.alias("_bases"))
+    else:
+        out = df.select(F.col(id_col), bases.alias("_bases"))
 
     # one-arg closure per permutation (a (x, s=s) default would be treated
     # as an (element, index) lambda and bind the array index to s)
@@ -156,13 +166,19 @@ def lsh_candidate_pairs(
     perms: int = MINHASH_PERMS,
     bands: int = MINHASH_BANDS,
     scope: CacheScope | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any MinHash band.
 
     The self-join key (band, band_hash) is a uniform 60-bit hash: no skew,
     and the per-bucket fanout is bounded by real near-duplicate clusters.
+
+    ``sig``: precomputed signature frame (first column = id, mh_* columns)
+    — pass it when the caller already materialized signatures (audit
+    queries) so the shingle+hash pipeline isn't recomputed here.
     """
-    sig = minhash_signatures(df, text_col, id_col, perms)
+    if sig is None:
+        sig = minhash_signatures(df, text_col, id_col, perms)
     # persist the (small) band table: the self-join would otherwise
     # recompute the full shingle+hash pipeline for BOTH sides (~2x cost
     # measured). One row per band per doc — tiny relative to the corpus;
@@ -347,20 +363,29 @@ def jaccard_verify(
     shingle_n: int = 3,
     threshold: float = 0.5,
     scope: CacheScope | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs (the verify stage).
 
     (id_a, id_b, jaccard) for pairs >= threshold. Joins the (small)
     candidate set back to the shingle arrays, set math per-row.
+
+    ``sets``: precomputed (id, sh) distinct-shingle frame — pass it when
+    the caller already materialized shingles (e.g. via
+    ``minhash_signatures(keep_shingles=True)``) to skip re-shingling the
+    corpus; the caller owns its persistence in that case.
     """
-    # persisted: joined twice (once per pair side)
-    sets = persist_in(
-        scope,
-        df.select(
-            F.col(id_col),
-            F.array_distinct(shingles_of(text_col, shingle_n)).alias("sh"),
-        ),
-    )
+    if sets is None:
+        # persisted: joined twice (once per pair side)
+        sets = persist_in(
+            scope,
+            df.select(
+                F.col(id_col),
+                F.array_distinct(shingles_of(text_col, shingle_n)).alias("sh"),
+            ),
+        )
+    else:
+        sets = sets.select(F.col(id_col), F.col("sh"))
     out = (
         pairs.join(sets.withColumnRenamed("sh", "sh_a"), pairs.id_a == sets[id_col])
         .drop(id_col)

@@ -179,8 +179,14 @@ def simhash_signatures(spark, sf_dir):
 )
 def ngram_jaccard_pairs(spark, sf_dir):
     docs = _spread(spark, t(spark, sf_dir, "documents"))
-    pairs = DT.lsh_candidate_pairs(docs)
-    return DT.jaccard_verify(docs, pairs, threshold=0.5)
+    # one corpus scan: signatures + distinct shingle sets together; LSH
+    # banding and the Jaccard verify both consume the persisted profile
+    # (LRU lifetime — query entries return before the consuming action)
+    prof = DT.minhash_signatures(docs, keep_shingles=True).persist()
+    pairs = DT.lsh_candidate_pairs(docs, sig=prof.drop("sh"))
+    return DT.jaccard_verify(
+        docs, pairs, threshold=0.5, sets=prof.select("doc_id", "sh")
+    )
 
 
 # =====================================================================
@@ -292,17 +298,22 @@ _IVF_QN = f"""
 """
 
 
-#: coarse-quantizer memo, keyed by sf_dir: like the k-means codebook, the
-#: IVF quantizer is deterministic driver-side state (16 x dims ints) shared
-#: by every IVF query in the process instead of re-collected per query
-_IVF_CB: dict[str, list[tuple[int, list[int], int]]] = {}
+#: coarse-quantizer memo, keyed by the embeddings table fingerprint
+#: (path, mtime, size — not bare sf_dir, so in-place regeneration
+#: invalidates): like the k-means codebook, the IVF quantizer is
+#: deterministic driver-side state (16 x dims ints) shared by every IVF
+#: query in the process instead of re-collected per query
+_IVF_CB: dict[tuple, list[tuple[int, list[int], int]]] = {}
 
 
 def _ivf_codebook(spark, sf_dir):
-    if sf_dir not in _IVF_CB:
+    from .queries import table_fingerprint
+
+    key = table_fingerprint(sf_dir, "embeddings")
+    if key not in _IVF_CB:
         emb = _spread(spark, t(spark, sf_dir, "embeddings"))
-        _IVF_CB[sf_dir] = SIM.ivf_codebook(emb, n_lists=16)
-    return _IVF_CB[sf_dir]
+        _IVF_CB[key] = SIM.ivf_codebook(emb, n_lists=16)
+    return _IVF_CB[key]
 
 
 @register(
@@ -1170,18 +1181,22 @@ def _kmeans_cte(k: int, iters: int, dims: int) -> str:
 _KM_CTE = _kmeans_cte(KM_K, KM_ITERS, KM_DIMS)
 
 
-#: fitted-codebook memo, keyed by (sf_dir, k, iters). The fit is
-#: bit-deterministic (exact integer Lloyd's), so the centroid matrix is a
-#: reusable model artifact — the three kmeans-family queries share one fit
-#: per process instead of refitting (iters+1 corpus scans each) per query.
-_KM_CENTS: dict[tuple[str, int, int], list[list[int]]] = {}
+#: fitted-codebook memo, keyed by (embeddings fingerprint, k, iters). The
+#: fit is bit-deterministic (exact integer Lloyd's), so the centroid matrix
+#: is a reusable model artifact — the three kmeans-family queries share one
+#: fit per process instead of refitting (iters+1 corpus scans each) per
+#: query. The fingerprint (path, mtime, size) invalidates the memo if the
+#: table is regenerated in place mid-process; the SQL oracle refits from
+#: the data, so a stale model would silently break parity.
+_KM_CENTS: dict[tuple, list[list[int]]] = {}
 
 
 def _kmeans(spark, sf_dir):
     from ..operators import clustering as KM
+    from .queries import table_fingerprint
 
     emb = _spread(spark, t(spark, sf_dir, "embeddings"))
-    key = (sf_dir, KM_K, KM_ITERS)
+    key = (table_fingerprint(sf_dir, "embeddings"), KM_K, KM_ITERS)
     assigned, cents = KM.kmeans_fit(
         emb, k=KM_K, iters=KM_ITERS, centroids=_KM_CENTS.get(key)
     )
@@ -1434,8 +1449,14 @@ def _minhash_est_sql(perms: int = DT.MINHASH_PERMS) -> str:
 )
 def minhash_estimate_report(spark, sf_dir):
     docs = _spread(spark, t(spark, sf_dir, "documents"))
-    sig = DT.minhash_signatures(docs)
-    pairs = DT.lsh_candidate_pairs(docs)
+    # ONE corpus scan for the whole audit: the persisted profile carries
+    # both the signature columns (est side, banding side) and the distinct
+    # shingle sets (exact side). Round 3 computed the shingle->hash
+    # pipeline ~3x here (signatures, then lsh_candidate_pairs' internal
+    # recompute, then jaccard_verify's re-shingle).
+    prof = DT.minhash_signatures(docs, keep_shingles=True).persist()
+    sig = prof.drop("sh")
+    pairs = DT.lsh_candidate_pairs(docs, sig=sig).persist()
     matches = sum(
         (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int")
         for i in range(DT.MINHASH_PERMS)
@@ -1451,9 +1472,9 @@ def minhash_estimate_report(spark, sf_dir):
             ).alias("est_jaccard"),
         )
     )
-    exact = DT.jaccard_verify(docs, pairs, threshold=0.0).withColumnRenamed(
-        "jaccard", "exact_jaccard"
-    )
+    exact = DT.jaccard_verify(
+        docs, pairs, threshold=0.0, sets=prof.select("doc_id", "sh")
+    ).withColumnRenamed("jaccard", "exact_jaccard")
     return est.join(exact, ["id_a", "id_b"]).select(
         "id_a",
         "id_b",
