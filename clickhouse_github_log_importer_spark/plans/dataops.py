@@ -696,13 +696,56 @@ def corpus_quality_summary(spark, sf_dir):
     """,
     tags=("multimodal",),
     doc="Binary-column feature extraction through the real mapInPandas "
-    "plumbing (Arrow batches, declared schema, stubbed codec): byte "
+    "plumbing (Arrow batches, declared schema) with the codec-agnostic "
+    "fake decoder — the plumbing test double; multimodal_image_features "
+    "runs the same path through the REAL PPM/BMP codecs: byte "
     "count, frame count at stride 16, head digest. "
     "operators.multimodal.extract_features.",
 )
 def multimodal_features(spark, sf_dir):
     media = MM.as_media_table(_spread(spark, t(spark, sf_dir, "documents")))
     return MM.extract_features(media)
+
+
+def _channel_sum_sql(c: int) -> str:
+    n = f"(48 * (4 + doc_id % 5))"
+    return (
+        f"CAST(list_sum(list_transform("
+        f"list_filter(range(0, {n}), k -> k % 3 = {c}), "
+        f"k -> (doc_id * {MM.PIX_A} + k * {MM.PIX_B}) % 256)) AS BIGINT)"
+    )
+
+
+@register(
+    "multimodal_image_features",
+    f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+           CAST({MM.IMG_WIDTH} AS BIGINT) AS width,
+           CAST(4 + doc_id % 5 AS BIGINT) AS height,
+           CAST({MM.IMG_WIDTH} * (4 + doc_id % 5) AS BIGINT) AS n_pixels,
+           {_channel_sum_sql(0)} AS sum_r,
+           {_channel_sum_sql(1)} AS sum_g,
+           {_channel_sum_sql(2)} AS sum_b
+    FROM documents
+    """,
+    tags=("multimodal",),
+    doc="REAL image decode end-to-end: one deterministic synthetic image "
+    "per doc (pixel k = (doc_id*PIX_A + k*PIX_B) mod 256), encoded as an "
+    "actual P6 PPM (even ids) or uncompressed 24-bit BMP (odd ids) binary "
+    "payload, then parsed back by the pure-stdlib codecs "
+    "(operators.multimodal.decode_ppm/decode_bmp: header parse, BGR->RGB, "
+    "bottom-up row order, 4-byte padding) and reduced to typed features. "
+    "The oracle recomputes dims + exact per-channel integer sums from the "
+    "same closed-form formula, so a decode bug in either container "
+    "(channel swap, row-order, padding) breaks hash parity. Both codecs "
+    "are load-bearing in one query. operators.multimodal."
+    "as_image_media_table + extract_image_features.",
+)
+def multimodal_image_features(spark, sf_dir):
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    media = MM.as_image_media_table(docs)
+    return MM.extract_image_features(media)
 
 
 @register(

@@ -144,9 +144,60 @@ def test_multimodal_features(docs):
     assert by_id[1] == math.ceil(len(text1.encode()) / MM.FRAME_STRIDE)
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG")
+def test_decode_unknown_magic_raises():
+    with pytest.raises(ValueError):
+        MM.decode_image(b"\x89PNG....")
+
+
+def test_ppm_roundtrip():
+    import numpy as np
+
+    rgb = bytes(range(16 * 3)) * 2  # 16x2 image
+    payload = MM.encode_ppm(16, 2, rgb)
+    img = MM.decode_image(payload)
+    assert (img["format"], img["width"], img["height"]) == ("ppm", 16, 2)
+    assert img["pixels"].tobytes() == rgb
+    # netpbm comment + arbitrary whitespace in the header still parse
+    commented = b"P6\n# a comment\n 16\t2 # trailing\n255\n" + rgb
+    assert MM.decode_ppm(commented)["pixels"].tobytes() == rgb
+    assert np.array_equal(MM.decode_ppm(commented)["pixels"], img["pixels"])
+
+
+def test_bmp_roundtrip_padding_and_channel_order():
+    # width 3 -> 9-byte rows pad to 12: exercises both padding and the
+    # BGR + bottom-up conversions; round-trip must restore flat RGB
+    rgb = bytes(range(3 * 2 * 3))
+    payload = MM.encode_bmp(3, 2, rgb)
+    assert payload[:2] == b"BM"
+    img = MM.decode_image(payload)
+    assert (img["format"], img["width"], img["height"]) == ("bmp", 3, 2)
+    assert img["pixels"].tobytes() == rgb
+
+
+def test_corrupt_payloads_rejected():
+    rgb = bytes(48)
+    with pytest.raises(ValueError):
+        MM.decode_ppm(MM.encode_ppm(4, 4, rgb)[:-5])  # truncated pixels
+    with pytest.raises(ValueError):
+        MM.decode_bmp(MM.encode_bmp(4, 4, rgb)[:2] + b"\x00" * 52)  # bad bpp
+    with pytest.raises(ValueError):
+        MM.encode_ppm(5, 5, rgb)  # wrong byte count
+
+
+def test_image_media_roundtrip_features(spark):
+    import numpy as np
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    media = MM.as_image_media_table(docs)
+    feats = {r["doc_id"]: r for r in MM.extract_image_features(media).collect()}
+    for d in range(6):
+        px = MM.synth_pixels(d).astype(np.int64).reshape(-1, 3)
+        r = feats[d]
+        assert r["format"] == ("ppm" if d % 2 == 0 else "bmp")
+        assert (r["width"], r["height"]) == (MM.IMG_WIDTH, MM.img_height(d))
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (
+            px[:, 0].sum(), px[:, 1].sum(), px[:, 2].sum(),
+        )
 
 
 def test_connected_components(spark):

@@ -1,6 +1,9 @@
 """Streaming funnel: completion records must match the batch operator's
-stage times for users that convert, state must drop on conversion, and
-unconverted users must emit nothing."""
+stage times for users that convert (exact within the watermark — emission
+waits until the watermark passes the purchase), late-but-within-watermark
+prerequisite stages arriving in later micro-batches must still count,
+a user emits at most one conversion record, and unconverted users emit
+nothing."""
 
 from __future__ import annotations
 
@@ -36,9 +39,14 @@ def test_funnel_streaming_matches_batch_semantics(spark, tmp_path):
         os.utime(path, (m, m))
 
     # user 1 converts across batches: signup in b1, click+purchase in b2.
-    # the out-of-order click at iso(5) (BEFORE the signup) must not count.
+    #   the out-of-order click at iso(5) (BEFORE the signup) must not count.
     # user 2 clicks before signing up -> never completes -> no emission.
     # user 3 converts within one batch, strictly ordered.
+    # user 4 is the ADVICE scenario: purchase and click arrive FIRST (b1),
+    #   the prerequisite signup arrives in a LATER batch (b2) but with an
+    #   EARLIER event time — buffering must recover the conversion.
+    # user 5 completes two full sequences -> exactly ONE emitted record
+    #   (the earliest funnel), matching the batch twin's one-row-per-user.
     write_batch(
         "b1.csv",
         [
@@ -49,6 +57,11 @@ def test_funnel_streaming_matches_batch_semantics(spark, tmp_path):
             (3, iso(0), "signup"),
             (3, iso(1), "click"),
             (3, iso(2), "purchase"),
+            (4, iso(50), "purchase"),
+            (4, iso(30), "click"),
+            (5, iso(0), "signup"),
+            (5, iso(1), "click"),
+            (5, iso(2), "purchase"),
         ],
         -120,
     )
@@ -58,16 +71,23 @@ def test_funnel_streaming_matches_batch_semantics(spark, tmp_path):
             (1, iso(30), "click"),
             (1, iso(40), "purchase"),
             (2, iso(30), "purchase"),  # no valid click yet -> ignored
+            (4, iso(20), "signup"),  # late prerequisite, within watermark
+            (5, iso(100), "signup"),  # second full sequence for user 5
+            (5, iso(101), "click"),
+            (5, iso(102), "purchase"),
         ],
-        0,
+        -60,
     )
+    # flush batch: a lone far-future event advances the watermark past
+    # every purchase above so all completed funnels finalize and emit
+    write_batch("b3.csv", [(99, iso(800), "signup")], 0)
 
     raw = (
         spark.readStream.schema("user_id long, ts timestamp, event_type string")
         .option("maxFilesPerTrigger", 1)
         .csv(in_dir)
     )
-    out = funnel_streaming(raw.withWatermark("ts", "10 minutes"))
+    out = funnel_streaming(raw.withWatermark("ts", "1 minute"))
     q = (
         out.writeStream.format("parquet")
         .option("path", out_dir)
@@ -78,11 +98,15 @@ def test_funnel_streaming_matches_batch_semantics(spark, tmp_path):
     )
     q.awaitTermination(180)
 
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == len({r["user_id"] for r in rows})  # one record/user
     got = {
         r["user_id"]: (r["signup_us"], r["click_us"], r["purchase_us"])
-        for r in spark.read.parquet(out_dir).collect()
+        for r in rows
     }
     assert got == {
         1: (us(10), us(30), us(40)),
         3: (us(0), us(1), us(2)),
+        4: (us(20), us(30), us(50)),
+        5: (us(0), us(1), us(2)),
     }

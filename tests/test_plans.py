@@ -295,6 +295,19 @@ def test_transitions_one_shuffle(spark, sf_smoke):
     assert "Join" not in p
 
 
+def test_gini_single_scan_histogram_window(spark, sf_smoke):
+    # Gini runs over the per-count activity HISTOGRAM, never the user dim:
+    # one fact scan, no joins, exactly one Window — and that window sorts
+    # the tiny histogram (post-aggregation), not users or events. A
+    # regression to a join-based or user-level-window plan is a global
+    # sort of the user dimension at 100 TB.
+    p = explain(spark, "user_activity_gini", sf_smoke)
+    assert tree(p).count("Scan parquet") == 1
+    assert "Join" not in p
+    assert tree(p).count("Window") == 1
+    assert tree(p).count("Exchange") <= 3
+
+
 def test_minhash_report_no_cartesian(spark, sf_smoke):
     # estimator audit joins candidates back to signatures/shingles on
     # equi-keys only — any nested loop over doc pairs is quadratic

@@ -90,6 +90,81 @@ def test_normalize_noop_without_ts(spark):
 
 
 # ---------------------------------------------------------------------
+# property: the loader contract holds for GENERATED instants across the
+# whole resolution x tz-awareness matrix, not just the one pinned value —
+# the next driver drift is caught by construction, not by a red round
+# ---------------------------------------------------------------------
+
+import datetime as _dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# 1970..2100, in microseconds — the range any plausible testdata generator
+# emits; avoids int64-edge and pre-epoch render corner cases that the
+# driver can't produce
+_INSTANTS = st.lists(
+    st.integers(min_value=0, max_value=4_102_444_800_000_000 - 1),
+    min_size=1,
+    max_size=8,
+    unique=True,
+)
+
+_MATRIX = {
+    "micros_ntz": ("us", None),
+    "micros_utc": ("us", "UTC"),
+    "millis_ntz": ("ms", None),
+    "millis_utc": ("ms", "UTC"),
+    "nanos_ntz": ("ns", None),
+}
+
+
+@pytest.mark.parametrize("enc", sorted(_MATRIX))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(instants=_INSTANTS)
+def test_events_ts_loader_property(spark, tmp_path_factory, enc, instants):
+    unit, tz = _MATRIX[enc]
+    scale = {"us": 1, "ms": 1_000, "ns": 1}[unit]
+    # millis can only represent ms-truncated instants; physical values are
+    # unit-scaled integers
+    vals = [(us // scale) * scale for us in instants]
+    phys = [
+        us // 1_000 if unit == "ms" else (us * 1_000 if unit == "ns" else us)
+        for us in vals
+    ]
+    tmpdir = str(tmp_path_factory.mktemp("tsprop"))
+    sf_dir = os.path.join(tmpdir, "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    n = len(vals)
+    table = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(phys, pa.timestamp(unit, tz=tz)),
+            "user_id": pa.array([7] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array([1.5] * n, pa.float64()),
+            "props": pa.array(['{"k": 1}'] * n, pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(sf_dir, "events.parquet"))
+
+    df = t(spark, sf_dir, "events")
+    dtypes = dict(df.dtypes)
+    assert dtypes["ts_us"] == "bigint" and dtypes["ts"] == "timestamp"
+    rows = {r["event_id"]: r for r in df.select("event_id", "ts_us", "ts").collect()}
+    for i, us in enumerate(vals):
+        assert rows[i]["ts_us"] == us, enc
+        want = _dt.datetime.fromtimestamp(
+            us // 1_000_000, tz=_dt.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S")
+        assert rows[i]["ts"].strftime("%Y-%m-%d %H:%M:%S") == want, enc
+
+
+# ---------------------------------------------------------------------
 # embeddings drift: float32 vs float64 element type must not change any
 # quantized value (quantized() casts through double before rounding)
 # ---------------------------------------------------------------------
