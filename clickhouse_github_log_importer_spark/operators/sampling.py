@@ -109,6 +109,60 @@ def temperature_mixture(
     )
 
 
+def per_stratum_cap(
+    df: DataFrame,
+    strata_col: str,
+    order_col: str,
+    id_col: str,
+    cap: int = 100,
+) -> DataFrame:
+    """Cap rows kept per stratum, preferring the largest ``order_col``
+    (ties -> smallest ``id_col``): the C4/RefinedWeb-style per-domain cap
+    that stops one giant source from dominating a training mix.
+
+    One window shuffle keyed by the stratum. At 100 TB stratum = domain /
+    source: high cardinality, and the per-partition TOP-cap heap never
+    holds more than ``cap`` rows per stratum — a skewed mega-domain costs
+    a sort of its own rows, which AQE skew-split further divides. The
+    deterministic (order, id) tiebreak makes the kept set bit-stable
+    under any partitioning — RNG caps are not re-derivable.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    val_pct: int = 1,
+    test_pct: int = 1,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash residue class
+    (default 98/1/1): ``split`` column derived from ``md5(key) % 100``.
+
+    The split is a narrow map — no shuffle, no global count, no RNG state
+    — and consistent across tables (same key ⇒ same split), so features
+    joined later can never leak a train row into the eval split. The
+    standard held-out protocol for corpus-scale training data.
+    """
+    if val_pct + test_pct >= 100:
+        raise ValueError("val+test must leave room for train")
+    bucket = md5_hash64(F.col(key_col).cast("string")) % 100
+    train_hi = 100 - val_pct - test_pct
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_hi, F.lit("train"))
+        .when(bucket < train_hi + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
 def stratified_sample_summary(
     df: DataFrame,
     key_col: str,

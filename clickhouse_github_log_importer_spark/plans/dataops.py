@@ -14,6 +14,7 @@ DuckDB-SQL building blocks mirroring the Spark operators:
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash64_sql
@@ -793,6 +794,91 @@ def docs_hash_sample(spark, sf_dir):
 
     return stratified_sample_summary(
         _spread(spark, t(spark, sf_dir, "documents")), "doc_id", "lang"
+    )
+
+
+@register(
+    "source_capped_sample",
+    """
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n_total
+      FROM documents
+    )
+    SELECT source, min(n_total) AS n_total, COUNT(*) AS n_kept,
+           sum(n_chars) AS kept_chars, min(doc_id) AS min_kept_doc_id
+    FROM ranked WHERE rn <= 40
+    GROUP BY source
+    """,
+    tags=("sampling", "curation"),
+    doc="Per-source document cap (keep the 40 largest docs per source, "
+    "deterministic (n_chars DESC, doc_id) order): the C4/RefinedWeb-style "
+    "domain cap that stops one mega-source from dominating a mix. The "
+    "rank and the per-source total ride ONE window shuffle (no join back, "
+    "no second scan); kept rows reduce to a per-source audit. "
+    "operators.sampling.per_stratum_cap is the row-level form.",
+)
+def source_capped_sample(spark, sf_dir):
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    w_all = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count("*").over(w_all).alias("_n_total"),
+    )
+    return (
+        ranked.filter(F.col("_rn") <= 40)
+        .groupBy("source")
+        .agg(
+            F.min("_n_total").alias("n_total"),
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("doc_id").alias("min_kept_doc_id"),
+        )
+    )
+
+
+@register(
+    "dataset_split_summary",
+    f"""
+    SELECT source,
+           CASE WHEN h < 98 THEN 'train' WHEN h < 99 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, sum(n_chars) AS sum_chars,
+           min(doc_id) AS min_doc_id
+    FROM (
+      SELECT source, doc_id, n_chars,
+             {md5_hash64_sql("CAST(doc_id AS VARCHAR)")} % 100 AS h
+      FROM documents
+    )
+    GROUP BY source, split
+    """,
+    tags=("sampling", "curation"),
+    doc="Deterministic 98/1/1 train/val/test assignment by md5 residue "
+    "class of the doc key, audited per (source, split). A narrow map — "
+    "no RNG, no shuffle, no global count — and consistent across tables "
+    "(same key => same split), so later joins cannot leak train rows "
+    "into eval. operators.sampling.split_assign.",
+)
+def dataset_split_summary(spark, sf_dir):
+    from ..operators.sampling import split_assign
+
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return (
+        split_assign(docs, "doc_id")
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
     )
 
 

@@ -2191,20 +2191,21 @@ def user_trailing_7d_value(spark, sf_dir):
     WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
     """,
     tags=("window",),
-    doc="Distribution-rank window battery (percent_rank / cume_dist / "
-    "ntile) per event type — the remaining ranking-family functions the "
-    "window surface had not exercised. Ordering carries the unique "
-    "event_id tiebreak so every rank is engine-deterministic.",
+    doc="Distribution-rank battery (percent_rank / cume_dist / ntile) "
+    "per event type. NOT a naive Window.partitionBy(event_type) — that "
+    "serializes each type's sort onto one task (the scale probe measured "
+    "4x growth on 3x data). Re-planned on operators.ranking.rank_profile: "
+    "range-partition by (type, value, id), local ranks, tiny prefix-"
+    "offset table broadcast back — value-identical (the unique event_id "
+    "tiebreak makes ranks closed-form), parallel at any scale.",
 )
 def event_rank_profile(spark, sf_dir):
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return t(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
-        F.round(F.cume_dist().over(w), 6).alias("cd"),
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-    )
+    from ..operators.ranking import rank_profile
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return rank_profile(
+        ev, ["event_type"], ["value", "event_id"], ntile=4
+    ).select("event_id", "event_type", "pr", "cd", "quartile")
 
 
 # =====================================================================

@@ -256,6 +256,62 @@ def test_temperature_mixture_shares(spark):
     assert nat["en"]["temp_share"] == nat["en"]["raw_share"]
 
 
+def test_per_stratum_cap(spark):
+    from clickhouse_github_log_importer_spark.operators.sampling import (
+        per_stratum_cap,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big", 1000 - i) for i in range(10)]
+        + [(100 + i, "small", 50) for i in range(2)],
+        "doc_id long, source string, n_chars long",
+    )
+    kept = per_stratum_cap(df, "source", "n_chars", "doc_id", cap=3).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # big source capped at 3, keeping the 3 largest n_chars (ids 0,1,2)
+    assert by_src["big"] == {0, 1, 2}
+    # under-cap stratum passes through whole
+    assert by_src["small"] == {100, 101}
+    # ties break by smallest id: both 'small' rows tie at 50 and both fit,
+    # but with cap=1 the smaller id wins deterministically
+    one = per_stratum_cap(df, "source", "n_chars", "doc_id", cap=1).collect()
+    assert {r["doc_id"] for r in one if r["source"] == "small"} == {100}
+
+
+def test_split_assign_partitions_and_consistency(spark):
+    from clickhouse_github_log_importer_spark.operators.sampling import (
+        split_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    rows = split_assign(df, "doc_id").collect()
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    # every row assigned, rates near 98/1/1 (hash-uniformity tolerance)
+    assert sum(counts.values()) == 2000
+    assert counts["train"] > 1900
+    assert 0 < counts.get("val", 0) < 100 and 0 < counts.get("test", 0) < 100
+    # consistent across tables: the same keys in another frame land in
+    # the same split (the no-leakage property)
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            spark.createDataFrame([(i, "x") for i in range(2000)],
+                                  "doc_id long, other string"),
+            "doc_id",
+        ).collect()
+    }
+    for r in rows:
+        assert again[r["doc_id"]] == r["split"]
+    with pytest.raises(ValueError):
+        split_assign(df, "doc_id", val_pct=60, test_pct=40)
+
+
 def test_eval_overlap_report(spark):
     from clickhouse_github_log_importer_spark.operators.decontamination import (
         eval_overlap_report,

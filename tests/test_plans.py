@@ -314,3 +314,20 @@ def test_minhash_report_no_cartesian(spark, sf_smoke):
     p = explain(spark, "minhash_estimate_report", sf_smoke)
     assert "CartesianProduct" not in tree(p)
     assert "BroadcastNestedLoopJoin" not in tree(p)
+
+
+def test_rank_profile_range_partitioned_not_serial(spark, sf_smoke):
+    # percent_rank/ntile per event_type must NOT plan as a window hash-
+    # partitioned by the low-cardinality type column alone — that caps
+    # parallelism at the number of types and serializes each type's sort
+    # onto one task (measured 4x growth on 3x data before the re-plan).
+    # The distributed form range-partitions on (type, value, id) and
+    # broadcasts a tiny prefix-offset table back.
+    p = explain(spark, "event_rank_profile", sf_smoke)
+    low = p.lower()
+    assert "rangepartitioning" in low  # the parallel sample-based sort
+    assert "broadcasthashjoin" in tree(p).lower()  # offsets join back small
+    # the per-row rank window must be keyed by the range slice (full
+    # parallelism); the only event_type-keyed windows run over the tiny
+    # post-aggregation counts table
+    assert "hashpartitioning(_slice" in low.replace(" ", "")

@@ -1,0 +1,71 @@
+"""Distributed ranking (operators/ranking.py): value-equivalence with the
+naive single-task window form, plus the closed-form edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from clickhouse_github_log_importer_spark.operators.ranking import (
+    rank_profile,
+    ranked,
+)
+
+
+def _naive(df, ntile=4):
+    w = Window.partitionBy("cat").orderBy("v", "id")
+    return df.select(
+        "id",
+        "cat",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(ntile).over(w).cast("long").alias("quartile"),
+    )
+
+
+def test_ranked_matches_window_row_number(spark):
+    data = [(i, "abc"[i % 3], float((i * 37) % 11)) for i in range(200)]
+    df = spark.createDataFrame(data, "id long, cat string, v double")
+    got = {
+        r["id"]: (r["_rank"], r["_n"])
+        for r in ranked(df, ["cat"], ["v", "id"], n_slices=7).collect()
+    }
+    w = Window.partitionBy("cat").orderBy("v", "id")
+    cw = Window.partitionBy("cat")
+    want = {
+        r["id"]: (r["rn"], r["n"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(cw).alias("n"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_rank_profile_matches_naive_window(spark):
+    # duplicate v values across and within categories: the unique id
+    # tiebreak keeps the total order (the operator's contract)
+    data = [(i, "xy"[i % 2], float(i % 5)) for i in range(101)]
+    df = spark.createDataFrame(data, "id long, cat string, v double")
+    got = sorted(
+        rank_profile(df, ["cat"], ["v", "id"], n_slices=5)
+        .select("id", "pr", "cd", "quartile")
+        .collect()
+    )
+    want = sorted(_naive(df).select("id", "pr", "cd", "quartile").collect())
+    assert got == want
+
+
+def test_rank_profile_small_category_edges(spark):
+    # n=1 category (percent_rank -> 0, quartile 1) and n<ntile category
+    # (ntile assigns one row per tile, never divides by zero)
+    data = [(1, "solo", 5.0), (2, "duo", 1.0), (3, "duo", 2.0)]
+    df = spark.createDataFrame(data, "id long, cat string, v double")
+    rows = {
+        r["id"]: r
+        for r in rank_profile(df, ["cat"], ["v", "id"], n_slices=3).collect()
+    }
+    assert rows[1]["pr"] == 0.0 and rows[1]["cd"] == 1.0 and rows[1]["quartile"] == 1
+    assert rows[2]["quartile"] == 1 and rows[3]["quartile"] == 2
+    assert rows[3]["pr"] == 1.0 and rows[2]["cd"] == 0.5
