@@ -75,6 +75,51 @@ def ranked(
     )
 
 
+def prefix_sum(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    val_col: str,
+    n_slices: int | None = None,
+) -> DataFrame:
+    """Add ``_prefix``: the inclusive running sum of ``val_col`` within
+    ``part_cols`` ordered by ``order_cols`` (unique tiebreaker required),
+    without serializing a stratum onto one task.
+
+    Same two-pass shape as :func:`ranked` — and the range partitioning is
+    load-bearing here, not just a parallel sort: per-slice partial sums
+    only compose into a global running sum when each slice holds a
+    CONTIGUOUS ordered range of its stratum. (Hash slices would
+    interleave stratum rows and the offsets would be meaningless.)
+    """
+    n_slices = n_slices or df.sparkSession.sparkContext.defaultParallelism
+    rp = df.repartitionByRange(n_slices, *(part_cols + order_cols))
+    sliced = rp.withColumn("_slice", F.spark_partition_id())
+    w_loc = (
+        Window.partitionBy("_slice", *part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(val_col).cast("long")
+    local = sliced.withColumn("_lsum", F.sum(v).over(w_loc))
+    sums = local.groupBy("_slice", *part_cols).agg(F.sum(v).alias("_c"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        "_slice",
+        *part_cols,
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_slice", *part_cols])
+        .withColumn("_prefix", (F.col("_off") + F.col("_lsum")).cast("long"))
+        .drop("_slice", "_lsum", "_off")
+    )
+
+
 def rank_profile(
     df: DataFrame,
     part_cols: list[str],

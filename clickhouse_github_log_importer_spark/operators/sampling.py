@@ -50,29 +50,35 @@ def pack_plan(
     of its starting token offset (documents may straddle bins; the
     trainer splits at the boundary).
 
-    Per-stratum running sums keep the window partitioned (packing is
-    per-language/domain in real mixes anyway) — a global ordered cumsum
-    would serialize onto one partition, the classic window scale-killer.
-    All arithmetic is exact integers: the plan is bit-reproducible on any
-    engine, which RNG- or partition-dependent packing never is.
+    The running sum is the distributed prefix sum of
+    :func:`..operators.ranking.prefix_sum` — range-partition on
+    (stratum, id), local cumsum per contiguous slice, tiny per-slice
+    offset table broadcast back. A plain per-stratum window would
+    serialize each stratum's cumsum onto ONE task (the classic
+    low-cardinality-window scale-killer: strata are languages/domains,
+    there may be only a handful). All arithmetic is exact integers: the
+    plan is bit-reproducible on any engine, which RNG- or
+    partition-dependent packing never is.
 
     Returns (strata, bin_id, n_docs, bin_tokens, fill_ratio) — one row
     per bin with how many documents start in it.
     """
+    from .ranking import prefix_sum
     from .temporal import floor_div
 
-    w = (
-        Window.partitionBy(strata_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     size = F.col(size_col).cast("long")
-    start = F.sum(size).over(w) - size
+    with_prefix = prefix_sum(
+        df.select(F.col(strata_col), F.col(id_col), size.alias("_sz")),
+        [strata_col],
+        [id_col],
+        "_sz",
+    )
+    start = F.col("_prefix") - F.col("_sz")
     return (
-        df.select(
+        with_prefix.select(
             F.col(strata_col),
             floor_div(start, capacity).alias("bin_id"),
-            size.alias("_sz"),
+            F.col("_sz"),
         )
         .groupBy(strata_col, "bin_id")
         .agg(
@@ -120,20 +126,27 @@ def per_stratum_cap(
     (ties -> smallest ``id_col``): the C4/RefinedWeb-style per-domain cap
     that stops one giant source from dominating a training mix.
 
-    One window shuffle keyed by the stratum. At 100 TB stratum = domain /
-    source: high cardinality, and the per-partition TOP-cap heap never
-    holds more than ``cap`` rows per stratum — a skewed mega-domain costs
-    a sort of its own rows, which AQE skew-split further divides. The
-    deterministic (order, id) tiebreak makes the kept set bit-stable
-    under any partitioning — RNG caps are not re-derivable.
+    Two-phase top-cap, exact: phase 1 ranks within (input slice, stratum)
+    — fully parallel, no stratum ever sorts on one task — and drops
+    everything past ``cap``, which is lossless (a row beaten by >= cap
+    rows in its OWN slice is beaten by >= cap rows globally). Phase 2
+    ranks the survivors (<= cap x slices per stratum, independent of
+    corpus size) exactly. A single stratum-keyed window would serialize
+    each stratum's sort onto one task — fatal when strata are few and
+    huge, and strictly worse even when they aren't. The deterministic
+    (order, id) tiebreak makes the kept set bit-stable under any
+    partitioning — RNG caps are not re-derivable.
     """
-    w = Window.partitionBy(strata_col).orderBy(
-        F.col(order_col).desc(), F.col(id_col).asc()
-    )
+    order = [F.col(order_col).desc(), F.col(id_col).asc()]
+    w_local = Window.partitionBy("_slice", strata_col).orderBy(*order)
+    w_final = Window.partitionBy(strata_col).orderBy(*order)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        df.withColumn("_slice", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= cap)
+        .withColumn("_rn", F.row_number().over(w_final))
         .filter(F.col("_rn") <= cap)
-        .drop("_rn")
+        .drop("_slice", "_lr", "_rn")
     )
 
 

@@ -815,32 +815,41 @@ def docs_hash_sample(spark, sf_dir):
     tags=("sampling", "curation"),
     doc="Per-source document cap (keep the 40 largest docs per source, "
     "deterministic (n_chars DESC, doc_id) order): the C4/RefinedWeb-style "
-    "domain cap that stops one mega-source from dominating a mix. The "
-    "rank and the per-source total ride ONE window shuffle (no join back, "
-    "no second scan); kept rows reduce to a per-source audit. "
-    "operators.sampling.per_stratum_cap is the row-level form.",
+    "domain cap that stops one mega-source from dominating a mix. NOT a "
+    "bare source-keyed window (that serializes each source's sort onto "
+    "one task — fatal when sources are few and huge): two-phase top-cap "
+    "— rank within (input slice, source) in parallel, prune past the "
+    "cap (lossless), exact-rank the <= cap x slices survivors. The "
+    "per-source TOTAL rides the same slice window (each slice's count "
+    "carried on its local-rank-1 row, summed per source), so one scan "
+    "covers both. operators.sampling.per_stratum_cap is the row-level "
+    "form.",
 )
 def source_capped_sample(spark, sf_dir):
+    cap = 40
     docs = _spread(spark, t(spark, sf_dir, "documents"))
-    w_rank = Window.partitionBy("source").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    w_local = Window.partitionBy("_slice", "source").orderBy(*order)
+    w_lcnt = Window.partitionBy("_slice", "source")
+    w_final = Window.partitionBy("source").orderBy(*order)
+    pruned = (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("_slice", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(w_local))
+        .withColumn("_lc", F.count("*").over(w_lcnt))
+        .filter(F.col("_lr") <= cap)
     )
-    w_all = Window.partitionBy("source")
-    ranked = docs.select(
-        "source",
-        "doc_id",
-        "n_chars",
-        F.row_number().over(w_rank).alias("_rn"),
-        F.count("*").over(w_all).alias("_n_total"),
-    )
+    in_cap = F.col("_rn") <= cap
     return (
-        ranked.filter(F.col("_rn") <= 40)
+        pruned.withColumn("_rn", F.row_number().over(w_final))
         .groupBy("source")
         .agg(
-            F.min("_n_total").alias("n_total"),
-            F.count("*").alias("n_kept"),
-            F.sum("n_chars").alias("kept_chars"),
-            F.min("doc_id").alias("min_kept_doc_id"),
+            # each slice's full count rides its local-rank-1 row (always
+            # a survivor), so the pre-cap total needs no second scan
+            F.sum(F.when(F.col("_lr") == 1, F.col("_lc"))).alias("n_total"),
+            F.sum(in_cap.cast("long")).alias("n_kept"),
+            F.sum(F.when(in_cap, F.col("n_chars"))).alias("kept_chars"),
+            F.min(F.when(in_cap, F.col("doc_id"))).alias("min_kept_doc_id"),
         )
     )
 

@@ -331,3 +331,24 @@ def test_rank_profile_range_partitioned_not_serial(spark, sf_smoke):
     # parallelism); the only event_type-keyed windows run over the tiny
     # post-aggregation counts table
     assert "hashpartitioning(_slice" in low.replace(" ", "")
+
+
+def test_packing_prefix_sum_range_partitioned(spark, sf_smoke):
+    # the per-stratum token cumsum must run as the distributed prefix sum
+    # (range slices + offset table), never a bare strata-keyed window —
+    # strata are languages/domains, often a handful, and a single-task
+    # cumsum of a 100 TB stratum never finishes
+    p = explain(spark, "sequence_packing_plan", sf_smoke)
+    low = p.lower()
+    assert "rangepartitioning" in low
+    assert "hashpartitioning(_slice" in low.replace(" ", "")
+
+
+def test_source_cap_two_phase_sliced(spark, sf_smoke):
+    # the per-source cap must rank within (slice, source) first — a bare
+    # source-keyed window over raw docs serializes each source's sort;
+    # the final exact window only ever sees <= cap x slices survivors
+    p = explain(spark, "source_capped_sample", sf_smoke)
+    low = p.lower().replace(" ", "")
+    assert "hashpartitioning(_slice" in low
+    assert tree(p).count("Scan parquet") == 1

@@ -69,3 +69,24 @@ def test_rank_profile_small_category_edges(spark):
     assert rows[1]["pr"] == 0.0 and rows[1]["cd"] == 1.0 and rows[1]["quartile"] == 1
     assert rows[2]["quartile"] == 1 and rows[3]["quartile"] == 2
     assert rows[3]["pr"] == 1.0 and rows[2]["cd"] == 0.5
+
+
+def test_prefix_sum_matches_window_cumsum(spark):
+    from clickhouse_github_log_importer_spark.operators.ranking import prefix_sum
+
+    data = [(i, "pqr"[i % 3], (i * 13) % 7 + 1) for i in range(150)]
+    df = spark.createDataFrame(data, "id long, cat string, sz long")
+    got = {
+        r["id"]: r["_prefix"]
+        for r in prefix_sum(df, ["cat"], ["id"], "sz", n_slices=6).collect()
+    }
+    w = (
+        Window.partitionBy("cat")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["id"]: r["cs"]
+        for r in df.select("id", F.sum("sz").over(w).alias("cs")).collect()
+    }
+    assert got == want
