@@ -80,6 +80,54 @@ def shingles_of(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def dup_span_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 6,
+) -> DataFrame:
+    """Exact substring-duplication profile: per document, how many of its
+    n-word spans occur more than once in the corpus (in another document
+    or repeated within the same one), and the duplicated fraction.
+
+    The span-granular form of ExactSubstr dedup ("Deduplicating Training
+    Data Makes Language Models Better" builds a corpus suffix array; a
+    suffix array is driver-bound state Spark cannot shard usefully, but
+    fixed-length span multiplicity gives the same per-doc duplication
+    signal as pure dataflow): explode n-gram spans, hash each to a
+    60-bit key (both engines hash identically, so collision behavior is
+    part of the contract rather than a divergence), count occurrences
+    per (doc, span) with map-side combine, roll spans up to corpus
+    multiplicity, join the tiny-per-key counts back, reduce per doc.
+    Every shuffle is keyed by span hash or doc id — uniform,
+    linear-in-corpus, no all-pairs stage anywhere.
+
+    Output: (doc_id, n_spans, dup_spans, dup_frac).
+    """
+    spans = df.select(
+        F.col(id_col),
+        F.explode(shingles_of(text_col, n)).alias("s"),
+    ).select(F.col(id_col), md5_hash64("s").alias("g"))
+    per_dg = spans.groupBy(id_col, "g").agg(F.count("*").alias("c_dg"))
+    per_g = per_dg.groupBy("g").agg(F.sum("c_dg").alias("c_g"))
+    return (
+        per_dg.join(per_g, "g")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c_dg").alias("n_spans"),
+            F.sum(
+                F.when(F.col("c_g") >= 2, F.col("c_dg")).otherwise(F.lit(0))
+            ).alias("dup_spans"),
+        )
+        .select(
+            F.col(id_col),
+            "n_spans",
+            "dup_spans",
+            F.round(F.col("dup_spans") / F.col("n_spans"), 6).alias("dup_frac"),
+        )
+    )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

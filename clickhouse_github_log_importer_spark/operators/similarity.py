@@ -143,7 +143,10 @@ def cosine_topk(
         F.col("q").alias("cq"),
         F.col("norm2").alias("cn"),
     )
-    qd = with_quantized_norm(queries, vec_col, id_col).select(
+    # the query side is broadcast by contract (small): coalesce to one
+    # partition so its quantize/sketch Arrow stage is one task, not
+    # |input partitions| near-empty Python-worker tasks
+    qd = with_quantized_norm(queries.coalesce(1), vec_col, id_col).select(
         F.col(id_col).alias("query_id"),
         F.col("q").alias("qq"),
         F.col("norm2").alias("qn"),
@@ -366,7 +369,10 @@ def ivf_topk(
             _probe_lists(F.col("q"), F.col("norm2"), codebook, 1), 1
         ).alias("list_id"),
     )
-    qd = with_quantized_norm(queries, vec_col, id_col)
+    # the query side is broadcast by contract (small): coalesce to one
+    # partition so its quantize/sketch Arrow stage is one task, not
+    # |input partitions| near-empty Python-worker tasks
+    qd = with_quantized_norm(queries.coalesce(1), vec_col, id_col)
     qd = qd.select(
         F.col(id_col).alias("query_id"),
         F.col("q").alias("qq"),
@@ -419,7 +425,10 @@ def lsh_topk(
         F.col("norm2").alias("cn"),
         bucket_col(F.col("q"), planes).alias("bucket"),
     )
-    qd = with_quantized_norm(queries, vec_col, id_col)
+    # the query side is broadcast by contract (small): coalesce to one
+    # partition so its quantize/sketch Arrow stage is one task, not
+    # |input partitions| near-empty Python-worker tasks
+    qd = with_quantized_norm(queries.coalesce(1), vec_col, id_col)
     qd = qd.select(
         F.col(id_col).alias("query_id"),
         F.col("q").alias("qq"),

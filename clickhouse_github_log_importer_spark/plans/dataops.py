@@ -83,6 +83,36 @@ def dedup_exact(spark, sf_dir):
     return DT.exact_dedup(_spread(spark, t(spark, sf_dir, "documents")))
 
 
+@register(
+    "dup_span_report",
+    f"""
+    WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+    sp AS (
+      SELECT doc_id, {md5_hash64_sql('s')} AS g
+      FROM (SELECT doc_id, unnest({_shingles_sql(6)}) AS s FROM w)
+    ),
+    per_dg AS (SELECT doc_id, g, COUNT(*) AS c_dg FROM sp GROUP BY 1, 2),
+    per_g AS (SELECT g, sum(c_dg) AS c_g FROM per_dg GROUP BY 1)
+    SELECT doc_id, sum(c_dg) AS n_spans,
+           sum(CASE WHEN c_g >= 2 THEN c_dg ELSE 0 END) AS dup_spans,
+           round(sum(CASE WHEN c_g >= 2 THEN c_dg ELSE 0 END) * 1.0
+                 / sum(c_dg), 6) AS dup_frac
+    FROM per_dg JOIN per_g USING (g)
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "audit"),
+    doc="Exact substring-duplication profile at 6-word-span granularity "
+    "(the dataflow form of ExactSubstr dedup): per document, total spans, "
+    "spans occurring more than once corpus-wide, duplicated fraction. "
+    "Explode -> hash -> (doc,span) map-side-combined count -> corpus "
+    "multiplicity -> equi-join back -> per-doc rollup; every shuffle "
+    "keyed by span hash or doc id, linear in corpus. "
+    "operators.dedup_text.dup_span_profile.",
+)
+def dup_span_report(spark, sf_dir):
+    return DT.dup_span_profile(_spread(spark, t(spark, sf_dir, "documents")), n=6)
+
+
 def _lsh_pairs_oracle(perms: int = DT.MINHASH_PERMS, bands: int = DT.MINHASH_BANDS) -> str:
     rows = perms // bands
     mh = _minhash_sql(perms)

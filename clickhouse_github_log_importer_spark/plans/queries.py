@@ -2218,7 +2218,7 @@ def event_rank_profile(spark, sf_dir):
 _COACTIVITY_SQL = """
     ek AS (
       SELECT DISTINCT user_id AS u,
-             CAST(json_extract_string(props, '$.k') AS INT) AS k,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
              date_trunc('hour', ts) AS h
       FROM events
     ),
@@ -2231,7 +2231,11 @@ _COACTIVITY_SQL = """
 def _coactivity_pairs(ev: DataFrame) -> DataFrame:
     ek = ev.select(
         F.col("user_id").alias("u"),
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        # BIGINT, not INT: GH-scale item/repo ids exceed 2^31 (the same
+        # width rule the ingest schema follows); an int32 cast here threw
+        # CAST_INVALID_INPUT the moment the scale probe's key domain
+        # crossed 2.1e9
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
         F.date_trunc("hour", "ts").alias("h"),
     ).distinct()
     return (

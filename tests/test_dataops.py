@@ -256,6 +256,28 @@ def test_temperature_mixture_shares(spark):
     assert nat["en"]["temp_share"] == nat["en"]["raw_share"]
 
 
+def test_dup_span_profile(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),  # shares span a..f with doc 2
+            (2, "a b c d e f x y"),
+            (3, "p q r s t u v w"),  # unique content
+            (4, "m m m m m m m m"),  # self-repeating: dup within one doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in DT.dup_span_profile(docs, n=6).collect()}
+    # 8 words -> 3 spans of 6 words each
+    assert all(out[d]["n_spans"] == 3 for d in (1, 2, 3, 4))
+    # docs 1/2 share exactly the span "a b c d e f"
+    assert out[1]["dup_spans"] == 1 and out[2]["dup_spans"] == 1
+    assert out[1]["dup_frac"] == round(1 / 3, 6)
+    # unique doc: nothing duplicated
+    assert out[3]["dup_spans"] == 0 and out[3]["dup_frac"] == 0.0
+    # within-doc repetition counts as duplication (all 3 spans identical)
+    assert out[4]["dup_spans"] == 3 and out[4]["dup_frac"] == 1.0
+
+
 def test_per_stratum_cap(spark):
     from clickhouse_github_log_importer_spark.operators.sampling import (
         per_stratum_cap,

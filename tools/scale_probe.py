@@ -113,7 +113,18 @@ def _replica(spark, table: str, r: int):
     if r == 0:
         return df
     if table == "events":
-        return _offset(df, {"event_id": 1, "user_id": 1}, r)
+        # offset the props item key too: co-occurrence operators
+        # (co-activity pairs, user->item graphs) would otherwise see every
+        # replica's users touch the SAME items in the same hours — an
+        # O(k^2) pair blowup manufactured by the replication, not by the
+        # operator. New users interacting with new items keeps pair
+        # structure linear, which is what a slope probe must hold fixed.
+        k_val = F.get_json_object("props", "$.k").cast("long") + F.lit(
+            r * KEY_OFFSET
+        )
+        return _offset(df, {"event_id": 1, "user_id": 1}, r).withColumn(
+            "props", F.concat(F.lit('{"k": '), k_val.cast("string"), F.lit("}"))
+        )
     if table == "documents":
         rot = ALPHA[r % len(ALPHA):] + ALPHA[: r % len(ALPHA)]
         return _offset(df, {"doc_id": 1}, r).withColumn(
