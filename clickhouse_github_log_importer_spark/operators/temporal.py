@@ -37,6 +37,131 @@ from pyspark.sql import functions as F
 ASOF_TIME = "_asof_time"
 
 
+def trailing_range_sum(
+    df: DataFrame,
+    part_col: str,
+    ts_col: str,
+    val_col: str,
+    window_us: int,
+    out_col: str = "_trailing",
+) -> DataFrame:
+    """Per-row trailing-window sum: for each row, the sum of ``val_col``
+    over rows of the same ``part_col`` with timestamp in
+    ``[t - window_us, t]`` — the time-RANGE sliding frame, in linear time.
+
+    Spark's bounded sliding RANGE frame re-evaluates the ENTIRE frame for
+    every row (SlidingWindowFunctionFrame has no retraction), so a key
+    whose rows all fall within one window span goes O(n^2): the skew
+    probe measured 241x wall on a mega-user partition. The linear plan is
+    a prefix-sum difference::
+
+        trailing(t) = cumsum(t) - cumsum(t - window - 1)
+
+    where ``cumsum`` is the UNBOUNDED-preceding RANGE cumsum (add-only,
+    incremental, peers at equal timestamps share the value) and the
+    subtrahend comes from an as-of lookup (one more shuffle on the same
+    key) against the deduped (part, ts, cumsum) frame. Integer
+    timestamps make the strict lower bound exact: subtracting rows
+    ``ts' <= t - window - 1`` keeps exactly ``ts' >= t - window``.
+
+    ``val_col`` should be an exact integer (cents/micros) for
+    order-insensitive, engine-portable sums — same rule as every other
+    windowed aggregate here.
+    """
+    w_cum = (
+        Window.partitionBy(part_col)
+        .orderBy(ts_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = df.withColumn("_cum", F.sum(val_col).over(w_cum))
+    quotes = cum.select(
+        part_col,
+        F.col(ts_col).cast("long").alias("_qts"),
+        F.col("_cum").alias("_cum_at"),
+    ).dropDuplicates([part_col, "_qts"])
+    probe = cum.withColumn(
+        "_key_ts", F.col(ts_col).cast("long") - F.lit(window_us + 1).cast("long")
+    )
+    joined = asof_join(
+        probe,
+        quotes,
+        on=[part_col],
+        probe_time="_key_ts",
+        ref_time="_qts",
+        payload=["_cum_at"],
+    )
+    return (
+        joined.withColumn(
+            out_col, F.col("_cum") - F.coalesce(F.col("_cum_at"), F.lit(0))
+        )
+        .drop("_key_ts", "_cum", "_cum_at", ASOF_TIME)
+    )
+
+
+def band_count_keyless(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    lower: int,
+    upper: int,
+    out_col: str = "n_in_band",
+) -> DataFrame:
+    """Per row: how many OTHER rows (any key) have a timestamp in
+    ``[t + lower, t + upper]`` — the count specialization of the keyless
+    band join, in linear time.
+
+    :func:`range_join_bucketed` must touch every qualifying pair because
+    it RETURNS the pairs; when only the count is needed, pair volume
+    (which grows with timeline density, inherently super-linear under
+    densification) is avoidable. The count is a step-function difference::
+
+        n(t) = cum(t + upper) - cum(t + lower - 1) - 1   (self excluded)
+
+    where ``cum(T) = #rows with ts <= T``. Both lookups ride ONE
+    distributed ordered pass: per-distinct-timestamp counts union'd with
+    two zero-weight boundary query rows per input row, prefix-summed by
+    the range-sliced machinery of :func:`..operators.ranking.prefix_sum`
+    (keyless here: the global time order is range-partitioned into
+    contiguous slices, never one task). Query rows sort AFTER the count
+    row at an equal timestamp, so both bounds are inclusive-exact in
+    integer microseconds.
+    """
+    from .ranking import prefix_sum
+
+    counts = df.groupBy(F.col(ts_col).cast("long").alias("_tm")).agg(
+        F.count("*").cast("long").alias("_c")
+    )
+    quotes = counts.select(
+        "_tm",
+        F.lit(0).alias("_q"),
+        F.lit(0).alias("_kind"),
+        F.lit(None).cast("long").alias("_id"),
+        "_c",
+    )
+
+    def boundary(offset: int, kind: int) -> DataFrame:
+        return df.select(
+            (F.col(ts_col).cast("long") + F.lit(offset)).alias("_tm"),
+            F.lit(1).alias("_q"),
+            F.lit(kind).alias("_kind"),
+            F.col(id_col).alias("_id"),
+            F.lit(0).cast("long").alias("_c"),
+        )
+
+    u = quotes.unionByName(boundary(lower - 1, 0)).unionByName(
+        boundary(upper, 1)
+    )
+    ps = prefix_sum(u, [], ["_tm", "_q", "_kind", "_id"], "_c")
+    hi = F.max(F.when(F.col("_kind") == 1, F.col("_prefix")))
+    lo = F.max(F.when(F.col("_kind") == 0, F.col("_prefix")))
+    return (
+        ps.filter(F.col("_q") == 1)
+        .groupBy("_id")
+        .agg((hi - lo - 1).alias(out_col))
+        .select(F.col("_id").alias(id_col), out_col)
+    )
+
+
 def floor_div(col: Column, width: int) -> Column:
     """Exact floor division on longs. Naive ``/`` rounds through double
     (wrong cells once ulp(quotient) ~ 1); subtracting the positive mod

@@ -2124,7 +2124,10 @@ def purchase_attribution(spark, sf_dir):
     "user) landed within +-60s. Spark expresses it as a bucketed range "
     "join (operators.temporal.range_join_bucketed: minute cells + exact "
     "band refine — a real equi-join, never a nested-loop); the oracle is "
-    "DuckDB's native inequality join.",
+    "DuckDB's native inequality join. Cost is pair-volume-bound (the "
+    "operator RETURNS pairs, and band pairs grow with timeline density "
+    "— the scale probe's ~4x-on-3x is the output, not the plan); when "
+    "only counts are needed use concurrent_event_counts_linear.",
 )
 def concurrent_event_counts(spark, sf_dir):
     from ..operators import temporal as TMP
@@ -2150,6 +2153,32 @@ def concurrent_event_counts(spark, sf_dir):
 
 
 @register(
+    "concurrent_event_counts_linear",
+    """
+    SELECT a.event_id, count(b.event_id) AS n_concurrent
+    FROM events a LEFT JOIN events b
+      ON b.event_id <> a.event_id
+     AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN -60000000 AND 60000000
+    GROUP BY 1
+    """,
+    tags=("temporal", "range-join"),
+    doc="The count specialization of the keyless +-60s band: identical "
+    "result to concurrent_event_counts, but via step-function prefix "
+    "differences (operators.temporal.band_count_keyless) — per-timestamp "
+    "counts and two boundary query rows per event ride ONE distributed "
+    "range-sliced ordered pass, so cost is linear in events even as "
+    "timeline density (and therefore pair volume) grows.",
+)
+def concurrent_event_counts_linear(spark, sf_dir):
+    from ..operators import temporal as TMP
+
+    ev = t(spark, sf_dir, "events").select("event_id", "ts_us")
+    return TMP.band_count_keyless(
+        ev, "ts_us", "event_id", -60_000_000, 60_000_000, out_col="n_concurrent"
+    )
+
+
+@register(
     "user_trailing_7d_value",
     """
     SELECT event_id, user_id,
@@ -2166,17 +2195,24 @@ def concurrent_event_counts(spark, sf_dir):
     "order-insensitive and bit-identical across engines.",
 )
 def user_trailing_7d_value(spark, sf_dir):
+    # NOT a bounded sliding RANGE frame: Spark re-evaluates that frame in
+    # full per row (no retraction), which goes quadratic on any user whose
+    # events cluster inside one window span — the skew probe measured
+    # 241x wall on a mega-user. The linear plan is the prefix-sum
+    # difference in operators.temporal.trailing_range_sum (incremental
+    # cumsum minus an as-of lookup at t - 7d), value-identical.
+    from ..operators.temporal import trailing_range_sum
+
     ev = t(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts_us")
-        .rangeBetween(-7 * 86400 * 1_000_000, Window.currentRow)
+    base = ev.select("event_id", "user_id", "ts_us", cents.alias("_cents"))
+    out = trailing_range_sum(
+        base, "user_id", "ts_us", "_cents", 7 * 86400 * 1_000_000, out_col="_tr"
     )
-    return ev.select(
+    return out.select(
         "event_id",
         "user_id",
-        F.round(F.sum(cents).over(w) / 100.0, 2).alias("trailing_7d_value"),
+        F.round(F.col("_tr") / 100.0, 2).alias("trailing_7d_value"),
     )
 
 

@@ -352,3 +352,15 @@ def test_source_cap_two_phase_sliced(spark, sf_smoke):
     low = p.lower().replace(" ", "")
     assert "hashpartitioning(_slice" in low
     assert tree(p).count("Scan parquet") == 1
+
+
+def test_trailing_sum_no_bounded_sliding_range_frame(spark, sf_smoke):
+    # the trailing 7-day sum must never plan a bounded sliding RANGE
+    # frame — Spark re-evaluates that frame in full per row (no
+    # retraction): O(n x frame) per key, measured 241x on a mega-user.
+    # The linear shape is incremental unbounded-range cumsum + as-of
+    # prefix difference.
+    p = explain(spark, "user_trailing_7d_value", sf_smoke)
+    low = p.lower().replace(" ", "")
+    assert "specifiedwindowframe(rangeframe,-" not in low
+    assert "rangeframe,unboundedpreceding" in low  # the incremental cumsum

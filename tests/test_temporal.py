@@ -142,3 +142,87 @@ def test_range_join_is_equi_join(spark):
     out = range_join_bucketed(probe, reference, "pt", "rt", -10, 10, ["rid"])
     plan = out._jdf.queryExecution().simpleString()
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_trailing_range_sum_matches_sliding_frame(spark):
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clickhouse_github_log_importer_spark.operators.temporal import (
+        trailing_range_sum,
+    )
+
+    rng = random.Random(7)
+    # duplicate timestamps included: RANGE frames sum ALL peers at the
+    # boundary, which the prefix-sum difference must reproduce exactly
+    rows = [
+        (i, i % 5, rng.choice([10, 20, 20, 30, 40]) * (i % 7), (i * 31) % 9 + 1)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, k long, ts long, v long")
+    win = 25
+    got = {
+        r["id"]: r["_trailing"]
+        for r in trailing_range_sum(df, "k", "ts", "v", win).collect()
+    }
+    w = Window.partitionBy("k").orderBy("ts").rangeBetween(-win, Window.currentRow)
+    want = {
+        r["id"]: r["s"]
+        for r in df.select("id", F.sum("v").over(w).alias("s")).collect()
+    }
+    assert got == want
+
+
+def test_trailing_range_sum_empty_window_is_self(spark):
+    from clickhouse_github_log_importer_spark.operators.temporal import (
+        trailing_range_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, 0, 5), (2, 1, 1000, 7)], "id long, k long, ts long, v long"
+    )
+    out = {
+        r["id"]: r["_trailing"]
+        for r in trailing_range_sum(df, "k", "ts", "v", 10).collect()
+    }
+    # windows too narrow to reach the other row: each row sums only itself
+    assert out == {1: 5, 2: 7}
+
+
+def test_band_count_keyless_exact_and_matches_pair_form(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_github_log_importer_spark.operators.temporal import (
+        band_count_keyless,
+        range_join_bucketed,
+    )
+
+    rows = [(1, 0), (2, 50), (3, 100), (4, 100), (5, 1000)]
+    df = spark.createDataFrame(rows, "id long, ts long")
+    out = {
+        r["id"]: r["n_in_band"]
+        for r in band_count_keyless(df, "ts", "id", -60, 60).collect()
+    }
+    # band [t-60, t+60], self excluded, duplicate timestamps counted
+    assert out == {1: 1, 2: 3, 3: 2, 4: 2, 5: 0}
+    # agreement with the pair-enumerating bucketed range join
+    pairs = range_join_bucketed(
+        df,
+        df.select(F.col("id").alias("oid"), F.col("ts").alias("ots")),
+        probe_time="ts",
+        ref_time="ots",
+        lower=-60,
+        upper=60,
+        payload=["oid"],
+    )
+    via_pairs = {
+        r["id"]: r["n"]
+        for r in pairs.filter(F.col("oid") != F.col("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for i, n in out.items():
+        assert via_pairs.get(i, 0) == n

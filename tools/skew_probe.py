@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Skew probe: measured behavior of the window/cap/packing plans when one
+key owns most of the data.
+
+The scale probe (tools/scale_probe.py) grows data uniformly; real
+corpora are power-law. This probe builds deliberately skewed variants of
+the x10 tables and compares wall time against the uniform x10 run:
+
+- **mega-user events**: half of all events reassigned to ONE user.
+  Per-user windows (sessionization, trailing sums, funnels) are
+  semantically serial per key, so the mega user's slice runs on one
+  task — the probe measures how bad that straggler actually is, and
+  whether anything worse (spill, OOM, quadratic blowup) hides behind it.
+- **mega-source documents**: 90% of docs relabeled to ONE source. The
+  two-phase per-source cap (plans/dataops.py source_capped_sample) must
+  stay flat — phase 1 ranks within (input slice, source), so the mega
+  source costs each slice a local sort, not one task a 90%-of-corpus
+  sort. For contrast the probe also times the naive single-window cap
+  it replaced, on the same skewed input.
+
+Usage: python tools/skew_probe.py  (expects .scale_probe/x10 built; run
+tools/scale_probe.py first). Writes SKEW_PROBE.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+X10 = os.path.join(REPO, ".scale_probe", "x10")
+SKEW = os.path.join(REPO, ".scale_probe", "x10_skew")
+
+EVENT_QUERIES = [
+    "user_sessions",
+    "user_trailing_7d_value",
+    "event_funnel_conversion",
+    "user_activity",
+    "top_events_per_user",
+]
+DOC_QUERIES = ["source_capped_sample", "sequence_packing_plan"]
+
+
+def build_skew(spark):
+    from pyspark.sql import functions as F
+
+    import shutil
+
+    marker = os.path.join(SKEW, "_PROBE_OK")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(SKEW, ignore_errors=True)
+    os.makedirs(SKEW, exist_ok=True)
+    ev = spark.read.parquet(f"{X10}/events.parquet")
+    # every other event -> user 0: a single user owning 50% of the log
+    ev = ev.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    ev.write.mode("overwrite").parquet(f"{SKEW}/events.parquet")
+    docs = spark.read.parquet(f"{X10}/documents.parquet")
+    docs = docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 10 > 0, F.lit("mega")).otherwise(F.col("source")),
+    )
+    docs.write.mode("overwrite").parquet(f"{SKEW}/documents.parquet")
+    # remaining tables: reuse the uniform x10 copies (queries load by name)
+    for t in (
+        "region nation customer supplier part orders lineitem embeddings".split()
+    ):
+        os.symlink(f"{X10}/{t}.parquet", f"{SKEW}/{t}.parquet")
+    with open(marker, "w") as f:
+        f.write("ok\n")
+
+
+def naive_capped_sample(spark, sf_dir, cap=40):
+    """The single-window cap source_capped_sample replaced — timed here
+    on the skewed input to quantify what the two-phase re-plan buys."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clickhouse_github_log_importer_spark.plans.queries import t
+
+    docs = t(spark, sf_dir, "documents")
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    w_all = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count("*").over(w_all).alias("_n_total"),
+    )
+    return (
+        ranked.filter(F.col("_rn") <= cap)
+        .groupBy("source")
+        .agg(
+            F.min("_n_total").alias("n_total"),
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("doc_id").alias("min_kept_doc_id"),
+        )
+    )
+
+
+def main():
+    from clickhouse_github_log_importer_spark.plans.queries import REGISTRY
+    from clickhouse_github_log_importer_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="skew_probe",
+        extra_conf={"spark.driver.memory": os.environ.get("PROBE_DRIVER_MEM", "48g")},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    if not os.path.exists(os.path.join(X10, "_PROBE_OK")):
+        raise SystemExit("run tools/scale_probe.py first (needs .scale_probe/x10)")
+    build_skew(spark)
+
+    def mat(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    def best_of(fn, runs=2):
+        best = None
+        for _ in range(runs):
+            t0 = time.monotonic()
+            mat(fn())
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    report = {}
+    for name in EVENT_QUERIES + DOC_QUERIES:
+        fn = REGISTRY[name].spark
+        mat(fn(spark, X10))  # warm
+        uni = best_of(lambda: fn(spark, X10))
+        skw = best_of(lambda: fn(spark, SKEW))
+        report[name] = {
+            "uniform_s": uni,
+            "skewed_s": skw,
+            "ratio": round(skw / uni, 2) if uni else None,
+        }
+        print(f"# {name}: uniform {uni}s skewed {skw}s ratio {report[name]['ratio']}")
+
+    mat(naive_capped_sample(spark, SKEW))
+    report["naive_single_window_cap(skewed)"] = {
+        "skewed_s": best_of(lambda: naive_capped_sample(spark, SKEW)),
+        "note": "the replaced plan, for contrast with source_capped_sample",
+    }
+    print(f"# naive cap skewed: {report['naive_single_window_cap(skewed)']['skewed_s']}s")
+
+    path = os.path.join(REPO, "SKEW_PROBE.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    print(f"# wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
