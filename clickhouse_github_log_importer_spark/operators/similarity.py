@@ -459,3 +459,185 @@ def lsh_topk(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — FAISS-IVFPQ-shaped compressed-domain search.
+# Reference parity note: the reference delegates vector work to ClickHouse;
+# PQ/ADC is part of this repo's LLM-pipeline track (brief), not a port.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_K = 16  # codewords per subspace
+
+
+def pq_subcodebooks(
+    codebook: list[tuple[int, list[int], int]], m: int = PQ_M
+) -> list[list[list[int]]]:
+    """Split an IVF-style codebook (k id-ordered quantized vectors) into
+    `m` per-subspace codeword tables: ``out[j][cw]`` is codeword `cw`'s
+    quantized subvector in subspace `j`.
+
+    Codeword index = rank of the source vector in id order (0..k-1) —
+    the same deterministic k-means stand-in as :func:`ivf_codebook`, so
+    the SQL oracle derives the identical tables with ORDER BY/LIMIT.
+    Subspaces are contiguous equal slices of the vector (d % m == 0 by
+    contract; the 64-d test corpus uses 4 x 16).
+    """
+    dims = len(codebook[0][1])
+    assert dims % m == 0, f"dims {dims} not divisible by m {m}"
+    dsub = dims // m
+    return [
+        [list(q[j * dsub : (j + 1) * dsub]) for _, q, _ in codebook]
+        for j in range(m)
+    ]
+
+
+def _pq_codes_col(qcol: Column, subcb: list[list[list[int]]]) -> Column:
+    """Per-row PQ codes (array<int>, length m): nearest codeword per
+    subspace by exact integer L2 core (c.c - 2 x.c; x.x is constant
+    within a subspace so it cannot change the argmin). Ties -> smaller
+    codeword index (np.argmin takes the first minimum).
+
+    One (batch x dsub) @ (dsub x k) int64 matmul per subspace per Arrow
+    batch — the encode is a narrow projection, zero shuffle."""
+    mats = [np.array(cb, dtype=np.int64).T for cb in subcb]  # (dsub, k) each
+    cnorms = [np.einsum("dk,dk->k", mt, mt) for mt in mats]
+    dsub = mats[0].shape[0]
+
+    @F.pandas_udf("array<int>")
+    def codes(q: pd.Series) -> pd.Series:
+        if len(q) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack(q.to_numpy()).astype(np.int64, copy=False)  # (n, d)
+        outs = []
+        for j, (mt, cn) in enumerate(zip(mats, cnorms)):
+            dots = X[:, j * dsub : (j + 1) * dsub] @ mt  # (n, k) exact
+            outs.append(np.argmin(cn[None, :] - 2 * dots, axis=1))
+        return pd.Series(list(np.stack(outs, axis=1).astype(np.int32)))
+
+    return codes(qcol)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[tuple[int, list[int], int]],
+    m: int = PQ_M,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>, recon_norm2): the compressed corpus.
+
+    recon_norm2 = ||x_hat||^2 = sum_j ||c_{j,code_j}||^2 (subspaces are
+    orthogonal coordinate slices) — exact int64, needed by the ADC
+    cosine denominator. Codebook literals live in the plan: encode is a
+    shuffle-free scan, M small ints per vector (the 100 TB win: the
+    search below reads 4 bytes/vector + codes, never the embeddings)."""
+    subcb = pq_subcodebooks(codebook, m)
+    cnorm_lits = [
+        F.array(*[F.lit(int(sum(c * c for c in cw))) for cw in cb]) for cb in subcb
+    ]
+    qn = with_quantized_norm(df, vec_col, id_col)
+    enc = qn.select(
+        F.col(id_col), _pq_codes_col(F.col("q"), subcb).alias("codes")
+    )
+    recon = sum(
+        F.element_at(cnorm_lits[j], F.col("codes")[j] + 1) for j in range(m)
+    )
+    return enc.select(id_col, "codes", recon.cast("long").alias("recon_norm2"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list[tuple[int, list[int], int]],
+    k: int = 3,
+    m: int = PQ_M,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes.
+
+    Per query, a lookup table LUT[j][cw] = <q_sub_j, c_{j,cw}> (exact
+    int) is built driver-side from the collected query vectors (queries
+    are small by contract — the same control-plane role as the IVF/PQ
+    codebooks). The corpus side is ONE narrow scan over the code table:
+    adc_dot(q, x) = sum_j LUT[j][code_j(x)] via literal-array gathers —
+    no join, no shuffle until the per-query top-k. Score is the ADC
+    cosine adc_dot / (|q| * |x_hat|), exactly reproducible: integer LUT
+    sums, one float divide.
+    """
+    subcb = pq_subcodebooks(codebook, m)
+    dims = len(codebook[0][1])
+    dsub = dims // m
+    qrows = (
+        with_quantized_norm(queries, vec_col, id_col)
+        .select(id_col, "q", "norm2")
+        .collect()
+    )
+    qrows.sort(key=lambda r: r[0])
+    enc = pq_encode(corpus, codebook, m, vec_col, id_col)
+
+    # adc_dots: for each corpus row an array<long>, one ADC dot per query
+    # (query order = id order) — literal LUT gathers, pure column math.
+    per_query = []
+    for r in qrows:
+        qv = list(r["q"])
+        luts = [
+            F.array(
+                *[
+                    F.lit(
+                        int(
+                            sum(
+                                a * b
+                                for a, b in zip(
+                                    qv[j * dsub : (j + 1) * dsub], cw
+                                )
+                            )
+                        )
+                    )
+                    for cw in subcb[j]
+                ]
+            )
+            for j in range(m)
+        ]
+        per_query.append(
+            sum(
+                F.element_at(luts[j], F.col("codes")[j] + 1) for j in range(m)
+            ).cast("long")
+        )
+    qids = F.array(*[F.lit(int(r[0])) for r in qrows])
+    qnorms = F.array(*[F.lit(int(r["norm2"])) for r in qrows])
+    scored = (
+        enc.filter(F.col("recon_norm2") > 0)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "recon_norm2",
+            F.posexplode(F.array(*per_query)).alias("_qpos", "adc_dot"),
+        )
+        .select(
+            F.element_at(qids, F.col("_qpos") + 1).alias("query_id"),
+            "neighbor_id",
+            (
+                F.col("adc_dot").cast("double")
+                / (
+                    F.sqrt(F.element_at(qnorms, F.col("_qpos") + 1).cast("double"))
+                    * F.sqrt(F.col("recon_norm2").cast("double"))
+                )
+            ).alias("adc_cos"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_cos", 6).alias("adc_sim"),
+            "rank",
+        )
+    )

@@ -414,6 +414,123 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _pq_slice_dot(a_vec: str, b_vec: str, m_expr: str, dsub: int = 16) -> str:
+    """SQL for <a_vec, b_vec> restricted to subspace `m_expr` (0-based):
+    exact int dot over the 1-based inclusive DuckDB slice."""
+    sl = f"[{m_expr}*{dsub}+1:({m_expr}+1)*{dsub}]"
+    return _DOT.format(a=f"{a_vec}{sl}", b=f"{b_vec}{sl}")
+
+
+#: PQ oracle CTEs: same 16 smallest-id quantized vectors as the IVF
+#: codebook, re-indexed 0..15 in id order; per-subspace codeword =
+#: argmin of the exact integer L2 core (c.c - 2 x.c; x.x is constant
+#: within a subspace), ties -> smaller codeword index.
+_PQ_CTES = f"""
+    qn AS (
+      SELECT * FROM (
+        SELECT vec_id, q, {_DOT.format(a='q', b='q')} AS norm2
+        FROM (SELECT vec_id, {_QUANT} AS q FROM embeddings)
+      ) WHERE norm2 > 0
+    ),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cw, q AS cq
+      FROM (SELECT vec_id, q FROM qn ORDER BY vec_id LIMIT 16)
+    ),
+    pq_dists AS (
+      SELECT v.vec_id, m.m, c.cw,
+             {_pq_slice_dot('c.cq', 'c.cq', 'm.m')}
+               - 2 * {_pq_slice_dot('v.q', 'c.cq', 'm.m')} AS dcore,
+             {_pq_slice_dot('c.cq', 'c.cq', 'm.m')} AS cnorm
+      FROM qn v
+      CROSS JOIN generate_series(0, 3) AS m(m)
+      CROSS JOIN cents c
+    ),
+    pq_codes AS (
+      SELECT vec_id, m, cw, cnorm
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dcore ASC, cw ASC) AS rn
+        FROM pq_dists
+      ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "ann_pq_code_histogram",
+    f"""
+    WITH {_PQ_CTES}
+    SELECT m AS subspace, cw AS codeword, COUNT(*) AS n_vectors,
+           min(vec_id) AS min_vec_id
+    FROM pq_codes GROUP BY m, cw
+    """,
+    tags=("similarity", "pq"),
+    doc="Product-quantization encode + codeword occupancy per subspace "
+    "(4 x 16-d subspaces, 16 codewords from the shared IVF stand-in "
+    "codebook). Encode is a shuffle-free Arrow projection over codebook "
+    "literals — the compressed corpus is 4 small ints/vector. "
+    "operators.similarity.pq_encode.",
+)
+def ann_pq_code_histogram(spark, sf_dir):
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    enc = SIM.pq_encode(emb, _ivf_codebook(spark, sf_dir))
+    return (
+        enc.select("vec_id", F.posexplode("codes").alias("_m", "_cw"))
+        .groupBy(
+            F.col("_m").cast("long").alias("subspace"),
+            F.col("_cw").cast("long").alias("codeword"),
+        )
+        .agg(F.count("*").alias("n_vectors"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+@register(
+    "ann_pq_topk",
+    f"""
+    WITH {_PQ_CTES},
+    parts AS (
+      SELECT qv.vec_id AS query_id, co.vec_id AS neighbor_id,
+             qv.norm2 AS qnorm, co.cnorm,
+             {_pq_slice_dot('qv.q', 'ct.cq', 'co.m')} AS part_dot
+      FROM (SELECT * FROM qn WHERE vec_id < 8) qv
+      CROSS JOIN pq_codes co
+      JOIN cents ct ON ct.cw = co.cw
+    ),
+    adc AS (
+      SELECT query_id, neighbor_id, min(qnorm) AS qnorm,
+             SUM(part_dot) AS adc_dot, SUM(cnorm) AS recon_norm2
+      FROM parts GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(adc_cos, 6) AS adc_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_cos DESC, neighbor_id ASC) AS rank
+      FROM (
+        SELECT query_id, neighbor_id,
+               CAST(adc_dot AS DOUBLE)
+                 / (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(recon_norm2 AS DOUBLE))) AS adc_cos
+        FROM adc
+        WHERE recon_norm2 > 0 AND neighbor_id <> query_id
+      )
+    ) WHERE rank <= 3
+    """,
+    tags=("similarity", "pq"),
+    doc="ADC (asymmetric-distance) approximate top-3 for 8 query vectors "
+    "over PQ codes: per-query integer LUTs inlined as literals, so the "
+    "search is ONE narrow scan of the 4-byte code table — no join, no "
+    "embedding reads, shuffle only for the per-query top-k. "
+    "operators.similarity.pq_adc_topk.",
+)
+def ann_pq_topk(spark, sf_dir):
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    return SIM.pq_adc_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        codebook=_ivf_codebook(spark, sf_dir),
+        k=3,
+    )
+
+
 def _lsh_topk_oracle(k: int = 3, n_queries: int = 8, dims: int = 64) -> str:
     w = SIM.plane_weights(SIM.LSH_PLANES, dims)
     return f"""
