@@ -1,0 +1,103 @@
+"""Count-min sketch: mergeable approximate frequency counts with a
+measured-overestimate audit.
+
+The streaming/OLAP classic (Cormode & Muthukrishnan 2005): a depth x
+width grid of counters; item x increments cell (j, h_j(x)) for each of
+`depth` hash rows; the estimate is the min over rows — always >= the
+true count, with error bounded by total_count * e / width at confidence
+1 - (1/e)^depth. ClickHouse/Druid/Spark all ship equivalents
+(`count_min_sketch` in Spark SQL) — this one is built from the md5
+portable-hash family so a DuckDB oracle reproduces it bit-for-bit
+(Spark's builtin sketch hashes with xxhash/murmur, which no other
+engine reproduces; same tradeoff as functions/hashing).
+
+Scale shape: the sketch is built from PRE-AGGREGATED per-key counts —
+one uniform shuffle on the key with map-side combine — then the cell
+grid is a second aggregation over |distinct keys| x depth rows into at
+most depth x width cells. At 100 TB the first shuffle is the same one
+any exact groupBy pays; the sketch itself is O(depth x width) — small
+enough to broadcast, merge across corpora (cellwise +), or persist as
+the incremental state of a streaming rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import seeded_hash64
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+_CMS_SEED0 = 3000  # disjoint from MinHash perms (0..) and bloom (1000..)
+
+
+def cms_pos(key: Column | str, row: int, width: int = CMS_WIDTH) -> Column:
+    """Hash row `row`'s cell index for a key (md5 family, portable)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return seeded_hash64(c.cast("string"), _CMS_SEED0 + row) % width
+
+
+def cms_cells(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    per_key: DataFrame | None = None,
+) -> DataFrame:
+    """(row, pos, cell_count): the sketch grid for a key column.
+
+    Two-phase: exact per-key counts first (map-side combine absorbs the
+    hot keys), then each distinct key fans out to `depth` cells. Only
+    non-zero cells are materialized (the grid is sparse-represented).
+    ``per_key`` lets a caller that already aggregated (key, c) reuse it."""
+    if per_key is None:
+        per_key = df.groupBy(key_col).agg(F.count("*").alias("c"))
+    fanned = per_key.select(
+        "c",
+        F.posexplode(
+            F.array(*[cms_pos(key_col, j, width) for j in range(depth)])
+        ).alias("row", "pos"),
+    )
+    return fanned.groupBy("row", "pos").agg(F.sum("c").alias("cell_count"))
+
+
+def heavy_hitter_audit(
+    df: DataFrame,
+    key_col: str,
+    top: int = 10,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Probe the `top` exact heaviest keys against the sketch:
+    (key, exact_count, cms_estimate, overestimate). cms_estimate >=
+    exact_count always (the CMS one-sided guarantee); the overestimate
+    column is the measured collision error — the width/depth tuning
+    signal, same audit pattern as ann_recall_report / the MinHash
+    calibration. Ties on count break to the smaller key."""
+    per_key = df.groupBy(key_col).agg(F.count("*").alias("exact_count"))
+    cells = cms_cells(df, key_col, depth, width)
+    probes = (
+        per_key.orderBy(F.desc("exact_count"), F.asc(key_col))
+        .limit(top)
+        .select(
+            key_col,
+            "exact_count",
+            F.posexplode(
+                F.array(*[cms_pos(key_col, j, width) for j in range(depth)])
+            ).alias("row", "pos"),
+        )
+    )
+    # both sides are tiny by construction (top x depth probe rows; the
+    # sparse grid caps at depth x width cells) — broadcast the grid
+    return (
+        probes.join(F.broadcast(cells), ["row", "pos"])
+        .groupBy(key_col, "exact_count")
+        .agg(F.min("cell_count").alias("cms_estimate"))
+        .select(
+            key_col,
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
+        )
+    )

@@ -85,6 +85,7 @@ def dup_span_profile(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 6,
+    scope=None,
 ) -> DataFrame:
     """Exact substring-duplication profile: per document, how many of its
     n-word spans occur more than once in the corpus (in another document
@@ -109,6 +110,10 @@ def dup_span_profile(
         F.explode(shingles_of(text_col, n)).alias("s"),
     ).select(F.col(id_col), md5_hash64("s").alias("g"))
     per_dg = spans.groupBy(id_col, "g").agg(F.count("*").alias("c_dg"))
+    # per_dg feeds BOTH the corpus rollup and the join probe: persist it
+    # or the explode+hash+first-shuffle pipeline runs twice (DataFrame
+    # lineage shares no subtrees). ~2x measured at sf0.1.
+    per_dg = persist_in(scope, per_dg)
     per_g = per_dg.groupBy("g").agg(F.sum("c_dg").alias("c_g"))
     return (
         per_dg.join(per_g, "g")

@@ -18,6 +18,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash64_sql
+from ..operators import bm25 as BM
 from ..operators import dedup_text as DT
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
@@ -1228,6 +1229,107 @@ def decontamination_report(spark, sf_dir):
 
 
 @register(
+    "doc_chunk_plan",
+    f"""
+    WITH d AS (
+      SELECT doc_id, words, len(words) AS dl
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+      WHERE len(words) > 0
+    ),
+    c AS (
+      SELECT doc_id, words, dl,
+             unnest(range(0,
+               1 + CAST(((greatest(dl - 64, 0) + 47)
+                         - (greatest(dl - 64, 0) + 47) % 48) / 48 AS BIGINT)
+             )) AS chunk_idx
+      FROM d
+    )
+    SELECT doc_id, chunk_idx, chunk_idx * 48 AS start_word,
+           len(words[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS n_words,
+           {md5_hash64_sql("array_to_string(words[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ')")} AS chunk_hash
+    FROM c
+    """,
+    tags=("text", "chunking"),
+    doc="Sliding-window chunk plan (window 64, stride 48): one row per "
+    "chunk with token span + md5-family chunk fingerprint. Pure per-row "
+    "explode/slice — no shuffle, no join, no Python; linear in corpus "
+    "tokens. operators.chunking.chunk_plan.",
+)
+def doc_chunk_plan(spark, sf_dir):
+    from ..operators.chunking import chunk_plan
+
+    return chunk_plan(_spread(spark, t(spark, sf_dir, "documents")))
+
+
+def _bloom_pos_sql(i: int) -> str:
+    """DuckDB twin of operators.decontamination.bloom_positions[i]."""
+    from ..functions.hashing import seeded_hash64_sql
+    from ..operators.decontamination import _BLOOM_SEED0, BLOOM_BITS
+
+    return (
+        seeded_hash64_sql("CAST(shingle_hash AS VARCHAR)", _BLOOM_SEED0 + i)
+        + f" % {BLOOM_BITS}"
+    )
+
+
+@register(
+    "bloom_contamination_report",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, {_IS_EVAL} AS is_eval,
+             {md5_hash64_sql('s')} AS shingle_hash
+      FROM (
+        SELECT doc_id, unnest({_shingles_sql(3)}) AS s
+        FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+      )
+    ),
+    tr AS (SELECT doc_id, shingle_hash FROM sh WHERE NOT is_eval),
+    ev AS (SELECT DISTINCT shingle_hash FROM sh WHERE is_eval),
+    evpos AS (
+      SELECT DISTINCT pos FROM (
+        SELECT unnest([{_bloom_pos_sql(0)}, {_bloom_pos_sql(1)}, {_bloom_pos_sql(2)}]) AS pos
+        FROM ev
+      )
+    ),
+    bloomhits AS (
+      SELECT doc_id, count(*) AS n_bloom_hits FROM tr
+      WHERE {_bloom_pos_sql(0)} IN (SELECT pos FROM evpos)
+        AND {_bloom_pos_sql(1)} IN (SELECT pos FROM evpos)
+        AND {_bloom_pos_sql(2)} IN (SELECT pos FROM evpos)
+      GROUP BY doc_id
+    ),
+    exact AS (
+      SELECT t.doc_id, count(*) AS n_exact_hits
+      FROM tr t JOIN ev USING (shingle_hash) GROUP BY 1
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1)
+    SELECT t.doc_id, t.n_shingles, b.n_bloom_hits,
+           coalesce(e.n_exact_hits, 0) AS n_exact_hits,
+           b.n_bloom_hits - coalesce(e.n_exact_hits, 0) AS n_false_pos
+    FROM tot t
+    JOIN bloomhits b USING (doc_id)
+    LEFT JOIN exact e USING (doc_id)
+    """,
+    tags=("text", "hygiene", "decontamination", "bloom"),
+    doc="Bloom-screened contamination (8 KiB position set, k=3 md5-family "
+    "hashes; eval side folds to a capped broadcast regardless of "
+    "benchmark size) beside the exact broadcast join, reporting the "
+    "per-doc false-positive count — the measured FP rate that tunes "
+    "BLOOM_BITS/BLOOM_HASHES. No false negatives by construction. "
+    "operators.decontamination.bloom_contamination_report.",
+)
+def bloom_contamination_report(spark, sf_dir):
+    from ..functions.hashing import md5_hash64
+    from ..operators import decontamination as DC
+
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    h = md5_hash64(F.col("doc_id").cast("string"))
+    return DC.bloom_contamination_report(
+        docs.filter(h % 16 != 0), docs.filter(h % 16 == 0)
+    )
+
+
+@register(
     "corpus_mixture_weights",
     """
     SELECT lang, count(*) AS n_docs,
@@ -1769,3 +1871,61 @@ def minhash_estimate_report(spark, sf_dir):
             "abs_err"
         ),
     )
+
+
+# --- BM25 keyword search -----------------------------------------------------
+
+
+def _bm25_oracle(
+    terms: tuple[str, ...], k: int, k1: float, b: float
+) -> str:
+    """DuckDB twin of operators.bm25.bm25_topk: identical expression
+    association term-for-term (log-free rational IDF — see the module
+    docstring for why no ln)."""
+    tf_cols = ", ".join(
+        f"len(list_filter({_WORDS}, w -> w = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    contribs = " + ".join(
+        f"(((CAST(n - df_{i} AS DOUBLE) + 0.5) / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf_{i} AS DOUBLE) * {k1 + 1!r})"
+        f" / (CAST(tf_{i} AS DOUBLE) + {k1!r} * (1 - {b!r} + {b!r}"
+        f" * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)))))))"
+        for i in range(len(terms))
+    )
+    nmatch = " + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, len({_WORDS}) AS dl, {tf_cols} FROM documents
+    ),
+    s AS (SELECT COUNT(*) AS n, SUM(dl) AS sum_dl, {df_cols} FROM d),
+    scored AS (
+      SELECT doc_id, ({nmatch}) AS n_terms_matched, ({contribs}) AS score
+      FROM d CROSS JOIN s
+    )
+    SELECT doc_id, n_terms_matched, round(score, 6) AS bm25, rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register(
+    "bm25_keyword_search",
+    _bm25_oracle(BM.BM25_TERMS, 15, BM.BM25_K1, BM.BM25_B),
+    tags=("text", "retrieval"),
+    doc="BM25 top-15 for a fixed query-term set: per-doc tf/dl as a "
+    "narrow no-explode projection, corpus stats as ONE broadcast 1-row "
+    "aggregate, top-k via per-partition heaps. Log-free rational IDF "
+    "for cross-engine bit parity. operators.bm25.bm25_topk.",
+)
+def bm25_keyword_search(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return BM.bm25_topk(docs)

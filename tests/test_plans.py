@@ -364,3 +364,37 @@ def test_trailing_sum_no_bounded_sliding_range_frame(spark, sf_smoke):
     low = p.lower().replace(" ", "")
     assert "specifiedwindowframe(rangeframe,-" not in low
     assert "rangeframe,unboundedpreceding" in low  # the incremental cumsum
+
+
+def test_bm25_narrow_scan_broadcast_stats(spark, sf_smoke):
+    # per-doc tf/dl must be a narrow projection (no explode -> no
+    # Generate), corpus stats one broadcast 1-row agg, top-k a
+    # per-partition heap — the scale contract of operators/bm25.py
+    p = tree(explain(spark, "bm25_keyword_search", sf_smoke))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p
+    assert "Generate" not in p
+    assert p.count("Scan parquet") == 2  # doc side + stats side only
+
+
+def test_chunk_plan_no_shuffle(spark, sf_smoke):
+    # chunking is pure per-row explode/slice work: any Exchange or Join
+    # would mean the plan regressed off the linear scan contract
+    full = explain(spark, "doc_chunk_plan", sf_smoke)
+    p = tree(full)
+    assert "Generate" in p  # the chunk-index explode
+    assert "Join" not in p
+    # the only allowed exchange is _spread's local-parallelism
+    # round-robin (no-op at cluster scale) — never a hash/range shuffle
+    assert p.count("Exchange") <= 1
+    assert "hashpartitioning" not in full.lower()
+    assert "rangepartitioning" not in full.lower()
+
+
+def test_bloom_screen_joins_all_broadcast(spark, sf_smoke):
+    # the corpus side must never shuffle for a join: the k position
+    # semi-joins and the exact-audit join all broadcast the tiny side
+    p = tree(explain(spark, "bloom_contamination_report", sf_smoke))
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+    assert "BroadcastHashJoin" in p
