@@ -75,8 +75,14 @@ def heavy_hitter_audit(
     column is the measured collision error — the width/depth tuning
     signal, same audit pattern as ann_recall_report / the MinHash
     calibration. Ties on count break to the smaller key."""
-    per_key = df.groupBy(key_col).agg(F.count("*").alias("exact_count"))
-    cells = cms_cells(df, key_col, depth, width)
+    per_key = df.groupBy(key_col).agg(F.count("*").alias("exact_count")).persist()
+    cells = cms_cells(
+        df,
+        key_col,
+        depth,
+        width,
+        per_key=per_key.select(key_col, F.col("exact_count").alias("c")),
+    )
     probes = (
         per_key.orderBy(F.desc("exact_count"), F.asc(key_col))
         .limit(top)

@@ -226,3 +226,53 @@ def fingerprints(
         F.col(id_col),
         *[F.try_element_at(hashed, F.lit(i + 1)).alias(f"fp_{i + 1}") for i in range(k)],
     )
+
+
+def token_rarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-statistics rarity score per document — the integer-exact
+    perplexity proxy of a unigram LM.
+
+    For each token occurrence, rarity = total_tokens - corpus_count(token)
+    (0 for a token that IS the whole corpus, near total_tokens for a
+    hapax). Per doc: the exact integer SUM of occurrence rarities and
+    the one-division mean. High mean -> unusual vocabulary (OOD or
+    noise); low mean -> stopword-heavy boilerplate. Monotone in unigram
+    surprisal without log/float sums, so both engines agree bit-for-bit
+    (the only float op is the final division; see bm25.py for the
+    no-ln rationale).
+
+    Scale shape: token explode -> (token) count with map-side combine
+    (one uniform shuffle), token-count table re-joined to the token
+    stream — vocabulary is tiny relative to the corpus (Heaps' law), so
+    the join broadcasts; per-doc rollup is the second keyed shuffle.
+
+    Output: (doc_id, n_tokens, rarity_sum, mean_rarity).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(words_of(text_col)).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("tok_count"))
+    total = vocab.agg(F.sum("tok_count").alias("total_tokens"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("total_tokens") - F.col("tok_count")).alias(
+                "rarity_sum"
+            ),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "rarity_sum",
+            F.round(
+                F.col("rarity_sum").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("mean_rarity"),
+        )
+    )

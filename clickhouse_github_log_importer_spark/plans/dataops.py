@@ -532,6 +532,97 @@ def ann_pq_topk(spark, sf_dir):
     )
 
 
+@register(
+    "ann_ivfpq_topk",
+    f"""
+    WITH qn AS (
+      SELECT * FROM (
+        SELECT vec_id, q, {_DOT.format(a='q', b='q')} AS norm2
+        FROM (SELECT vec_id, {_QUANT} AS q FROM embeddings)
+      ) WHERE norm2 > 0
+    ),
+    cents AS (
+      SELECT vec_id AS c_id, row_number() OVER (ORDER BY vec_id) - 1 AS cw,
+             q AS cq, norm2 AS cn
+      FROM (SELECT * FROM qn ORDER BY vec_id LIMIT 16)
+    ),
+    centroid_cos AS (
+      SELECT v.vec_id, c.c_id,
+             row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY CAST({_DOT.format(a='v.q', b='c.cq')} AS DOUBLE)
+                                      / (sqrt(CAST(v.norm2 AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
+                                      c.c_id ASC) AS rn
+      FROM qn v CROSS JOIN cents c
+    ),
+    assigned AS (SELECT vec_id, c_id FROM centroid_cos WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, c_id FROM centroid_cos
+      WHERE rn <= 2 AND vec_id < 8
+    ),
+    pq_dists AS (
+      SELECT v.vec_id, m.m, c.cw,
+             {_pq_slice_dot('c.cq', 'c.cq', 'm.m')}
+               - 2 * {_pq_slice_dot('v.q', 'c.cq', 'm.m')} AS dcore,
+             {_pq_slice_dot('c.cq', 'c.cq', 'm.m')} AS cnorm
+      FROM qn v
+      CROSS JOIN generate_series(0, 3) AS m(m)
+      CROSS JOIN cents c
+    ),
+    pq_codes AS (
+      SELECT vec_id, m, cw, cnorm
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dcore ASC, cw ASC) AS rn
+        FROM pq_dists
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a ON a.c_id = p.c_id AND a.vec_id <> p.query_id
+    ),
+    parts AS (
+      SELECT cd.query_id, cd.neighbor_id, qv.norm2 AS qnorm, co.cnorm,
+             {_pq_slice_dot('qv.q', 'ct.cq', 'co.m')} AS part_dot
+      FROM cand cd
+      JOIN pq_codes co ON co.vec_id = cd.neighbor_id
+      JOIN cents ct ON ct.cw = co.cw
+      JOIN qn qv ON qv.vec_id = cd.query_id
+    ),
+    adc AS (
+      SELECT query_id, neighbor_id, min(qnorm) AS qnorm,
+             SUM(part_dot) AS adc_dot, SUM(cnorm) AS recon_norm2
+      FROM parts GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(adc_cos, 6) AS adc_sim, rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_cos DESC, neighbor_id ASC) AS rank
+      FROM (
+        SELECT query_id, neighbor_id,
+               CAST(adc_dot AS DOUBLE)
+                 / (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(recon_norm2 AS DOUBLE))) AS adc_cos
+        FROM adc WHERE recon_norm2 > 0
+      )
+    ) WHERE rank <= 3
+    """,
+    tags=("similarity", "pq", "ivf"),
+    doc="IVF+PQ (full FAISS-IVFPQ shape): coarse assignment + PQ encode "
+    "fused into one Arrow scan; per-query integer LUTs ride the tiny "
+    "broadcast probe table; ADC scoring restricted to nprobe=2 inverted "
+    "lists — never touches raw embeddings at search time. "
+    "operators.similarity.ivfpq_topk.",
+)
+def ann_ivfpq_topk(spark, sf_dir):
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    return SIM.ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        codebook=_ivf_codebook(spark, sf_dir),
+        k=3,
+        nprobe=2,
+    )
+
+
 def _lsh_topk_oracle(k: int = 3, n_queries: int = 8, dims: int = 64) -> str:
     w = SIM.plane_weights(SIM.LSH_PLANES, dims)
     return f"""
@@ -1226,6 +1317,30 @@ def decontamination_report(spark, sf_dir):
     return DC.eval_overlap_report(
         docs.filter(h % 16 != 0), docs.filter(h % 16 == 0)
     )
+
+
+@register(
+    "doc_token_rarity",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_WORDS}) AS tok FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS tok_count FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(tok_count) AS total_tokens FROM vocab)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           SUM(total_tokens - tok_count) AS rarity_sum,
+           round(CAST(SUM(total_tokens - tok_count) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_rarity
+    FROM toks JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality"),
+    doc="Unigram-LM rarity (integer-exact perplexity proxy): per-token "
+    "rarity = total_tokens - corpus_count(token), summed exactly per "
+    "doc; one float division at the end. Vocabulary aggregates with "
+    "map-side combine and broadcasts back (Heaps' law keeps it small). "
+    "operators.text_analysis.token_rarity.",
+)
+def doc_token_rarity(spark, sf_dir):
+    return TA.token_rarity(_spread(spark, t(spark, sf_dir, "documents")))
 
 
 @register(
@@ -1929,3 +2044,60 @@ def _bm25_oracle(
 def bm25_keyword_search(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     return BM.bm25_topk(docs)
+
+
+@register(
+    "hybrid_rrf_search",
+    f"""
+    WITH b AS ({{bm25}}),
+    a AS ({{ann}}),
+    fused AS (
+      SELECT coalesce(b.doc_id, a.neighbor_id) AS doc_id,
+             b.rank AS bm25_rank, a.rank AS ann_rank,
+             coalesce(1.0 / (60 + b.rank), 0) + coalesce(1.0 / (60 + a.rank), 0)
+               AS rrf
+      FROM b FULL JOIN a ON a.neighbor_id = b.doc_id
+    )
+    SELECT doc_id, bm25_rank, ann_rank, round(rrf, 6) AS rrf_score, rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """.format(
+        bm25=_bm25_oracle(BM.BM25_TERMS, 15, BM.BM25_K1, BM.BM25_B),
+        ann=_ann_oracle(k=15, n_queries=1),
+    ),
+    tags=("text", "retrieval", "similarity"),
+    doc="Hybrid retrieval: reciprocal-rank fusion (RRF, c=60) of the "
+    "BM25 top-15 and the exact-cosine ANN top-15 for query vector 0 "
+    "(doc_id and vec_id share the id space in this corpus). Both legs "
+    "keep their own scale shapes; the fusion is a full outer join of "
+    "two <=15-row lists plus a 10-row ranking window — driver-trivial "
+    "at any corpus size. A missing leg contributes exactly 0.",
+)
+def hybrid_rrf_search(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    b = BM.bm25_topk(docs).select("doc_id", F.col("rank").alias("bm25_rank"))
+    a = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=15).select(
+        F.col("neighbor_id").alias("_aid"), F.col("rank").alias("ann_rank")
+    )
+    j = b.join(a, b["doc_id"] == a["_aid"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("bm25_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("ann_rank")), F.lit(0.0))
+    fused = j.select(
+        F.coalesce("doc_id", "_aid").alias("doc_id"),
+        "bm25_rank",
+        "ann_rank",
+        rrf.alias("_rrf"),
+    )
+    top = fused.orderBy(F.desc("_rrf"), F.asc("doc_id")).limit(10)
+    win = Window.orderBy(F.desc("_rrf"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(win).cast("long")).select(
+        "doc_id",
+        "bm25_rank",
+        "ann_rank",
+        F.round("_rrf", 6).alias("rrf_score"),
+        "rank",
+    )

@@ -1410,6 +1410,57 @@ def sliding_window_counts(spark, sf_dir):
     )
 
 
+def _cms_oracle(top: int = 10) -> str:
+    from ..operators.cms import _CMS_SEED0, CMS_DEPTH, CMS_WIDTH
+    from ..functions.hashing import md5_hash64_sql
+
+    def pos(key: str) -> str:
+        h = md5_hash64_sql(
+            f"concat(CAST({_CMS_SEED0} + j.j AS VARCHAR), ':', CAST({key} AS VARCHAR))"
+        )
+        return f"{h} % {CMS_WIDTH}"
+
+    return f"""
+    WITH per_key AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+    cells AS (
+      SELECT j.j AS row, {pos('user_id')} AS pos, SUM(c) AS cell_count
+      FROM per_key CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) AS j(j)
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT user_id, c AS exact_count FROM per_key
+      ORDER BY c DESC, user_id ASC LIMIT {top}
+    ),
+    probecells AS (
+      SELECT p.user_id, p.exact_count, j.j AS row, {pos('p.user_id')} AS pos
+      FROM probes p CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) AS j(j)
+    )
+    SELECT pc.user_id, pc.exact_count,
+           MIN(cl.cell_count) AS cms_estimate,
+           MIN(cl.cell_count) - pc.exact_count AS overestimate
+    FROM probecells pc JOIN cells cl USING (row, pos)
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "heavy_hitters_cms",
+    _cms_oracle(),
+    tags=("A-approx", "sketch"),
+    doc="Count-min sketch (depth 4 x width 512, md5 portable-hash rows) "
+    "probed at the top-10 exact heavy hitters: (key, exact, estimate, "
+    "overestimate). estimate >= exact always — the measured collision "
+    "error is the width/depth tuning signal (same audit pattern as "
+    "ann_recall_report). Built from pre-aggregated per-key counts: one "
+    "uniform keyed shuffle with map-side combine, then an O(depth*width) "
+    "grid that broadcasts/merges cellwise. operators.cms.",
+)
+def heavy_hitters_cms(spark, sf_dir):
+    from ..operators.cms import heavy_hitter_audit
+
+    return heavy_hitter_audit(t(spark, sf_dir, "events"), "user_id")
+
+
 @register(
     "approx_distinct_users",
     """

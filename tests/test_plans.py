@@ -88,6 +88,8 @@ DECLARED_ARROW = (
     "kmeans_",
     "semantic_dedup_keepers",
     "cluster_keepers",
+    # the ANN leg scores with the Arrow int64-matmul cosine kernel
+    "hybrid_rrf_search",
 )
 
 

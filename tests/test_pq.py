@@ -80,3 +80,21 @@ def test_pq_encode_deterministic(spark):
         )
 
     assert once() == once()
+
+
+def test_ivfpq_nprobe_all_equals_full_adc(spark):
+    # with nprobe = n_lists the IVF restriction vanishes: IVFPQ must
+    # reproduce the full ADC scan's results exactly (same candidate set,
+    # same integer LUT math, same tie-breaks)
+    emb = t(spark, SF, "embeddings")
+    cb = _codebook(spark)
+    queries = emb.filter(F.col("vec_id") < 4)
+    full = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["adc_sim"])
+        for r in SIM.pq_adc_topk(emb, queries, cb, k=3).collect()
+    )
+    ivfpq = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["adc_sim"])
+        for r in SIM.ivfpq_topk(emb, queries, cb, k=3, nprobe=16).collect()
+    )
+    assert full == ivfpq
