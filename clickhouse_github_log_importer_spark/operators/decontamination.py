@@ -127,10 +127,14 @@ def bloom_contamination_report(
     rows are the docs a bloom-only screen would over-drop — the
     measured FP rate is the tuning signal for BLOOM_BITS/BLOOM_HASHES.
     """
-    tr = doc_shingle_hashes(train, text_col, id_col, n)
-    if scope is not None:
-        tr = scope.persist(tr)
-    ev = doc_shingle_hashes(eval_docs, text_col, id_col, n)
+    from .cache import persist_in
+
+    # tr feeds three consumers (bloom branch, exact audit, totals) and
+    # ev two (position set, exact side): persist both or the shingle
+    # explode+distinct pipeline runs 5x (~25% wall at sf0.1 where the
+    # pipeline is cheap; at corpus scale the recompute IS the query)
+    tr = persist_in(scope, doc_shingle_hashes(train, text_col, id_col, n))
+    ev = persist_in(scope, doc_shingle_hashes(eval_docs, text_col, id_col, n))
     evpos = (
         ev.select(F.explode(F.array(*bloom_positions("shingle_hash"))).alias("pos"))
         .distinct()
