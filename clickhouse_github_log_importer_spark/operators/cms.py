@@ -107,3 +107,33 @@ def heavy_hitter_audit(
             (F.col("cms_estimate") - F.col("exact_count")).alias("overestimate"),
         )
     )
+
+
+def cms_cells_streamable(
+    df: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """The single-aggregation form of :func:`cms_cells`: each event fans
+    out to its `depth` cells directly, one groupBy counts them.
+
+    Provably identical output (sum of per-key counts == direct count;
+    pytest-pinned), but with exactly ONE aggregation stage it runs
+    unmodified on a STREAMING frame — Spark rejects chained streaming
+    aggregations, and a CMS needs no watermark anyway: its state is the
+    grid itself, O(depth x width) by construction regardless of stream
+    length. This is the sketch-as-incremental-rollup mode: run it with
+    readStream + complete output and the memory/parquet sink always
+    holds the up-to-date sketch, mergeable cellwise with any other
+    corpus's grid.
+
+    Batch callers should prefer :func:`cms_cells` (its per-key pre-agg
+    absorbs hot keys map-side before the x depth fan-out).
+    """
+    fanned = df.select(
+        F.posexplode(
+            F.array(*[cms_pos(key_col, j, width) for j in range(depth)])
+        ).alias("row", "pos")
+    )
+    return fanned.groupBy("row", "pos").agg(F.count("*").alias("cell_count"))

@@ -350,3 +350,122 @@ def frame_sample(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
         .withColumn("frame_idx", F.col("frame_idx").cast("long"))
         .drop("_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: real pure-stdlib PCM WAV codec (RIFF chunk walk, no wave module
+# dependency on file paths — bytes in, bytes out)
+# ---------------------------------------------------------------------------
+
+AUD_A = 2246822519  # xxhash prime — decorrelated from the image formula
+AUD_B = 374761393
+AUD_RATE = 8000
+
+
+def aud_n_samples(doc_id: int) -> int:
+    return 256 + doc_id % 64
+
+
+def synth_samples(doc_id: int) -> np.ndarray:
+    """Deterministic int16 mono samples: s_k = ((id*A + k*B) mod 2^16) - 2^15."""
+    k = np.arange(aud_n_samples(doc_id), dtype=np.int64)
+    return ((doc_id * AUD_A + k * AUD_B) % 65536 - 32768).astype(np.int16)
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """Minimal canonical PCM WAV: RIFF header + fmt + data chunks."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Chunk-walking PCM WAV parser (16-bit mono little-endian): skips
+    unknown chunks (LIST/INFO etc.), validates the fmt contract, returns
+    rate + int16 samples. Raises ValueError on malformed input."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    rate, bits, channels, data = None, None, None, None
+    while pos + 8 <= min(end, len(payload)):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1:
+                raise ValueError(f"not PCM (fmt tag {audio_fmt})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError(f"expected 16-bit mono, got {bits}-bit x{channels}")
+    return {
+        "sample_rate": int(rate),
+        "samples": np.frombuffer(data, dtype="<i2"),
+    }
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sum_samples", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("max_abs", T.LongType()),
+    ]
+)
+
+
+def as_audio_media_table(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Encode one real WAV per doc from the deterministic sample formula
+    (same media-table schema as the image path)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads, metas = [], []
+            for d in ids:
+                p = encode_wav(AUD_RATE, synth_samples(int(d)))
+                payloads.append(p)
+                metas.append({"media_type": "audio/wav", "n_bytes": len(p)})
+            yield pd.DataFrame(
+                {"doc_id": ids.values, "payload": payloads, "media_meta": metas}
+            )
+
+    return docs.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        run, IMAGE_MEDIA_SCHEMA
+    )
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL WAV decode -> exact integer features (sum, abs-sum, peak):
+    every value closed-form recomputable by the SQL oracle, so a codec
+    bug (endianness, sign, chunk walk, padding) breaks hash parity."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                wav = decode_wav(bytes(payload))
+                s = wav["samples"].astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": int(d),
+                        "sample_rate": wav["sample_rate"],
+                        "n_samples": len(s),
+                        "sum_samples": int(s.sum()),
+                        "sum_abs": int(np.abs(s).sum()),
+                        "max_abs": int(np.abs(s).max()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA])
+
+    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)

@@ -988,6 +988,40 @@ def multimodal_image_features(spark, sf_dir):
     return MM.extract_image_features(media)
 
 
+_AUD_SAMPLES = (
+    f"list_transform(range(0, 256 + doc_id % 64), "
+    f"k -> (doc_id * {MM.AUD_A} + k * {MM.AUD_B}) % 65536 - 32768)"
+)
+
+
+@register(
+    "multimodal_audio_features",
+    f"""
+    SELECT doc_id,
+           CAST({MM.AUD_RATE} AS BIGINT) AS sample_rate,
+           CAST(256 + doc_id % 64 AS BIGINT) AS n_samples,
+           CAST(list_sum({_AUD_SAMPLES}) AS BIGINT) AS sum_samples,
+           CAST(list_sum(list_transform({_AUD_SAMPLES}, s -> abs(s))) AS BIGINT)
+             AS sum_abs,
+           CAST(list_max(list_transform({_AUD_SAMPLES}, s -> abs(s))) AS BIGINT)
+             AS max_abs
+    FROM documents
+    """,
+    tags=("multimodal", "audio"),
+    doc="REAL audio decode end-to-end: one deterministic 16-bit mono PCM "
+    "WAV per doc (sample k = (doc_id*AUD_A + k*AUD_B) mod 2^16 - 2^15), "
+    "encoded as an actual RIFF/WAVE binary and parsed back by the "
+    "pure-stdlib chunk-walking decoder (fmt contract validation, "
+    "word-aligned chunk skip, little-endian int16), reduced to exact "
+    "integer features the oracle recomputes in closed form — an "
+    "endianness/sign/chunk-walk bug breaks hash parity. "
+    "operators.multimodal.as_audio_media_table + extract_audio_features.",
+)
+def multimodal_audio_features(spark, sf_dir):
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return MM.extract_audio_features(MM.as_audio_media_table(docs))
+
+
 @register(
     "multimodal_frame_sample",
     f"""
@@ -2100,4 +2134,73 @@ def hybrid_rrf_search(spark, sf_dir):
         "ann_rank",
         F.round("_rrf", 6).alias("rrf_score"),
         "rank",
+    )
+
+
+@register(
+    "chunk_dup_rate",
+    f"""
+    WITH d AS (
+      SELECT doc_id, words, len(words) AS dl
+      FROM (SELECT doc_id, {_WORDS} AS words FROM documents)
+      WHERE len(words) > 0
+    ),
+    c AS (
+      SELECT doc_id, words, dl,
+             unnest(range(0,
+               1 + CAST(((greatest(dl - 64, 0) + 47)
+                         - (greatest(dl - 64, 0) + 47) % 48) / 48 AS BIGINT)
+             )) AS chunk_idx
+      FROM d
+    ),
+    ch AS (
+      SELECT doc_id,
+             {md5_hash64_sql("array_to_string(words[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ')")} AS chunk_hash
+      FROM c
+    ),
+    per_dh AS (SELECT doc_id, chunk_hash, COUNT(*) AS c_dh FROM ch GROUP BY 1, 2),
+    per_h AS (SELECT chunk_hash, SUM(c_dh) AS c_h FROM per_dh GROUP BY 1)
+    SELECT doc_id, SUM(c_dh) AS n_chunks,
+           SUM(CASE WHEN c_h >= 2 THEN c_dh ELSE 0 END) AS dup_chunks,
+           round(CAST(SUM(CASE WHEN c_h >= 2 THEN c_dh ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(c_dh) AS DOUBLE), 6) AS dup_frac
+    FROM per_dh JOIN per_h USING (chunk_hash)
+    GROUP BY doc_id
+    """,
+    tags=("text", "chunking", "dedup"),
+    doc="Paragraph-level dedup audit (C4-style granularity between "
+    "doc-exact and span-exact): corpus multiplicity of every sliding "
+    "chunk fingerprint, rolled up per doc — same two keyed shuffles as "
+    "dup_span_report but over window-64 chunks, so a repeated paragraph "
+    "flags without a full-doc or 6-gram match. Composes "
+    "operators.chunking.chunk_plan with the span-profile shape.",
+)
+def chunk_dup_rate(spark, sf_dir):
+    from ..operators.chunking import chunk_plan
+
+    ch = chunk_plan(_spread(spark, t(spark, sf_dir, "documents"))).select(
+        "doc_id", "chunk_hash"
+    )
+    per_dh = ch.groupBy("doc_id", "chunk_hash").agg(F.count("*").alias("c_dh"))
+    per_dh = per_dh.persist()  # feeds the rollup AND the join probe
+    per_h = per_dh.groupBy("chunk_hash").agg(F.sum("c_dh").alias("c_h"))
+    return (
+        per_dh.join(per_h, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_dh").alias("n_chunks"),
+            F.sum(
+                F.when(F.col("c_h") >= 2, F.col("c_dh")).otherwise(F.lit(0))
+            ).alias("dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "dup_chunks",
+            F.round(
+                F.col("dup_chunks").cast("double")
+                / F.col("n_chunks").cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
     )

@@ -469,6 +469,180 @@ def hourly_event_counts(spark, sf_dir):
     )
 
 
+@register(
+    "user_first_events",
+    """
+    SELECT user_id,
+           array_to_string((list(event_type ORDER BY epoch_us(ts), event_id))[1:5], '|')
+             AS first_events,
+           COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    tags=("A-array", "clickhouse-parity"),
+    doc="groupArray analog: each user's first 5 event types in exact "
+    "event order, as one ordered-array aggregation (ClickHouse "
+    "groupArray(5)(...) shape). Determinism from the (ts, event_id) "
+    "total order; one user-keyed shuffle, the per-user sort is the "
+    "window sort every sessionization query already pays.",
+)
+def user_first_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") <= 5,
+                                F.struct(F.col("_rn"), F.col("event_type")),
+                            )
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+            ).alias("first_events"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "gap_filled_hourly_counts",
+    """
+    WITH c AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+             COUNT(*) AS n, round(SUM(value), 2) AS tv
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT event_type, min(hour_id) AS lo, max(hour_id) AS hi
+             FROM c GROUP BY 1),
+    grid AS (SELECT event_type, unnest(range(lo, hi + 1)) AS hour_id FROM span)
+    SELECT g.event_type, g.hour_id, coalesce(c.n, 0) AS n_events,
+           coalesce(c.tv, 0.0) AS total_value, c.n IS NULL AS is_filled
+    FROM grid g LEFT JOIN c USING (event_type, hour_id)
+    """,
+    tags=("T1", "fill", "timeseries"),
+    doc="Gap-filled hourly series (ClickHouse ORDER BY ... WITH FILL "
+    "analog): per event type, every hour between its first and last "
+    "activity, zero-filled where no events landed, with an is_filled "
+    "marker. The grid is time-bounded (hours in the span), never "
+    "data-bounded — at 100 TB the explode after the per-(type,hour) "
+    "aggregation is the same few thousand rows.",
+)
+def gap_filled_hourly_counts(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    hour_id = F.expr("ts_us div 3600000000")
+    counts = ev.groupBy("event_type", hour_id.alias("hour_id")).agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("tv")
+    )
+    grid = (
+        counts.groupBy("event_type")
+        .agg(F.min("hour_id").alias("lo"), F.max("hour_id").alias("hi"))
+        .select(
+            "event_type", F.explode(F.sequence("lo", "hi")).alias("hour_id")
+        )
+    )
+    return grid.join(counts, ["event_type", "hour_id"], "left").select(
+        "event_type",
+        "hour_id",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("tv", F.lit(0.0)).alias("total_value"),
+        F.col("n").isNull().alias("is_filled"),
+    )
+
+
+@register(
+    "daily_event_type_pivot",
+    """
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signups,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+           COUNT(*) AS total
+    FROM events GROUP BY 1
+    """,
+    tags=("A2", "pivot"),
+    doc="True PIVOT (days x event-type columns) via Spark's pivot() with "
+    "explicit values — one pass, no per-column scans; unseen types "
+    "zero-fill. The wide-table shape dashboards consume.",
+)
+def daily_event_type_pivot(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    plural = {
+        "click": "clicks",
+        "view": "views",
+        "purchase": "purchases",
+        "signup": "signups",
+        "error": "errors",
+    }
+    wide = (
+        ev.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+    for ty in types:
+        wide = wide.withColumnRenamed(ty, plural[ty])
+    total = F.col("clicks")
+    for ty in types[1:]:
+        total = total + F.col(plural[ty])
+    return wide.withColumn("total", total.cast("long"))
+
+
+@register(
+    "value_histogram",
+    """
+    WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+    b AS (
+      SELECT least(CAST(floor(((value - lo) * 20) / (hi - lo)) AS BIGINT), 19)
+               AS bin,
+             value
+      FROM events CROSS JOIN s
+    )
+    SELECT bin, COUNT(*) AS n_events,
+           round(min(value), 2) AS bin_min, round(max(value), 2) AS bin_max
+    FROM b GROUP BY bin
+    """,
+    tags=("A2", "histogram"),
+    doc="Equi-width 20-bin histogram of the value column (ClickHouse "
+    "histogram() analog, deterministic bins instead of adaptive): "
+    "global min/max as ONE broadcast 1-row aggregate, bin assignment a "
+    "narrow projection with oracle-identical float association, top "
+    "bin right-closed via least(). No sums of floats — counts and "
+    "exact min/max only.",
+)
+def value_histogram(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    s = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    b = ev.crossJoin(F.broadcast(s)).select(
+        F.least(
+            F.floor(
+                ((F.col("value") - F.col("lo")) * F.lit(20))
+                / (F.col("hi") - F.col("lo"))
+            ).cast("long"),
+            F.lit(19).cast("long"),
+        ).alias("bin"),
+        "value",
+    )
+    return b.groupBy("bin").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.min("value"), 2).alias("bin_min"),
+        F.round(F.max("value"), 2).alias("bin_max"),
+    )
+
+
 # =====================================================================
 # TPC-H-style analytics (bench headliners; same operator families at
 # shuffle-heavy scale: multi-join, partial agg, broadcast dims, top-K)
@@ -2627,6 +2801,89 @@ def event_funnel_conversion(spark, sf_dir):
         F.count("ck").alias("n_click_after"),
         F.count("pu").alias("n_purchase_after"),
     )
+
+
+_FUNNEL_WINDOW_US = 24 * 3600 * 1000000  # 24 h
+
+
+@register(
+    "window_funnel_levels",
+    f"""
+    WITH s1 AS (SELECT user_id, epoch_us(ts) AS t1 FROM events
+                WHERE event_type = 'signup'),
+    s2 AS (
+      SELECT s1.user_id, s1.t1, min(epoch_us(e.ts)) AS t2
+      FROM s1 JOIN events e ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) > s1.t1
+        AND epoch_us(e.ts) <= s1.t1 + {_FUNNEL_WINDOW_US}
+      GROUP BY 1, 2
+    ),
+    s3 AS (
+      SELECT s2.user_id, s2.t1, min(epoch_us(e.ts)) AS t3
+      FROM s2 JOIN events e ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > s2.t2
+        AND epoch_us(e.ts) <= s2.t1 + {_FUNNEL_WINDOW_US}
+      GROUP BY 1, 2
+    ),
+    lvl AS (
+      SELECT u.user_id,
+             CASE WHEN u.user_id IN (SELECT user_id FROM s3) THEN 3
+                  WHEN u.user_id IN (SELECT user_id FROM s2) THEN 2
+                  ELSE 1 END AS funnel_level
+      FROM (SELECT DISTINCT user_id FROM s1) u
+    )
+    SELECT funnel_level, count(*) AS n_users FROM lvl GROUP BY 1
+    """,
+    tags=("J1", "funnel", "clickhouse-parity"),
+    doc="ClickHouse windowFunnel(24h) analog, EXACT maximal-level "
+    "semantics: a user reaches level k if ANY signup starts a chain "
+    "signup -> click -> purchase completing within 24 h of that signup "
+    "(greedy earliest-next-stage per chain start is provably optimal "
+    "for fixed t1, and the max over starts is the existence check). "
+    "Chain enumeration joins are user-keyed with range predicates — "
+    "bounded by per-user stage-1 events, never corpus-quadratic.",
+)
+def window_funnel_levels(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    W = _FUNNEL_WINDOW_US
+    s1 = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts_us").alias("t1")
+    )
+    ck = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_us").alias("tc")
+    )
+    pu = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts_us").alias("tp")
+    )
+    s2 = (
+        s1.join(ck, "user_id")
+        .filter((F.col("tc") > F.col("t1")) & (F.col("tc") <= F.col("t1") + W))
+        .groupBy("user_id", "t1")
+        .agg(F.min("tc").alias("t2"))
+    )
+    s3 = (
+        s2.join(pu, "user_id")
+        .filter((F.col("tp") > F.col("t2")) & (F.col("tp") <= F.col("t1") + W))
+        .groupBy("user_id", "t1")
+        .agg(F.min("tp").alias("t3"))
+    )
+    users = s1.select("user_id").distinct()
+    l3 = s3.select("user_id").distinct().withColumn("_l3", F.lit(1))
+    l2 = s2.select("user_id").distinct().withColumn("_l2", F.lit(1))
+    lvl = (
+        users.join(l3, "user_id", "left")
+        .join(l2, "user_id", "left")
+        .select(
+            F.when(F.col("_l3").isNotNull(), F.lit(3))
+            .when(F.col("_l2").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("funnel_level")
+        )
+    )
+    return lvl.groupBy("funnel_level").agg(F.count("*").alias("n_users"))
 
 
 @register(

@@ -46,3 +46,35 @@ def test_cms_narrow_width_shows_collisions(spark):
     assert any(r["overestimate"] > 0 for r in rep)
     for r in rep:  # one-sided even under heavy collision
         assert r["cms_estimate"] >= r["exact_count"]
+
+
+def test_cms_streamable_form_equals_batch_form(spark):
+    ev = t(spark, SF, "events")
+    a = sorted(tuple(r) for r in cms.cms_cells(ev, "user_id").collect())
+    b = sorted(tuple(r) for r in cms.cms_cells_streamable(ev, "user_id").collect())
+    assert a == b
+
+
+def test_cms_streaming_matches_batch(spark, tmp_path):
+    # the same operator on readStream (availableNow) must yield the
+    # identical grid — the sketch IS the bounded streaming state
+    src = str(tmp_path / "cms_src")
+    ev = t(spark, SF, "events").select("user_id", "event_type", "ts", "value")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp, value double"
+    ).parquet(src)
+    out = cms.cms_cells_streamable(stream, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cms_smoke")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(tuple(r) for r in spark.table("cms_smoke").collect())
+    batch = sorted(
+        tuple(r) for r in cms.cms_cells_streamable(spark.read.parquet(src), "user_id").collect()
+    )
+    assert streamed == batch

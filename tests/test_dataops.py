@@ -409,3 +409,43 @@ def test_pack_plan(spark):
         ("en", 1): (1, 600, round(600 / 2048.0, 4)),
         ("fr", 0): (1, 100, round(100 / 2048.0, 4)),
     }
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import struct
+
+    import numpy as np
+
+    from clickhouse_github_log_importer_spark.operators import multimodal as MM
+
+    s = MM.synth_samples(7)
+    payload = MM.encode_wav(MM.AUD_RATE, s)
+    wav = MM.decode_wav(payload)
+    assert wav["sample_rate"] == MM.AUD_RATE
+    assert np.array_equal(wav["samples"], s)
+
+    # a real-world file often carries extra chunks (LIST/INFO) before
+    # data — the chunk walk must skip them, including odd-length padding
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # padded odd chunk
+    with_junk = payload[:12] + junk + payload[12:]
+    with_junk = b"RIFF" + struct.pack("<I", len(with_junk) - 8) + with_junk[8:]
+    wav2 = MM.decode_wav(with_junk)
+    assert np.array_equal(wav2["samples"], s)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        MM.decode_wav(b"RIFX" + payload[4:])  # bad magic
+    with pytest.raises(ValueError):
+        # stereo contract violation
+        bad_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+        MM.decode_wav(
+            b"RIFF"
+            + struct.pack("<I", 4 + 8 + len(bad_fmt) + 8)
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(bad_fmt))
+            + bad_fmt
+            + b"data"
+            + struct.pack("<I", 0)
+        )

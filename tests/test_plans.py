@@ -400,3 +400,28 @@ def test_bloom_screen_joins_all_broadcast(spark, sf_smoke):
     assert "SortMergeJoin" not in p
     assert "ShuffledHashJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_value_histogram_broadcast_stats(spark, sf_smoke):
+    # global min/max must reach the bin projection as a 1-row broadcast,
+    # never a sort-merge join or a second full-scan shuffle
+    p = tree(explain(spark, "value_histogram", sf_smoke))
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_window_funnel_no_cartesian(spark, sf_smoke):
+    # chain-enumeration joins must stay user-keyed equi-joins with range
+    # residuals — a NestedLoop/cartesian plan would be corpus-quadratic
+    p = tree(explain(spark, "window_funnel_levels", sf_smoke))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_gap_fill_explodes_after_aggregation(spark, sf_smoke):
+    # the hour grid must be generated from the per-(type,hour) aggregate
+    # (time-bounded), not from raw events: exactly one Generate, fed by
+    # an aggregate, and the fill join joins two aggregated sides
+    p = tree(explain(spark, "gap_filled_hourly_counts", sf_smoke))
+    assert p.count("Generate") == 1
+    assert "CartesianProduct" not in p
