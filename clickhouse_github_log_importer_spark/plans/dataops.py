@@ -532,9 +532,8 @@ def ann_pq_topk(spark, sf_dir):
     )
 
 
-@register(
-    "ann_ivfpq_topk",
-    f"""
+#: IVFPQ oracle (shared by ann_ivfpq_topk and the recall audit)
+_IVFPQ_SQL = f"""
     WITH qn AS (
       SELECT * FROM (
         SELECT vec_id, q, {_DOT.format(a='q', b='q')} AS norm2
@@ -604,7 +603,12 @@ def ann_pq_topk(spark, sf_dir):
         FROM adc WHERE recon_norm2 > 0
       )
     ) WHERE rank <= 3
-    """,
+"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    _IVFPQ_SQL,
     tags=("similarity", "pq", "ivf"),
     doc="IVF+PQ (full FAISS-IVFPQ shape): coarse assignment + PQ encode "
     "fused into one Arrow scan; per-query integer LUTs ride the tiny "
@@ -620,6 +624,58 @@ def ann_ivfpq_topk(spark, sf_dir):
         codebook=_ivf_codebook(spark, sf_dir),
         k=3,
         nprobe=2,
+    )
+
+
+@register(
+    "ann_ivfpq_recall_report",
+    f"""
+    WITH ex AS (
+      SELECT query_id, neighbor_id FROM ({_ann_oracle(k=3, n_queries=8)})
+    ),
+    ad AS (
+      SELECT query_id, neighbor_id FROM ({{ivfpq}})
+    ),
+    h AS (
+      SELECT ex.query_id, count(*) AS n
+      FROM ex JOIN ad USING (query_id, neighbor_id)
+      GROUP BY 1
+    )
+    SELECT q.query_id, CAST(3 AS BIGINT) AS k,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           round(coalesce(h.n, 0) / 3.0, 6) AS recall
+    FROM (SELECT DISTINCT query_id FROM ex) q
+    LEFT JOIN h USING (query_id)
+    """.format(ivfpq=_IVFPQ_SQL),
+    tags=("similarity", "pq", "ivf", "audit"),
+    doc="Compressed-domain index quality audit: IVFPQ(nprobe=2) top-3 "
+    "vs exact brute-force cosine top-3, per query — the ADC twin of "
+    "ann_recall_report, closing the loop on what PQ compression + list "
+    "restriction cost in recall (the nprobe/M/K tuning signal).",
+)
+def ann_ivfpq_recall_report(spark, sf_dir):
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 8)
+    cb = _ivf_codebook(spark, sf_dir)
+    exact = SIM.cosine_topk(emb, q, k=3).select("query_id", "neighbor_id")
+    adc = SIM.ivfpq_topk(emb, q, codebook=cb, k=3, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(adc, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(3).cast("long").alias("k"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n", F.lit(0)) / F.lit(3.0), 6).alias("recall"),
+        )
     )
 
 
