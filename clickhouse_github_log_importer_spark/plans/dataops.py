@@ -94,8 +94,8 @@ def dedup_exact(spark, sf_dir):
     ),
     per_dg AS (SELECT doc_id, g, COUNT(*) AS c_dg FROM sp GROUP BY 1, 2),
     per_g AS (SELECT g, sum(c_dg) AS c_g FROM per_dg GROUP BY 1)
-    SELECT doc_id, sum(c_dg) AS n_spans,
-           sum(CASE WHEN c_g >= 2 THEN c_dg ELSE 0 END) AS dup_spans,
+    SELECT doc_id, CAST(sum(c_dg) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN c_g >= 2 THEN c_dg ELSE 0 END) AS BIGINT) AS dup_spans,
            round(sum(CASE WHEN c_g >= 2 THEN c_dg ELSE 0 END) * 1.0
                  / sum(c_dg), 6) AS dup_frac
     FROM per_dg JOIN per_g USING (g)
@@ -1105,8 +1105,8 @@ def multimodal_frame_sample(spark, sf_dir):
     "docs_hash_sample",
     f"""
     SELECT lang, COUNT(*) AS n_total,
-           sum(CASE WHEN {md5_hash64_sql("CAST(doc_id AS VARCHAR)")} % 8 = 0
-                    THEN 1 ELSE 0 END) AS n_sampled,
+           CAST(sum(CASE WHEN {md5_hash64_sql("CAST(doc_id AS VARCHAR)")} % 8 = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
            min(CASE WHEN {md5_hash64_sql("CAST(doc_id AS VARCHAR)")} % 8 = 0
                     THEN doc_id END) AS min_sampled_key
     FROM documents GROUP BY lang
@@ -1137,7 +1137,7 @@ def docs_hash_sample(spark, sf_dir):
       FROM documents
     )
     SELECT source, min(n_total) AS n_total, COUNT(*) AS n_kept,
-           sum(n_chars) AS kept_chars, min(doc_id) AS min_kept_doc_id
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars, min(doc_id) AS min_kept_doc_id
     FROM ranked WHERE rn <= 40
     GROUP BY source
     """,
@@ -1189,7 +1189,7 @@ def source_capped_sample(spark, sf_dir):
     SELECT source,
            CASE WHEN h < 98 THEN 'train' WHEN h < 99 THEN 'val'
                 ELSE 'test' END AS split,
-           COUNT(*) AS n_docs, sum(n_chars) AS sum_chars,
+           COUNT(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
            min(doc_id) AS min_doc_id
     FROM (
       SELECT source, doc_id, n_chars,
@@ -1224,10 +1224,11 @@ def dataset_split_summary(spark, sf_dir):
     "pii_scan",
     f"""
     SELECT lang, COUNT(*) AS n_docs,
-           sum(CASE WHEN email_hits > 0 THEN 1 ELSE 0 END) AS docs_with_email,
-           sum(CASE WHEN long_digit_hits > 0 THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN email_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_email,
+           CAST(sum(CASE WHEN long_digit_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS docs_with_long_digits,
-           sum(email_hits) AS total_email_hits
+           CAST(sum(email_hits) AS BIGINT) AS total_email_hits
     FROM (
       SELECT lang,
              len(regexp_extract_all(text, '{TA.EMAIL_PATTERN}')) AS email_hits,
@@ -1416,7 +1417,7 @@ def decontamination_report(spark, sf_dir):
     vocab AS (SELECT tok, COUNT(*) AS tok_count FROM toks GROUP BY tok),
     tot AS (SELECT SUM(tok_count) AS total_tokens FROM vocab)
     SELECT doc_id, COUNT(*) AS n_tokens,
-           SUM(total_tokens - tok_count) AS rarity_sum,
+           CAST(SUM(total_tokens - tok_count) AS BIGINT) AS rarity_sum,
            round(CAST(SUM(total_tokens - tok_count) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS mean_rarity
     FROM toks JOIN vocab USING (tok) CROSS JOIN tot
@@ -1662,10 +1663,11 @@ _QSCORE = f"""round(0.35 * (CAST(len(list_distinct(words)) AS DOUBLE) / len(word
              JOIN p ON p.doc_id = q.doc_id
     )
     SELECT count(*) AS n_total,
-           sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS n_quality,
-           sum(CASE WHEN q_ok AND is_kept THEN 1 ELSE 0 END) AS n_unique,
-           sum(CASE WHEN q_ok AND is_kept AND pii_ok THEN 1 ELSE 0 END)
-             AS n_clean
+           CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(sum(CASE WHEN q_ok AND is_kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           CAST(sum(CASE WHEN q_ok AND is_kept AND pii_ok THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clean
     FROM f
     """,
     tags=("text", "hygiene", "dedup", "funnel"),
@@ -2216,8 +2218,9 @@ def hybrid_rrf_search(spark, sf_dir):
     ),
     per_dh AS (SELECT doc_id, chunk_hash, COUNT(*) AS c_dh FROM ch GROUP BY 1, 2),
     per_h AS (SELECT chunk_hash, SUM(c_dh) AS c_h FROM per_dh GROUP BY 1)
-    SELECT doc_id, SUM(c_dh) AS n_chunks,
-           SUM(CASE WHEN c_h >= 2 THEN c_dh ELSE 0 END) AS dup_chunks,
+    SELECT doc_id, CAST(SUM(c_dh) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN c_h >= 2 THEN c_dh ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
            round(CAST(SUM(CASE WHEN c_h >= 2 THEN c_dh ELSE 0 END) AS DOUBLE)
                  / CAST(SUM(c_dh) AS DOUBLE), 6) AS dup_frac
     FROM per_dh JOIN per_h USING (chunk_hash)

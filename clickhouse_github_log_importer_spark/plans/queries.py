@@ -562,11 +562,11 @@ def gap_filled_hourly_counts(spark, sf_dir):
     "daily_event_type_pivot",
     """
     SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signups,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
            COUNT(*) AS total
     FROM events GROUP BY 1
     """,
@@ -1597,7 +1597,7 @@ def _cms_oracle(top: int = 10) -> str:
     return f"""
     WITH per_key AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
     cells AS (
-      SELECT j.j AS row, {pos('user_id')} AS pos, SUM(c) AS cell_count
+      SELECT j.j AS row, {pos('user_id')} AS pos, CAST(SUM(c) AS BIGINT) AS cell_count
       FROM per_key CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) AS j(j)
       GROUP BY 1, 2
     ),

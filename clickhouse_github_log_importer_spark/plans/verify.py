@@ -2,8 +2,16 @@
 
 Runs every registered query's Spark plan and DuckDB oracle side by side on
 the same parquet tables, sorts columns by name, sorts rows, and compares
-values exactly (after canonical string normalization). Strictly stricter
-than a value-hash: if this passes, the hash matches.
+values exactly (after canonical string normalization).
+
+CAVEAT vs the driver's hasher: this gate canonicalizes through pandas, so
+it is value-exact but *dtype-blind* — a DuckDB HUGEINT (int128, e.g. from
+``SUM(<integer>)``) and a Spark BIGINT with identical values compare equal
+here but hash differently in a type-tagged hasher.  The companion guard
+``tests/test_oracle_parity.py::test_no_hugeint_oracle_columns`` DESCRIBEs
+every registered oracle and rejects HUGEINT/UHUGEINT output columns, so
+oracles must ``CAST(SUM(..) AS BIGINT)``.  With that guard green, passing
+here implies the driver's value-hash matches.
 """
 
 from __future__ import annotations

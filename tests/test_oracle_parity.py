@@ -23,6 +23,35 @@ def test_query_matches_oracle(spark, con, sf_smoke, name):
     assert r.ok, f"{name}: {r.detail}"
 
 
+def test_no_hugeint_oracle_columns(con, sf_smoke):
+    # The driver's value-hasher is type-tagged: a DuckDB HUGEINT (int128,
+    # the default result type of SUM(<integer>)) hashes differently from
+    # Spark's BIGINT even when every value is identical.  verify.py's
+    # pandas canonicalization cannot see the difference, so this guard
+    # DESCRIBEs every registered oracle and rejects HUGEINT output
+    # columns outright — oracles must CAST(SUM(..) AS BIGINT).
+    offenders = {}
+    for name in sorted(REGISTRY):
+        sql = REGISTRY[name].oracle
+        if sql is None:
+            continue
+        cols = con.execute(f"DESCRIBE ({sql})").fetchall()
+        bad = [(c[0], c[1]) for c in cols if "HUGEINT" in str(c[1]).upper()]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracles emitting HUGEINT columns (wrap in CAST(.. AS BIGINT)): "
+        f"{offenders}"
+    )
+
+
+def test_hugeint_guard_catches_injected_sum(con):
+    # Sanity: the guard's detection logic actually fires on a bare
+    # integer SUM (DuckDB types it HUGEINT).
+    cols = con.execute("DESCRIBE (SELECT SUM(1) AS s)").fetchall()
+    assert any("HUGEINT" in str(c[1]).upper() for c in cols)
+
+
 def test_approx_sketches_deterministic(spark, sf_smoke):
     # HLL++ and approx_percentile are hash/rank sketches with no RNG:
     # the same data must yield bit-identical estimates run-to-run (this
