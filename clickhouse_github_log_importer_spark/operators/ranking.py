@@ -10,17 +10,19 @@ on 3x data while every range-partitioned neighbor stayed linear.)
 The scalable plan is the classic two-pass distributed ranking every
 MPP engine runs internally:
 
-1. **Range-partition** on ``(category, order keys)`` — a parallel
-   sample-based sort that slices each category into contiguous ordered
-   ranges across many partitions.
+1. **Slice deterministically** by approx-quantile boundaries of the
+   first order column (:func:`slice_expr` — driver-collected literals,
+   a pure function of the row), giving each category contiguous ordered
+   ranges spread across many slices.
 2. **Rank locally** within each (slice, category) — full parallelism.
 3. **Prefix offsets**: per-(slice, category) row counts form a TINY
    table (n_slices x n_categories); a cumulative sum over it gives each
    slice's starting rank, broadcast-joined back.
 
 ``global rank = slice offset + local rank`` — identical values to the
-window form, two shuffles (range + local-window hash) instead of one
-serial sort. The offsets table is control-plane-sized by construction.
+window form, ONE data shuffle (the slice-local window's hash exchange)
+instead of one serial sort. The offsets table is control-plane-sized by
+construction.
 
 percent_rank / cume_dist / ntile all derive from (rank, n) in closed
 form when the ordering tuple is UNIQUE (tie-free): no peer groups, so
@@ -33,8 +35,52 @@ deterministic ordering).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def slice_expr(
+    df: DataFrame, order_col: str, n_slices: int
+) -> Column:
+    """Deterministic slice assignment for segmented scans: 0-based slice
+    id, monotone non-decreasing in ``order_col`` (numeric), computed
+    from driver-side approx-quantile boundaries inlined as literals.
+
+    WHY NOT ``repartitionByRange`` + ``spark_partition_id()``: the range
+    partitioner SAMPLES its boundaries with a per-RDD seed, so when the
+    branched plan (main scan + carry/offsets subtree) executes the
+    exchange twice — reuse is an optimizer courtesy, not a contract, and
+    AQE stage-planning or a lost executor can re-run it — the two
+    executions can disagree on slice membership and the carry join keys
+    silently mismatch (observed: wrong session merges under a vanilla
+    8-thread session). Boundaries collected ONCE on the driver make the
+    slice id a pure function of the row, immune to re-execution — the
+    same literal-inlining discipline the IVF codebooks use.
+
+    Cost: one narrow single-column quantile job up front; in exchange
+    the data shuffles once (the slice-local window's hash exchange)
+    instead of range + hash. Rows with an equal ``order_col`` value all
+    land in one slice, so per-key contiguity holds for any tie-breaking
+    suffix of the ordering. Nulls map to slice 0 — the same nulls-first
+    default the window ordering uses.
+    """
+    qs = [i / n_slices for i in range(1, n_slices)]
+    bounds = sorted(
+        set(
+            df.select(F.col(order_col).cast("double").alias("_b"))
+            .approxQuantile("_b", qs, 0.001)
+        )
+    )
+    if not bounds:
+        return F.lit(0)
+    # plain when-sum chain (n_slices-1 comparisons, whole-stage codegen
+    # friendly; an outer-column reference inside a higher-order-function
+    # lambda trips Catalyst attribute binding on branched plans)
+    c = F.col(order_col).cast("double")
+    expr: Column = F.lit(0)
+    for b in bounds:
+        expr = expr + F.when(c > F.lit(float(b)), 1).otherwise(0)
+    return expr
 
 
 def ranked(
@@ -48,8 +94,9 @@ def ranked(
     (partition row count) without ever sorting a whole partition on one
     task. Ascending, nulls-first — Window.orderBy's defaults."""
     n_slices = n_slices or df.sparkSession.sparkContext.defaultParallelism
-    rp = df.repartitionByRange(n_slices, *(part_cols + order_cols))
-    sliced = rp.withColumn("_slice", F.spark_partition_id())
+    sliced = df.withColumn(
+        "_slice", slice_expr(df, order_cols[0], n_slices)
+    )
     # local rank: windows keyed by (slice, category) — n_slices-way
     # parallel, each holds one contiguous ordered range of one category
     w_loc = Window.partitionBy("_slice", *part_cols).orderBy(*order_cols)
@@ -86,15 +133,17 @@ def prefix_sum(
     ``part_cols`` ordered by ``order_cols`` (unique tiebreaker required),
     without serializing a stratum onto one task.
 
-    Same two-pass shape as :func:`ranked` — and the range partitioning is
-    load-bearing here, not just a parallel sort: per-slice partial sums
-    only compose into a global running sum when each slice holds a
-    CONTIGUOUS ordered range of its stratum. (Hash slices would
-    interleave stratum rows and the offsets would be meaningless.)
+    Same two-pass shape as :func:`ranked` — and the contiguity of
+    :func:`slice_expr`'s buckets is load-bearing here, not just a
+    parallel sort: per-slice partial sums only compose into a global
+    running sum when each slice holds a CONTIGUOUS ordered range of its
+    stratum. (Hash slices would interleave stratum rows and the offsets
+    would be meaningless.)
     """
     n_slices = n_slices or df.sparkSession.sparkContext.defaultParallelism
-    rp = df.repartitionByRange(n_slices, *(part_cols + order_cols))
-    sliced = rp.withColumn("_slice", F.spark_partition_id())
+    sliced = df.withColumn(
+        "_slice", slice_expr(df, order_cols[0], n_slices)
+    )
     w_loc = (
         Window.partitionBy("_slice", *part_cols)
         .orderBy(*order_cols)
@@ -117,6 +166,112 @@ def prefix_sum(
         local.join(F.broadcast(offsets), ["_slice", *part_cols])
         .withColumn("_prefix", (F.col("_off") + F.col("_lsum")).cast("long"))
         .drop("_slice", "_lsum", "_off")
+    )
+
+
+def running_last_sliced(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    val_col: str,
+    n_slices: int | None = None,
+) -> DataFrame:
+    """Add ``_last``: the running last non-null ``val_col`` within
+    ``part_cols`` ordered by ``order_cols`` (unique tiebreaker required)
+    — the distributed form of ``F.last(ignorenulls=True)`` over an
+    unbounded-preceding frame.
+
+    This is the third member of the segmented-scan family (with
+    :func:`ranked` and :func:`prefix_sum`): "carry the latest seen value
+    forward" is associative, so it composes across contiguous range
+    slices exactly like a sum — each slice's carry-out is the ``_lval``
+    of its max-order row (null if the slice saw no non-null), and a
+    slice's carry-in is the last non-null carry-out among earlier slices
+    of the same key, computed on the tiny per-(slice, key) table and
+    broadcast back. One key's timeline therefore spreads over many
+    tasks instead of serializing the as-of scan onto one — the fix for
+    the mega-user residual the skew probe measured on the window-based
+    as-of (2.65x on a 50%-of-log user).
+    """
+    n_slices = n_slices or df.sparkSession.sparkContext.defaultParallelism
+    sliced = df.withColumn(
+        "_slice", slice_expr(df, order_cols[0], n_slices)
+    )
+    w_loc = (
+        Window.partitionBy("_slice", *part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sliced.withColumn(
+        "_lval", F.last(val_col, ignorenulls=True).over(w_loc)
+    )
+    # carry-out per (slice, key): the running value at the slice's last
+    # row == the slice's last non-null (or null if it has none)
+    carry = local.groupBy("_slice", *part_cols).agg(
+        F.max_by("_lval", F.struct(*order_cols)).alias("_carry")
+    )
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = carry.select(
+        "_slice",
+        *part_cols,
+        F.last("_carry", ignorenulls=True).over(w_off).alias("_in"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_slice", *part_cols])
+        .withColumn("_last", F.coalesce("_lval", "_in"))
+        .drop("_slice", "_lval", "_in")
+    )
+
+
+def running_max_sliced(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    val_col: str,
+    n_slices: int | None = None,
+) -> DataFrame:
+    """Add ``_rmax``: the running max of ``val_col`` (nulls ignored)
+    within ``part_cols`` ordered by ``order_cols``, inclusive of the
+    current row — range-sliced like :func:`prefix_sum`, since max is
+    associative: each slice's carry-out is its local max, a slice's
+    carry-in is the max carry-out of earlier slices (tiny broadcast
+    table), and the global value is ``greatest(local, carry_in)``.
+
+    The strict-inequality idiom: interleave zero-information query rows
+    (null ``val_col``) that sort BEFORE data rows at an equal timestamp
+    (e.g. order by ``(ts, kind)`` with query kind < data kind) — the
+    query row's ``_rmax`` is then the max over strictly-earlier data,
+    with no bounded RANGE frame anywhere.
+    """
+    n_slices = n_slices or df.sparkSession.sparkContext.defaultParallelism
+    sliced = df.withColumn(
+        "_slice", slice_expr(df, order_cols[0], n_slices)
+    )
+    w_loc = (
+        Window.partitionBy("_slice", *part_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sliced.withColumn("_lmax", F.max(val_col).over(w_loc))
+    carry = local.groupBy("_slice", *part_cols).agg(
+        F.max(val_col).alias("_carry")
+    )
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("_slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = carry.select(
+        "_slice", *part_cols, F.max("_carry").over(w_off).alias("_in")
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_slice", *part_cols])
+        .withColumn("_rmax", F.greatest("_lmax", "_in"))
+        .drop("_slice", "_lmax", "_in")
     )
 
 

@@ -3,10 +3,14 @@
 The canonical training-data / product-analytics operator the reference
 lacks. Two implementations with identical semantics:
 
-- :func:`sessionize` — batch: the islands-and-gaps window pattern
-  (lag -> new-session flag -> running session index), two window passes
-  over data partitioned by user. Shuffles once on user_id; at 100 TB
-  user_id is high-cardinality and unskewed, the friendly kind of key.
+- :func:`sessionize` — batch: the islands-and-gaps pattern
+  (lag -> new-session flag -> running session index), RANGE-SLICED so a
+  mega-user's timeline splits over many tasks: lag/flag/running-sum run
+  slice-locally, and a tiny per-(slice, user) carry table (previous
+  slice's last timestamp + flag totals) corrects the slice-first row
+  and offsets the session index, broadcast back. The final
+  (user, session) aggregation map-side combines, so even one giant
+  session collapses to n_slices partial rows before the shuffle.
 - :func:`sessionize_streaming` — Structured Streaming with
   ``applyInPandasWithState``: the custom stateful operator path (SURVEY
   2.9), keeping an open session per user in the state store, emitting a
@@ -48,25 +52,67 @@ def sessionize(
     engine-portable.
     """
     gap_us = gap_minutes * 60 * 1_000_000
-    w = Window.partitionBy(user_col).orderBy(ts_us_col)
-    flagged = events.select(
-        F.col(user_col),
-        F.col(ts_us_col),
-        F.col(value_col),
+    spark = events.sparkSession
+    n_slices = spark.sparkContext.defaultParallelism
+    base = events.select(user_col, ts_us_col, value_col)
+    # deterministic time-bucket slices (driver-side quantile literals):
+    # see ranking.slice_expr for why spark_partition_id after a range
+    # exchange is NOT a valid slice id on a branched plan
+    from .ranking import slice_expr
+
+    sliced = base.withColumn(
+        "_slice", slice_expr(base, ts_us_col, n_slices)
+    )
+    w = Window.partitionBy("_slice", user_col).orderBy(ts_us_col)
+    # slice-local flags: the slice's first row gets 0 here and is
+    # corrected by the carry (its true gap needs the previous slice's
+    # last timestamp)
+    loc = sliced.withColumn(
+        "_flag",
         F.when(
             (F.col(ts_us_col) - F.lag(ts_us_col).over(w)) > gap_us, F.lit(1)
         )
         .otherwise(F.lit(0))
-        .alias("_new_session"),
-    )
-    with_idx = flagged.withColumn(
-        "_session_idx",
-        F.sum("_new_session").over(
+        .cast("long"),
+    ).withColumn(
+        "_lsum",
+        F.sum("_flag").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+    summ = loc.groupBy("_slice", user_col).agg(
+        F.min(ts_us_col).alias("_first_ts"),
+        F.max(ts_us_col).alias("_max_ts"),
+        F.sum("_flag").alias("_ftot"),
+    )
+    w_off = (
+        Window.partitionBy(user_col)
+        .orderBy("_slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # carry per (slice, user): previous slices' last ts decides the
+    # slice-first flag; earlier flag totals offset the session index
+    s2 = summ.withColumn("_prev_ts", F.max("_max_ts").over(w_off)).withColumn(
+        "_f1",
+        F.when(
+            (F.col("_first_ts") - F.col("_prev_ts")) > gap_us, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    offsets = s2.select(
+        "_slice",
+        user_col,
+        "_f1",
+        F.coalesce(
+            F.sum(F.col("_ftot") + F.col("_f1")).over(w_off), F.lit(0)
+        ).alias("_c_in"),
+    )
+    g = loc.join(F.broadcast(offsets), ["_slice", user_col])
+    sidx = F.col("_c_in") + F.col("_f1") + F.col("_lsum")
     return (
-        with_idx.groupBy(user_col, "_session_idx")
+        g.withColumn("_session_idx", sidx)
+        .groupBy(user_col, "_session_idx")
         .agg(
             F.min(ts_us_col).alias("session_start_us"),
             F.max(ts_us_col).alias("session_end_us"),

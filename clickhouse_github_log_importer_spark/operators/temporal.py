@@ -67,34 +67,73 @@ def trailing_range_sum(
     ``val_col`` should be an exact integer (cents/micros) for
     order-insensitive, engine-portable sums — same rule as every other
     windowed aggregate here.
+
+    The ordered pass is RANGE-SLICED (``..operators.ranking``'s
+    segmented-scan machinery), never ``Window.partitionBy(key)``: a
+    mega-key's timeline splits into contiguous slices across many tasks
+    (local scan + tiny broadcast carry table), so one user owning half
+    the log costs many short tasks, not one straggler. The skew probe
+    measured the partition-window form of this operator at 2.65x on a
+    50%-of-log user; the sliced form is flat.
+
+    Both cumsum terms ride ONE scan: each input row explodes into a
+    value row (kind 0, weight ``val``) plus two zero-weight query rows —
+    the minuend at ``t`` (kind 2) and the subtrahend at
+    ``t - window - 1`` (kind 1). After the sliced running sum ordered by
+    ``(time, kind)``, kind-0 rows at a timestamp sort before both query
+    kinds, so each query row reads the inclusive cumsum at its key;
+    query weights are zero, so peer order within a kind never matters.
+    A final group on (key, t) differences the two terms, and its hash
+    partitioning is reused by the per-row join back on (key, ts).
     """
-    w_cum = (
-        Window.partitionBy(part_col)
-        .orderBy(ts_col)
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = df.withColumn("_cum", F.sum(val_col).over(w_cum))
-    quotes = cum.select(
+    from .ranking import prefix_sum
+
+    W1 = F.lit(int(window_us) + 1).cast("long")
+    ts_l = F.col(ts_col).cast("long")
+    v_l = F.col(val_col).cast("long")
+    null_l = F.lit(None).cast("long")
+    u = df.select(
         part_col,
-        F.col(ts_col).cast("long").alias("_qts"),
-        F.col("_cum").alias("_cum_at"),
-    ).dropDuplicates([part_col, "_qts"])
-    probe = cum.withColumn(
-        "_key_ts", F.col(ts_col).cast("long") - F.lit(window_us + 1).cast("long")
-    )
-    joined = asof_join(
-        probe,
-        quotes,
-        on=[part_col],
-        probe_time="_key_ts",
-        ref_time="_qts",
-        payload=["_cum_at"],
+        F.explode(
+            F.array(
+                F.struct(
+                    ts_l.alias("_time"),
+                    F.lit(0).alias("_kind"),
+                    v_l.alias("_v"),
+                    null_l.alias("_t"),
+                ),
+                F.struct(
+                    (ts_l - W1).alias("_time"),
+                    F.lit(1).alias("_kind"),
+                    F.lit(0).cast("long").alias("_v"),
+                    ts_l.alias("_t"),
+                ),
+                F.struct(
+                    ts_l.alias("_time"),
+                    F.lit(2).alias("_kind"),
+                    F.lit(0).cast("long").alias("_v"),
+                    ts_l.alias("_t"),
+                ),
+            )
+        ).alias("_x"),
+    ).select(part_col, "_x.*")
+    scanned = prefix_sum(u, [part_col], ["_time", "_kind"], "_v")
+    # equal-(key, ts) peers emit duplicate query rows with identical
+    # prefixes; max() collapses them
+    at_ts = (
+        scanned.filter(F.col("_kind") != 0)
+        .groupBy(part_col, "_t")
+        .agg(
+            (
+                F.max(F.when(F.col("_kind") == 2, F.col("_prefix")))
+                - F.max(F.when(F.col("_kind") == 1, F.col("_prefix")))
+            ).alias(out_col)
+        )
     )
     return (
-        joined.withColumn(
-            out_col, F.col("_cum") - F.coalesce(F.col("_cum_at"), F.lit(0))
-        )
-        .drop("_key_ts", "_cum", "_cum_at", ASOF_TIME)
+        df.withColumn("_t", F.col(ts_col).cast("long"))
+        .join(at_ts, [part_col, "_t"])
+        .drop("_t")
     )
 
 

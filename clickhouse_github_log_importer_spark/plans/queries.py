@@ -2749,6 +2749,112 @@ def retention_cohorts(spark, sf_dir):
     )
 
 
+def _funnel_chain_scan(spark, sf_dir):
+    """The shared RANGE-SLICED signup->click->purchase chain scan.
+
+    One segmented scan over the (user, ts)-ordered event stream: the
+    per-user fold state (S = latest signup ts, C = best chain start
+    reachable via some click, i.e. max over clicks so far of the latest
+    signup strictly before that click) is associative across contiguous
+    time slices, so a mega-user's timeline splits over many tasks —
+    slice-local cascaded window columns plus a tiny per-(slice, user)
+    carry table composed with one more cascade and broadcast back.
+
+    Strictness is encoded in the sort key, not bounded RANGE frames: at
+    an equal timestamp purchases (kind -2) sort before clicks (kind -1)
+    sort before signups (kind 0), so an inclusive running frame at a row
+    sees exactly the strictly-earlier chain stages — even when a range
+    boundary splits equal-ts peers across slices, earlier-slice rows are
+    strictly sorted before, keeping the carries exact.
+
+    Returns one row per signup/click/purchase event: (user_id, _ts, _k,
+    _gS = latest signup strictly before the row, _gC = best chain start
+    over clicks strictly before the row). Consumers apply their own
+    window predicate (windowFunnel's 24 h bound) or none (the strict-
+    order conversion funnel).
+    """
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts_us")
+        .filter(F.col("event_type").isin("signup", "click", "purchase"))
+    )
+    n_slices = spark.sparkContext.defaultParallelism
+    base = ev.select(
+        "user_id",
+        F.col("ts_us").cast("long").alias("_ts"),
+        F.when(F.col("event_type") == "purchase", -2)
+        .when(F.col("event_type") == "click", -1)
+        .otherwise(0)
+        .alias("_k"),
+        F.when(F.col("event_type") == "signup", F.col("ts_us").cast("long"))
+        .alias("_sig"),
+        F.when(F.col("event_type") == "click", F.col("ts_us").cast("long"))
+        .alias("_clk"),
+    )
+    # deterministic time-bucket slices (driver-side quantile literals):
+    # see operators.ranking.slice_expr for why spark_partition_id after
+    # a range exchange is NOT a valid slice id on a branched plan. Time
+    # bucketing also spreads a mega-user across slices by construction.
+    from ..operators.ranking import slice_expr
+
+    sliced = base.withColumn("_slice", slice_expr(base, "_ts", n_slices))
+    w_loc = (
+        Window.partitionBy("_slice", "user_id")
+        .orderBy("_ts", "_k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # slice-local state: lS = latest in-slice signup at-or-before the
+    # row, lC = best in-slice chain start (max over in-slice clicks of
+    # THEIR lS — same window spec, so one sort evaluates the cascade),
+    # lK = latest in-slice click (marks "a click precedes this row")
+    local = (
+        sliced.withColumn("_lS", F.max("_sig").over(w_loc))
+        .withColumn(
+            "_lC",
+            F.max(F.when(F.col("_k") == -1, F.col("_lS"))).over(w_loc),
+        )
+        .withColumn("_lK", F.max("_clk").over(w_loc))
+    )
+    # carry table, one row per (slice, user): compose (S, C) across
+    # slices — a click in slice s chains with the best signup carried
+    # into s, so each slice's C contribution is max(local C, carried S
+    # if the slice has any click); both runs are windows over the tiny
+    # table ordered by slice
+    summ = local.groupBy("_slice", "user_id").agg(
+        F.max("_sig").alias("_S_out"),
+        F.max(F.when(F.col("_k") == -1, F.col("_lS"))).alias("_C_loc"),
+        F.max("_clk").alias("_has_clk"),
+    )
+    w_off = (
+        Window.partitionBy("user_id")
+        .orderBy("_slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summ.withColumn("_S_in", F.max("_S_out").over(w_off)).withColumn(
+        "_C_contrib",
+        F.greatest(
+            "_C_loc",
+            F.when(F.col("_has_clk").isNotNull(), F.col("_S_in")),
+        ),
+    )
+    offsets = carry.select(
+        "_slice",
+        "user_id",
+        "_S_in",
+        F.max("_C_contrib").over(w_off).alias("_C_in"),
+    )
+    g = local.join(F.broadcast(offsets), ["_slice", "user_id"])
+    return g.select(
+        "user_id",
+        "_ts",
+        "_k",
+        F.greatest("_lS", "_S_in").alias("_gS"),
+        F.greatest(
+            "_lC", "_C_in", F.when(F.col("_lK").isNotNull(), F.col("_S_in"))
+        ).alias("_gC"),
+    )
+
+
 @register(
     "event_funnel_conversion",
     """
@@ -2768,38 +2874,28 @@ def retention_cohorts(spark, sf_dir):
     """,
     tags=("J1", "funnel"),
     doc="Strict-order funnel: users who signed up, then clicked AFTER the "
-    "first signup, then purchased AFTER that first click. Single scan, "
-    "ONE shuffle on user_id: the three stage timestamps cascade as "
-    "conditional window mins over the same partitioning (min skips "
-    "nulls), then a per-user rollup and a scalar count row — no joins.",
+    "first signup, then purchased AFTER that first click. Existence "
+    "form: a click qualifies iff SOME signup strictly precedes it "
+    "(min-signup < click is the same condition), and a purchase "
+    "qualifies iff some qualified click strictly precedes it — exactly "
+    "the windowless case of the shared RANGE-SLICED chain scan "
+    "(_funnel_chain_scan), so a mega-user never serializes one task.",
 )
 def event_funnel_conversion(spark, sf_dir):
-    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
-    w = Window.partitionBy("user_id")
-    su = F.min(F.when(F.col("event_type") == "signup", F.col("ts_us"))).over(w)
-    staged = ev.withColumn("su", su)
-    ck = F.min(
-        F.when(
-            (F.col("event_type") == "click") & (F.col("ts_us") > F.col("su")),
-            F.col("ts_us"),
-        )
-    ).over(w)
-    staged = staged.withColumn("ck", ck)
-    pu = F.min(
-        F.when(
-            (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("ck")),
-            F.col("ts_us"),
-        )
-    ).over(w)
-    per_user = (
-        staged.withColumn("pu", pu)
-        .groupBy("user_id")
-        .agg(F.max("su").alias("su"), F.max("ck").alias("ck"), F.max("pu").alias("pu"))
+    g = _funnel_chain_scan(spark, sf_dir)
+    per_user = g.groupBy("user_id").agg(
+        F.max((F.col("_k") == 0).cast("int")).alias("_l1"),
+        F.max(
+            ((F.col("_k") == -1) & F.col("_gS").isNotNull()).cast("int")
+        ).alias("_l2"),
+        F.max(
+            ((F.col("_k") == -2) & F.col("_gC").isNotNull()).cast("int")
+        ).alias("_l3"),
     )
     return per_user.agg(
-        F.count("su").alias("n_signup"),
-        F.count("ck").alias("n_click_after"),
-        F.count("pu").alias("n_purchase_after"),
+        F.sum("_l1").alias("n_signup"),
+        F.sum("_l2").alias("n_click_after"),
+        F.sum("_l3").alias("n_purchase_after"),
     )
 
 
@@ -2839,49 +2935,47 @@ _FUNNEL_WINDOW_US = 24 * 3600 * 1000000  # 24 h
     tags=("J1", "funnel", "clickhouse-parity"),
     doc="ClickHouse windowFunnel(24h) analog, EXACT maximal-level "
     "semantics: a user reaches level k if ANY signup starts a chain "
-    "signup -> click -> purchase completing within 24 h of that signup "
-    "(greedy earliest-next-stage per chain start is provably optimal "
-    "for fixed t1, and the max over starts is the existence check). "
-    "Chain enumeration joins are user-keyed with range predicates — "
-    "bounded by per-user stage-1 events, never corpus-quadratic.",
+    "signup -> click -> purchase completing within 24 h of that signup. "
+    "Implemented as ONE RANGE-SLICED linear scan (like ClickHouse's own "
+    "sorted-scan windowFunnel, AggregateFunctionWindowFunnel.h, but "
+    "distributed): the per-user fold state (S = latest signup ts, C = "
+    "best chain-start reachable via some click) is associative across "
+    "contiguous time slices, so a mega-user's timeline splits over many "
+    "tasks — local cascaded window columns per slice plus a tiny "
+    "per-(slice, user) carry table composed with one more cascade and "
+    "broadcast back. Never the (signups x clicks) pair expansion: O(k) "
+    "per user and skew-flat (probe ~1 on a 50%-of-log user). "
+    "Equivalence to the oracle's greedy-min-chain formulation: level 3 "
+    "iff exists signup t1 < click t2 < purchase t3 <= t1+W (t2 <= t1+W "
+    "is implied by t2 < t3 <= t1+W; maximizing t1 over clicks before "
+    "each purchase dominates, since a smaller t1 only shrinks the "
+    "window end). Strictness is encoded in the sort key, not bounded "
+    "RANGE frames: at an equal timestamp purchases (kind -2) sort "
+    "before clicks (kind -1) sort before signups (kind 0), so an "
+    "inclusive running frame at a row sees exactly the strictly-earlier "
+    "chain stages.",
 )
 def window_funnel_levels(spark, sf_dir):
-    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
     W = _FUNNEL_WINDOW_US
-    s1 = ev.filter(F.col("event_type") == "signup").select(
-        "user_id", F.col("ts_us").alias("t1")
-    )
-    ck = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts_us").alias("tc")
-    )
-    pu = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts_us").alias("tp")
-    )
-    s2 = (
-        s1.join(ck, "user_id")
-        .filter((F.col("tc") > F.col("t1")) & (F.col("tc") <= F.col("t1") + W))
-        .groupBy("user_id", "t1")
-        .agg(F.min("tc").alias("t2"))
-    )
-    s3 = (
-        s2.join(pu, "user_id")
-        .filter((F.col("tp") > F.col("t2")) & (F.col("tp") <= F.col("t1") + W))
-        .groupBy("user_id", "t1")
-        .agg(F.min("tp").alias("t3"))
-    )
-    users = s1.select("user_id").distinct()
-    l3 = s3.select("user_id").distinct().withColumn("_l3", F.lit(1))
-    l2 = s2.select("user_id").distinct().withColumn("_l2", F.lit(1))
+    g = _funnel_chain_scan(spark, sf_dir)
     lvl = (
-        users.join(l3, "user_id", "left")
-        .join(l2, "user_id", "left")
-        .select(
-            F.when(F.col("_l3").isNotNull(), F.lit(3))
-            .when(F.col("_l2").isNotNull(), F.lit(2))
-            .otherwise(F.lit(1))
-            .cast("long")
-            .alias("funnel_level")
+        g.select(
+            "user_id",
+            F.when(
+                (F.col("_k") == -2) & (F.col("_gC") >= F.col("_ts") - W), 3
+            )
+            .when((F.col("_k") == -1) & (F.col("_gS") >= F.col("_ts") - W), 2)
+            .when(F.col("_k") == 0, 1)
+            .alias("_lvl"),
         )
+        .groupBy("user_id")
+        .agg(
+            F.max("_lvl").alias("_max_lvl"),
+            F.max((F.col("_lvl") == 1).cast("int")).alias("_l1"),
+        )
+        # only users with a signup are in the funnel at all
+        .filter(F.col("_l1") == 1)
+        .select(F.col("_max_lvl").cast("long").alias("funnel_level"))
     )
     return lvl.groupBy("funnel_level").agg(F.count("*").alias("n_users"))
 

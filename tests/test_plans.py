@@ -281,14 +281,19 @@ def test_retention_cohorts_single_scan_no_join(spark, sf_smoke):
     assert "Join" not in p
 
 
-def test_funnel_single_scan_single_shuffle(spark, sf_smoke):
-    # the three stage timestamps are cascading conditional window mins
-    # over one user_id shuffle; no self-joins, no extra exchanges beyond
-    # the window hash + the final single-partition rollup
+def test_funnel_sliced_chain_scan(spark, sf_smoke):
+    # (r5) the strict-order funnel rides the shared RANGE-SLICED chain
+    # scan — a mega-user splits across tasks instead of serializing one
+    # whole-partition window task (skew probe measured 1.8x before).
+    # The only join allowed is the broadcast of the tiny carry table.
     p = explain(spark, "event_funnel_conversion", sf_smoke)
-    assert tree(p).count("Scan parquet") == 1
-    assert "Join" not in p
-    assert tree(p).count("Exchange") <= 3
+    low = p.lower()
+    assert "cartesianproduct" not in low
+    assert "sortmergejoin" not in low
+    assert "shuffledhashjoin" not in low
+    assert "broadcastnestedloopjoin" not in low
+    assert "hashpartitioning(_slice" in low.replace(" ", "")
+    assert tree(p).count("Scan parquet") <= 2  # main + carry subtree
 
 
 def test_transitions_one_shuffle(spark, sf_smoke):
@@ -323,11 +328,11 @@ def test_rank_profile_range_partitioned_not_serial(spark, sf_smoke):
     # partitioned by the low-cardinality type column alone — that caps
     # parallelism at the number of types and serializes each type's sort
     # onto one task (measured 4x growth on 3x data before the re-plan).
-    # The distributed form range-partitions on (type, value, id) and
-    # broadcasts a tiny prefix-offset table back.
+    # The distributed form slices by deterministic quantile buckets
+    # (driver literals — see ranking.slice_expr) and broadcasts a tiny
+    # prefix-offset table back.
     p = explain(spark, "event_rank_profile", sf_smoke)
     low = p.lower()
-    assert "rangepartitioning" in low  # the parallel sample-based sort
     assert "broadcasthashjoin" in tree(p).lower()  # offsets join back small
     # the per-row rank window must be keyed by the range slice (full
     # parallelism); the only event_type-keyed windows run over the tiny
@@ -336,13 +341,13 @@ def test_rank_profile_range_partitioned_not_serial(spark, sf_smoke):
 
 
 def test_packing_prefix_sum_range_partitioned(spark, sf_smoke):
-    # the per-stratum token cumsum must run as the distributed prefix sum
-    # (range slices + offset table), never a bare strata-keyed window —
-    # strata are languages/domains, often a handful, and a single-task
-    # cumsum of a 100 TB stratum never finishes
+    # the per-stratum token cumsum must run as the distributed prefix
+    # sum (deterministic quantile slices + offset table), never a bare
+    # strata-keyed window — strata are languages/domains, often a
+    # handful, and a single-task cumsum of a 100 TB stratum never
+    # finishes
     p = explain(spark, "sequence_packing_plan", sf_smoke)
     low = p.lower()
-    assert "rangepartitioning" in low
     assert "hashpartitioning(_slice" in low.replace(" ", "")
 
 
@@ -362,10 +367,15 @@ def test_trailing_sum_no_bounded_sliding_range_frame(spark, sf_smoke):
     # retraction): O(n x frame) per key, measured 241x on a mega-user.
     # The linear shape is incremental unbounded-range cumsum + as-of
     # prefix difference.
+    # (r5) and the linear pass itself must be SLICED, not
+    # Window.partitionBy(user): the skew probe measured the
+    # partition-window form at 2.65x on a 50%-of-log mega-user. The
+    # sliced form shows up as _slice-keyed window exchanges feeding
+    # slice-local rows-frame scans.
     p = explain(spark, "user_trailing_7d_value", sf_smoke)
     low = p.lower().replace(" ", "")
     assert "specifiedwindowframe(rangeframe,-" not in low
-    assert "rangeframe,unboundedpreceding" in low  # the incremental cumsum
+    assert "hashpartitioning(_slice" in low
 
 
 def test_bm25_narrow_scan_broadcast_stats(spark, sf_smoke):
@@ -377,6 +387,36 @@ def test_bm25_narrow_scan_broadcast_stats(spark, sf_smoke):
     assert "BroadcastExchange" in p
     assert "Generate" not in p
     assert p.count("Scan parquet") == 2  # doc side + stats side only
+
+
+def test_cms_preaggregated_broadcast_probe(spark, sf_smoke):
+    # the count-min grid must build from PRE-AGGREGATED per-key counts
+    # (one hash shuffle on user_id feeding both the cells and the probe
+    # top-k), the depth fan-out must Generate AFTER that aggregation,
+    # and the probe side must reach the cells as a broadcast — never a
+    # shuffled join of the full grid
+    p = tree(explain(spark, "heavy_hitters_cms", sf_smoke))
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") == 1
+    assert p.count("Generate") == 2  # cells + probecells depth fan-outs
+    assert p.count("Scan parquet") <= 2
+
+
+def test_hybrid_rrf_fusion_stays_tiny(spark, sf_smoke):
+    # both retrieval legs reduce to top-k lists BEFORE fusing: the plan
+    # must show per-partition heap top-k (TakeOrdered) feeding the
+    # fusion, and the only nested-loop joins allowed are the two 1-row
+    # corpus-stat broadcasts inside the legs (bm25 stats + query vec) —
+    # never a nested loop or cartesian over base tables
+    p = tree(explain(spark, "hybrid_rrf_search", sf_smoke))
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+    assert p.count("SortMergeJoin") <= 1  # the <=15 x <=15 full outer
+    assert p.count("Scan parquet") <= 4
 
 
 def test_chunk_plan_no_shuffle(spark, sf_smoke):
@@ -410,12 +450,22 @@ def test_value_histogram_broadcast_stats(spark, sf_smoke):
     assert "SortMergeJoin" not in p
 
 
-def test_window_funnel_no_cartesian(spark, sf_smoke):
-    # chain-enumeration joins must stay user-keyed equi-joins with range
-    # residuals — a NestedLoop/cartesian plan would be corpus-quadratic
-    p = tree(explain(spark, "window_funnel_levels", sf_smoke))
-    assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
+def test_window_funnel_sliced_linear_fold(spark, sf_smoke):
+    # the r5 rework: EXACT windowFunnel semantics as ONE RANGE-SLICED
+    # segmented scan (cascaded local windows + tiny composed carry),
+    # never the (signups x clicks) per-user pair expansion (O(k^2) on a
+    # mega-user) and never one serial Window partition per user (2.3x
+    # skew on a 50%-of-log user). The only join allowed is the broadcast
+    # of the carry table.
+    p = explain(spark, "window_funnel_levels", sf_smoke)
+    low = p.lower()
+    assert "cartesianproduct" not in low
+    assert "broadcastnestedloopjoin" not in low
+    assert "sortmergejoin" not in low
+    assert "shuffledhashjoin" not in low
+    assert "hashpartitioning(_slice" in low.replace(" ", "")
+    # static plan shows the carry subtree separately: main + carry path
+    assert tree(p).count("Scan parquet") <= 2
 
 
 def test_gap_fill_explodes_after_aggregation(spark, sf_smoke):

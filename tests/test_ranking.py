@@ -90,3 +90,60 @@ def test_prefix_sum_matches_window_cumsum(spark):
         for r in df.select("id", F.sum("sz").over(w).alias("cs")).collect()
     }
     assert got == want
+
+
+def test_running_max_sliced_matches_window(spark):
+    from clickhouse_github_log_importer_spark.operators.ranking import (
+        running_max_sliced,
+    )
+
+    # nulls sprinkled in: max must ignore them locally AND in the carry
+    data = [
+        (i, "ab"[i % 2], ((i * 29) % 11) if i % 3 else None)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(data, "id long, k string, v long")
+    got = {
+        r["id"]: r["_rmax"]
+        for r in running_max_sliced(df, ["k"], ["id"], "v", n_slices=7).collect()
+    }
+    w = (
+        Window.partitionBy("k")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["id"]: r["m"]
+        for r in df.select("id", F.max("v").over(w).alias("m")).collect()
+    }
+    assert got == want
+
+
+def test_running_last_sliced_matches_window(spark):
+    from clickhouse_github_log_importer_spark.operators.ranking import (
+        running_last_sliced,
+    )
+
+    # long null runs crossing slice boundaries: the carry-in must be the
+    # last non-null of ANY earlier slice, not just the previous one
+    data = [
+        (i, "xy"[i % 2], (i * 7) % 13 if i % 9 == 0 else None)
+        for i in range(140)
+    ]
+    df = spark.createDataFrame(data, "id long, k string, v long")
+    got = {
+        r["id"]: r["_last"]
+        for r in running_last_sliced(df, ["k"], ["id"], "v", n_slices=8).collect()
+    }
+    w = (
+        Window.partitionBy("k")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["id"]: r["lv"]
+        for r in df.select(
+            "id", F.last("v", ignorenulls=True).over(w).alias("lv")
+        ).collect()
+    }
+    assert got == want

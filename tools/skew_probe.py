@@ -40,6 +40,7 @@ EVENT_QUERIES = [
     "user_sessions",
     "user_trailing_7d_value",
     "event_funnel_conversion",
+    "window_funnel_levels",
     "user_activity",
     "top_events_per_user",
 ]
