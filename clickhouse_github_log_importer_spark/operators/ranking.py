@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 
 def slice_expr(
-    df: DataFrame, order_col: str, n_slices: int
+    df: DataFrame, order_col: str | Column, n_slices: int
 ) -> Column:
     """Deterministic slice assignment for segmented scans: 0-based slice
     id, monotone non-decreasing in ``order_col`` (numeric), computed
@@ -63,11 +63,20 @@ def slice_expr(
     land in one slice, so per-key contiguity holds for any tie-breaking
     suffix of the ordering. Nulls map to slice 0 — the same nulls-first
     default the window ordering uses.
+
+    ``order_col`` may be a Column expression — e.g. the COMPOSITE key
+    ``key + ts/1e16`` (lexicographic in (key, ts) while ts/1e16 < 1)
+    that high-cardinality per-key scans use so that only heavy keys
+    split across slices and a normal key stays whole: slicing such a
+    scan by time ALONE scatters every key over many slices and inflates
+    the per-(slice, key) carry table toward O(rows) — measured as the
+    3x jump at x30 in the scale probe before this fix.
     """
     qs = [i / n_slices for i in range(1, n_slices)]
+    c_in = F.col(order_col) if isinstance(order_col, str) else order_col
     bounds = sorted(
         set(
-            df.select(F.col(order_col).cast("double").alias("_b"))
+            df.select(c_in.cast("double").alias("_b"))
             .approxQuantile("_b", qs, 0.001)
         )
     )
@@ -76,11 +85,21 @@ def slice_expr(
     # plain when-sum chain (n_slices-1 comparisons, whole-stage codegen
     # friendly; an outer-column reference inside a higher-order-function
     # lambda trips Catalyst attribute binding on branched plans)
-    c = F.col(order_col).cast("double")
+    c = c_in.cast("double")
     expr: Column = F.lit(0)
     for b in bounds:
         expr = expr + F.when(c > F.lit(float(b)), 1).otherwise(0)
     return expr
+
+
+def composite_slice_key(key_col: str, ts_col: str) -> Column:
+    """The (key, time) composite slicing key: ``key + ts/1e16`` — double
+    arithmetic keeps it monotone in the lexicographic (key, ts) order
+    for integer keys and epoch-micro timestamps through 2286 (ts/1e16 <
+    1). Quantile boundaries of this key split ONLY keys heavy enough to
+    span a quantile, and split them by time; everyone else stays whole,
+    keeping the carry table at O(distinct keys), not O(rows)."""
+    return F.col(key_col).cast("double") + F.col(ts_col).cast("double") / F.lit(1e16)
 
 
 def ranked(
@@ -128,6 +147,8 @@ def prefix_sum(
     order_cols: list[str],
     val_col: str,
     n_slices: int | None = None,
+    slice_col: Column | None = None,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Add ``_prefix``: the inclusive running sum of ``val_col`` within
     ``part_cols`` ordered by ``order_cols`` (unique tiebreaker required),
@@ -142,7 +163,12 @@ def prefix_sum(
     """
     n_slices = n_slices or df.sparkSession.sparkContext.defaultParallelism
     sliced = df.withColumn(
-        "_slice", slice_expr(df, order_cols[0], n_slices)
+        "_slice",
+        slice_expr(
+            df,
+            slice_col if slice_col is not None else order_cols[0],
+            n_slices,
+        ),
     )
     w_loc = (
         Window.partitionBy("_slice", *part_cols)
@@ -162,8 +188,9 @@ def prefix_sum(
         *part_cols,
         F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
     )
+    off = F.broadcast(offsets) if broadcast_offsets else offsets
     return (
-        local.join(F.broadcast(offsets), ["_slice", *part_cols])
+        local.join(off, ["_slice", *part_cols])
         .withColumn("_prefix", (F.col("_off") + F.col("_lsum")).cast("long"))
         .drop("_slice", "_lsum", "_off")
     )

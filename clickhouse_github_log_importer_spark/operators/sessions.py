@@ -4,13 +4,15 @@ The canonical training-data / product-analytics operator the reference
 lacks. Two implementations with identical semantics:
 
 - :func:`sessionize` — batch: the islands-and-gaps pattern
-  (lag -> new-session flag -> running session index), RANGE-SLICED so a
-  mega-user's timeline splits over many tasks: lag/flag/running-sum run
-  slice-locally, and a tiny per-(slice, user) carry table (previous
-  slice's last timestamp + flag totals) corrects the slice-first row
-  and offsets the session index, broadcast back. The final
-  (user, session) aggregation map-side combines, so even one giant
-  session collapses to n_slices partial rows before the shuffle.
+  (lag -> new-session flag -> running session index), SLICED on the
+  deterministic composite (user, time) key so a mega-user's timeline
+  splits over many tasks while a normal user stays whole:
+  lag/flag/running-sum run slice-locally, and an O(distinct users)
+  per-(slice, user) carry table (previous slice's last timestamp + flag
+  totals) corrects the slice-first row and offsets the session index
+  (AQE broadcasts it when small, shuffle-joins at user scale). The
+  final (user, session) aggregation map-side combines, so even one
+  giant session collapses to n_slices partial rows before the shuffle.
 - :func:`sessionize_streaming` — Structured Streaming with
   ``applyInPandasWithState``: the custom stateful operator path (SURVEY
   2.9), keeping an open session per user in the state store, emitting a
@@ -55,13 +57,18 @@ def sessionize(
     spark = events.sparkSession
     n_slices = spark.sparkContext.defaultParallelism
     base = events.select(user_col, ts_us_col, value_col)
-    # deterministic time-bucket slices (driver-side quantile literals):
-    # see ranking.slice_expr for why spark_partition_id after a range
-    # exchange is NOT a valid slice id on a branched plan
-    from .ranking import slice_expr
+    # deterministic composite (user, time) slices (driver-side quantile
+    # literals): see ranking.slice_expr for why spark_partition_id after
+    # a range exchange is NOT a valid slice id on a branched plan, and
+    # ranking.composite_slice_key for why slicing by time alone inflates
+    # the carry table toward O(rows)
+    from .ranking import composite_slice_key, slice_expr
 
     sliced = base.withColumn(
-        "_slice", slice_expr(base, ts_us_col, n_slices)
+        "_slice",
+        slice_expr(
+            base, composite_slice_key(user_col, ts_us_col), n_slices
+        ),
     )
     w = Window.partitionBy("_slice", user_col).orderBy(ts_us_col)
     # slice-local flags: the slice's first row gets 0 here and is
@@ -108,7 +115,8 @@ def sessionize(
             F.sum(F.col("_ftot") + F.col("_f1")).over(w_off), F.lit(0)
         ).alias("_c_in"),
     )
-    g = loc.join(F.broadcast(offsets), ["_slice", user_col])
+    # no broadcast hint: carry is O(distinct users) rows - AQE decides
+    g = loc.join(offsets, ["_slice", user_col])
     sidx = F.col("_c_in") + F.col("_f1") + F.col("_lsum")
     return (
         g.withColumn("_session_idx", sidx)

@@ -117,7 +117,20 @@ def trailing_range_sum(
             )
         ).alias("_x"),
     ).select(part_col, "_x.*")
-    scanned = prefix_sum(u, [part_col], ["_time", "_kind"], "_v")
+    from .ranking import composite_slice_key
+
+    scanned = prefix_sum(
+        u,
+        [part_col],
+        ["_time", "_kind"],
+        "_v",
+        # composite (key, time) slicing: only heavy keys split by time,
+        # so the offsets table stays O(distinct keys); at that size the
+        # offsets join must not FORCE a broadcast — AQE picks broadcast
+        # when it measures small, shuffle-join when keys are many
+        slice_col=composite_slice_key(part_col, "_time"),
+        broadcast_offsets=False,
+    )
     # equal-(key, ts) peers emit duplicate query rows with identical
     # prefixes; max() collapses them
     at_ts = (

@@ -2263,3 +2263,106 @@ def chunk_dup_rate(spark, sf_dir):
             ).alias("dup_frac"),
         )
     )
+
+
+# =====================================================================
+# DSIR-style importance weights for data selection
+# =====================================================================
+
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET_LANG = "en"
+_DSIR_TOP = 20
+
+
+def _dsir_oracle() -> str:
+    B, lang, top = _DSIR_BUCKETS, _DSIR_TARGET_LANG, _DSIR_TOP
+    h = md5_hash64_sql("w")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({_WORDS}) AS w FROM documents
+    ),
+    tb AS (SELECT doc_id, lang, {h} % {B} AS b FROM tok),
+    raw AS (SELECT b, count(*) AS rc FROM tb GROUP BY b),
+    tgt AS (SELECT b, count(*) AS tc FROM tb WHERE lang = '{lang}' GROUP BY b),
+    tot AS (SELECT count(*) AS raw_n,
+                   CAST(sum(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS tgt_n
+            FROM tb),
+    wt AS (
+      SELECT raw.b,
+             ln((COALESCE(tgt.tc, 0) + 1) / (tot.tgt_n + {B}.0))
+               - ln((raw.rc + 1) / (tot.raw_n + {B}.0)) AS w_b
+      FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT tb.doc_id, min(tb.lang) AS lang,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             round(sum(wt.w_b), 4) AS dsir_weight
+      FROM tb JOIN wt ON wt.b = tb.b
+      GROUP BY tb.doc_id
+    )
+    SELECT doc_id, lang, n_tokens, dsir_weight
+    FROM scored ORDER BY dsir_weight DESC, doc_id ASC LIMIT {top}
+    """
+
+
+@register(
+    "dsir_importance_weights",
+    _dsir_oracle(),
+    tags=("text", "selection", "llm-pipeline"),
+    doc="DSIR-style data-selection importance weights (Xie et al. 2023, "
+    "'Data Selection for Language Models via Importance Resampling'): "
+    "hashed-unigram bag features into 1024 buckets, per-doc weight = "
+    "log-likelihood ratio of the target distribution (lang='en' docs) "
+    "vs the raw pool, add-one smoothed; top-20 docs by weight. Scale "
+    "shape: the two bucket-count tables and the 1-row totals are "
+    "BROADCAST (1024 rows each, regardless of corpus size); the token "
+    "stream is scanned twice with map-side-combined counts and once "
+    "for scoring — no shuffle ever carries more than (docs x 1) rows. "
+    "Floats: ln() is the defining operation of the method; both engines "
+    "use IEEE-double natural log and the weight is rounded to 4 dp.",
+)
+def dsir_importance_weights(spark, sf_dir):
+    B, lang, top = _DSIR_BUCKETS, _DSIR_TARGET_LANG, _DSIR_TOP
+    from ..functions.hashing import md5_hash64
+
+    docs = t(spark, sf_dir, "documents")
+    tb = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("w"),
+    ).filter(F.col("w") != "").select(
+        "doc_id", "lang", F.pmod(md5_hash64(F.col("w")), F.lit(B)).alias("b")
+    )
+    raw = tb.groupBy("b").agg(F.count("*").alias("rc"))
+    tgt = tb.filter(F.col("lang") == lang).groupBy("b").agg(
+        F.count("*").alias("tc")
+    )
+    tot = tb.agg(
+        F.count("*").alias("raw_n"),
+        F.sum((F.col("lang") == lang).cast("long")).alias("tgt_n"),
+    )
+    wt = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                    / (F.col("tgt_n") + F.lit(float(B)))
+                )
+                - F.log((F.col("rc") + 1) / (F.col("raw_n") + F.lit(float(B))))
+            ).alias("w_b"),
+        )
+    )
+    scored = (
+        tb.join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("w_b"), 4).alias("dsir_weight"),
+        )
+    )
+    return scored.orderBy(F.desc("dsir_weight"), F.asc("doc_id")).limit(top)

@@ -2791,13 +2791,18 @@ def _funnel_chain_scan(spark, sf_dir):
         F.when(F.col("event_type") == "click", F.col("ts_us").cast("long"))
         .alias("_clk"),
     )
-    # deterministic time-bucket slices (driver-side quantile literals):
-    # see operators.ranking.slice_expr for why spark_partition_id after
-    # a range exchange is NOT a valid slice id on a branched plan. Time
-    # bucketing also spreads a mega-user across slices by construction.
-    from ..operators.ranking import slice_expr
+    # deterministic composite (user, time) slices (driver-side quantile
+    # literals): see operators.ranking.slice_expr for why
+    # spark_partition_id after a range exchange is NOT a valid slice id
+    # on a branched plan, and composite_slice_key for why slicing by
+    # time alone inflates the carry table toward O(rows) — only a
+    # mega-user heavy enough to span a quantile splits across slices.
+    from ..operators.ranking import composite_slice_key, slice_expr
 
-    sliced = base.withColumn("_slice", slice_expr(base, "_ts", n_slices))
+    sliced = base.withColumn(
+        "_slice",
+        slice_expr(base, composite_slice_key("user_id", "_ts"), n_slices),
+    )
     w_loc = (
         Window.partitionBy("_slice", "user_id")
         .orderBy("_ts", "_k")
@@ -2843,7 +2848,9 @@ def _funnel_chain_scan(spark, sf_dir):
         "_S_in",
         F.max("_C_contrib").over(w_off).alias("_C_in"),
     )
-    g = local.join(F.broadcast(offsets), ["_slice", "user_id"])
+    # no broadcast hint: the carry is O(distinct users) rows — AQE
+    # broadcasts when it measures small, shuffle-joins at user scale
+    g = local.join(offsets, ["_slice", "user_id"])
     return g.select(
         "user_id",
         "_ts",
@@ -3068,6 +3075,159 @@ def user_activity_gini(spark, sf_dir):
             - (F.col("n") + F.lit(1.0)) / F.col("n"),
             6,
         ).alias("gini"),
+    )
+
+
+# =====================================================================
+# Mergeable distinct sketch (ClickHouse uniqTheta/uniqCombined analog)
+# =====================================================================
+
+_KMV_K = 64
+_KMV_BUCKETS = 64
+_TWO60 = 1152921504606846976.0  # 2^60, exact as a double
+
+
+def _kmv_oracle() -> str:
+    from ..functions.hashing import md5_hash64_sql
+
+    K = _KMV_K
+    bound = 4.0 / (K - 2) ** 0.5
+    h = md5_hash64_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH h AS (SELECT DISTINCT event_type, {h} AS h FROM events),
+    r AS (SELECT event_type, h,
+                 row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM h),
+    k AS (SELECT event_type, count(*) AS nk,
+                 max(CASE WHEN rn = {K} THEN h END) AS hk
+          FROM r WHERE rn <= {K} GROUP BY event_type),
+    e AS (SELECT event_type, count(DISTINCT user_id) AS exact_users
+          FROM events GROUP BY event_type),
+    est AS (
+      SELECT e.event_type, e.exact_users,
+             CASE WHEN k.nk < {K} THEN CAST(k.nk AS DOUBLE)
+                  ELSE round({K - 1} * {_TWO60} / k.hk) END AS est
+      FROM e JOIN k USING (event_type)
+    )
+    SELECT event_type, exact_users,
+           CAST(est AS BIGINT) AS kmv_estimate,
+           abs(est - exact_users) <= {bound} * exact_users AS within_bound
+    FROM est
+    """
+
+
+@register(
+    "uniq_kmv_sketch",
+    _kmv_oracle(),
+    tags=("A-approx", "sketch", "clickhouse-parity"),
+    doc="KMV (k-minimum-values) distinct sketch per event type — the "
+    "engine-PORTABLE cousin of approx_distinct_users' HLL++: built on "
+    "the shared md5 hash family, the k=64 smallest distinct hashes (and "
+    "so the estimate (k-1)*2^60/h_k) are bit-identical on any engine, "
+    "so the oracle matches the ESTIMATE itself, not just an error "
+    "contract (the within_bound column keeps the 4/sqrt(k-2) contract "
+    "audit too; fewer than k distinct hashes = exact by construction). "
+    "Mergeable: union of sketches = k smallest of the union — the "
+    "plan computes exactly that, per-(type, hash-bucket) k-smallest "
+    "survivors (streaming row_number windows, bounded memory, never a "
+    "collected set) merged to the global k per type; two window "
+    "passes whose second input is <= buckets*k rows per type.",
+)
+def uniq_kmv_sketch(spark, sf_dir):
+    from ..functions.hashing import md5_hash64
+
+    K = _KMV_K
+    bound = 4.0 / (K - 2) ** 0.5
+    ev = t(spark, sf_dir, "events")
+    hashed = (
+        ev.select(
+            "event_type",
+            md5_hash64(F.col("user_id").cast("string")).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.lit(1).alias("_one"))
+    )
+    w_b = Window.partitionBy(
+        "event_type", F.pmod("h", F.lit(_KMV_BUCKETS))
+    ).orderBy("h")
+    survivors = hashed.withColumn("_rn", F.row_number().over(w_b)).filter(
+        F.col("_rn") <= K
+    )
+    w_t = Window.partitionBy("event_type").orderBy("h")
+    topk = survivors.withColumn("_rn2", F.row_number().over(w_t)).filter(
+        F.col("_rn2") <= K
+    )
+    sk = topk.groupBy("event_type").agg(
+        F.max(F.when(F.col("_rn2") == K, F.col("h"))).alias("_hk"),
+        F.count("*").alias("_nk"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    est = F.when(
+        F.col("_nk") < K, F.col("_nk").cast("double")
+    ).otherwise(F.round(F.lit((K - 1) * _TWO60) / F.col("_hk")))
+    return (
+        exact.join(F.broadcast(sk), "event_type")
+        .withColumn("_est", est)
+        .select(
+            "event_type",
+            "exact_users",
+            F.col("_est").cast("long").alias("kmv_estimate"),
+            (
+                F.abs(F.col("_est") - F.col("exact_users"))
+                <= F.lit(bound) * F.col("exact_users")
+            ).alias("within_bound"),
+        )
+    )
+
+
+@register(
+    "retention_conditions",
+    """
+    SELECT CAST(sum(c1) AS BIGINT) AS n_cond1,
+           CAST(sum(c1 * c2) AS BIGINT) AS n_cond1_and_2,
+           CAST(sum(c1 * c3) AS BIGINT) AS n_cond1_and_3,
+           round(CAST(sum(c1 * c2) AS DOUBLE) / sum(c1), 6) AS r2,
+           round(CAST(sum(c1 * c3) AS DOUBLE) / sum(c1), 6) AS r3
+    FROM (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c1,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2,
+             max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS c3
+      FROM events GROUP BY user_id
+    )
+    """,
+    tags=("A2", "funnel", "clickhouse-parity"),
+    doc="ClickHouse retention(cond1, ..) analog with EXACT semantics: "
+    "per user, r1 = cond1 and r_i = cond1 AND cond_i (unordered — "
+    "distinct from the time-windowed retention_cohorts and the strict-"
+    "order funnels), summed over users plus conversion ratios. One "
+    "map-side-combined per-user flag aggregate, one scalar rollup — "
+    "two shuffles, no windows, skew-irrelevant.",
+)
+def retention_conditions(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "signup").cast("int")).alias("c1"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("c2"),
+        F.max((F.col("event_type") == "error").cast("int")).alias("c3"),
+    )
+    agg = per_user.agg(
+        F.sum("c1").cast("long").alias("n_cond1"),
+        F.sum(F.col("c1") * F.col("c2")).cast("long").alias("n_cond1_and_2"),
+        F.sum(F.col("c1") * F.col("c3")).cast("long").alias("n_cond1_and_3"),
+    )
+    return agg.select(
+        "n_cond1",
+        "n_cond1_and_2",
+        "n_cond1_and_3",
+        F.round(
+            F.col("n_cond1_and_2").cast("double") / F.col("n_cond1"), 6
+        ).alias("r2"),
+        F.round(
+            F.col("n_cond1_and_3").cast("double") / F.col("n_cond1"), 6
+        ).alias("r3"),
     )
 
 
