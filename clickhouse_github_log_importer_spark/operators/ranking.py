@@ -260,6 +260,8 @@ def running_max_sliced(
     order_cols: list[str],
     val_col: str,
     n_slices: int | None = None,
+    slice_col: Column | None = None,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Add ``_rmax``: the running max of ``val_col`` (nulls ignored)
     within ``part_cols`` ordered by ``order_cols``, inclusive of the
@@ -273,10 +275,20 @@ def running_max_sliced(
     (e.g. order by ``(ts, kind)`` with query kind < data kind) — the
     query row's ``_rmax`` is then the max over strictly-earlier data,
     with no bounded RANGE frame anywhere.
+
+    ``slice_col`` (e.g. :func:`composite_slice_key`) keeps the carry
+    table at O(distinct keys) when ``part_cols`` is high-cardinality,
+    exactly as in :func:`prefix_sum`; ``broadcast_offsets=False`` lets
+    AQE pick the carry-join strategy at user-scale cardinality.
     """
     n_slices = n_slices or df.sparkSession.sparkContext.defaultParallelism
     sliced = df.withColumn(
-        "_slice", slice_expr(df, order_cols[0], n_slices)
+        "_slice",
+        slice_expr(
+            df,
+            slice_col if slice_col is not None else order_cols[0],
+            n_slices,
+        ),
     )
     w_loc = (
         Window.partitionBy("_slice", *part_cols)
@@ -295,8 +307,9 @@ def running_max_sliced(
     offsets = carry.select(
         "_slice", *part_cols, F.max("_carry").over(w_off).alias("_in")
     )
+    off = F.broadcast(offsets) if broadcast_offsets else offsets
     return (
-        local.join(F.broadcast(offsets), ["_slice", *part_cols])
+        local.join(off, ["_slice", *part_cols])
         .withColumn("_rmax", F.greatest("_lmax", "_in"))
         .drop("_slice", "_lmax", "_in")
     )

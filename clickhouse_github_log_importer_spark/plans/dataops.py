@@ -2306,6 +2306,104 @@ def _dsir_oracle() -> str:
     """
 
 
+# =====================================================================
+# Hashed-bigram LM fluency scoring (CCNet-style perplexity filter)
+# =====================================================================
+
+_LM_BUCKETS = 128
+_LM_LANG = "en"
+_LM_TOP = 20
+
+
+def _ngram_lm_oracle() -> str:
+    B, lang, top = _LM_BUCKETS, _LM_LANG, _LM_TOP
+    h1 = md5_hash64_sql("words[i]")
+    h2 = md5_hash64_sql("words[i+1]")
+    return f"""
+    WITH w AS (SELECT doc_id, lang, {_WORDS} AS words FROM documents),
+    b AS (
+      SELECT doc_id, lang, p[1] AS b1, p[2] AS b2
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(words)),
+                                     i -> [{h1} % {B}, {h2} % {B}])) AS p
+        FROM w
+      )
+    ),
+    c12 AS (SELECT b1, b2, CAST(count(*) AS BIGINT) AS c
+            FROM b WHERE lang = '{lang}' GROUP BY 1, 2),
+    c1 AS (SELECT b1, CAST(sum(c) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+    s AS (
+      SELECT b.doc_id, min(b.lang) AS lang,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(ln(coalesce(c1.c1, 0) + {B}.0)
+                       - ln(coalesce(c12.c, 0) + 1.0)), 4) AS bigram_nll
+      FROM b LEFT JOIN c12 USING (b1, b2) LEFT JOIN c1 USING (b1)
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, lang, n_bigrams, bigram_nll
+    FROM s ORDER BY bigram_nll ASC, doc_id ASC LIMIT {top}
+    """
+
+
+@register(
+    "ngram_lm_fluency",
+    _ngram_lm_oracle(),
+    tags=("text", "quality", "llm-pipeline"),
+    doc="CCNet-style LM quality filter (Wenzek et al. 2020), hashed to "
+    "stay engine-exact: an add-one-smoothed conditional bigram LM over "
+    "128 hash buckets is trained on the lang='en' slice, every doc is "
+    "scored by mean negative log-likelihood per bigram, and the 20 most "
+    "fluent docs (lowest NLL, doc_id tiebreak) are returned — the "
+    "keep/drop signal a perplexity filter thresholds on. Scale shape: "
+    "the bigram-count table is capped at 128^2 rows and the unigram "
+    "table at 128 regardless of corpus size, so scoring is two "
+    "BROADCAST left joins over one token-pair scan (built by a "
+    "transform/slice over the split words array — no window, no "
+    "self-join, no position explode); train + score = three "
+    "map-side-combined passes over the token stream. Floats: ln() is "
+    "the scoring definition; IEEE-double on both engines, rounded 4 dp.",
+)
+def ngram_lm_fluency(spark, sf_dir):
+    B, lang, top = _LM_BUCKETS, _LM_LANG, _LM_TOP
+    docs = t(spark, sf_dir, "documents")
+    bkt = (
+        f"CAST(conv(substring(md5({{}}), 1, 15), 16, 10) AS BIGINT) % {B}"
+    )
+    pair = (
+        "transform(slice(_words, 1, greatest(size(_words) - 1, 0)), "
+        f"(w, i) -> struct({bkt.format('w')} AS b1, "
+        f"{bkt.format('element_at(_words, i + 2)')} AS b2))"
+    )
+    b = (
+        docs.withColumn(
+            "_words", F.filter(F.split("text", " "), lambda w: w != "")
+        )
+        .select("doc_id", "lang", F.explode(F.expr(pair)).alias("p"))
+        .select("doc_id", "lang", F.col("p.b1").alias("b1"), F.col("p.b2").alias("b2"))
+    )
+    c12 = (
+        b.filter(F.col("lang") == lang)
+        .groupBy("b1", "b2")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    c1 = c12.groupBy("b1").agg(F.sum("c").cast("long").alias("c1"))
+    nll = F.log(F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(B))) - F.log(
+        F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0)
+    )
+    scored = (
+        b.join(F.broadcast(c12), ["b1", "b2"], "left")
+        .join(F.broadcast(c1), ["b1"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(F.avg(nll), 4).alias("bigram_nll"),
+        )
+    )
+    return scored.orderBy(F.asc("bigram_nll"), F.asc("doc_id")).limit(top)
+
+
 @register(
     "dsir_importance_weights",
     _dsir_oracle(),

@@ -3231,6 +3231,352 @@ def retention_conditions(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Theta-style sketch set operations (ClickHouse uniqTheta analog)
+# =====================================================================
+
+
+def _kmv_setops_oracle() -> str:
+    from ..functions.hashing import md5_hash64_sql
+
+    K = _KMV_K
+    h = md5_hash64_sql("CAST(user_id AS VARCHAR)")
+    est = (
+        f"CASE WHEN nk < {K} THEN CAST(nk AS DOUBLE) "
+        f"ELSE round({K - 1} * {_TWO60} / hk) END"
+    )
+    return f"""
+    WITH m AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS ha,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hb
+      FROM events WHERE event_type IN ('signup', 'purchase')
+      GROUP BY user_id
+    ),
+    hs AS (SELECT {h} AS h, ha, hb FROM m),
+    s AS (
+      SELECT DISTINCT 'a' AS s, h FROM hs WHERE ha = 1
+      UNION ALL SELECT DISTINCT 'b', h FROM hs WHERE hb = 1
+      UNION ALL SELECT DISTINCT 'u', h FROM hs
+    ),
+    r AS (SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rn
+          FROM s),
+    k AS (SELECT s, count(*) AS nk,
+                 max(CASE WHEN rn = {K} THEN h END) AS hk
+          FROM r WHERE rn <= {K} GROUP BY s),
+    e AS (SELECT s, {est} AS e FROM k),
+    p AS (SELECT max(CASE WHEN s = 'a' THEN e END) AS ea,
+                 max(CASE WHEN s = 'b' THEN e END) AS eb,
+                 max(CASE WHEN s = 'u' THEN e END) AS eu
+          FROM e),
+    x AS (SELECT CAST(sum(ha) AS BIGINT) AS exact_a,
+                 CAST(sum(hb) AS BIGINT) AS exact_b,
+                 CAST(count(*) AS BIGINT) AS exact_union,
+                 CAST(sum(ha * hb) AS BIGINT) AS exact_intersection
+          FROM m)
+    SELECT CAST(ea AS BIGINT) AS est_a, CAST(eb AS BIGINT) AS est_b,
+           CAST(eu AS BIGINT) AS est_union,
+           CAST(greatest(0.0, ea + eb - eu) AS BIGINT) AS est_intersection,
+           round(greatest(0.0, ea + eb - eu) / eu, 6) AS jaccard_est,
+           exact_a, exact_b, exact_union, exact_intersection
+    FROM p, x
+    """
+
+
+@register(
+    "kmv_set_operations",
+    _kmv_setops_oracle(),
+    tags=("A-approx", "sketch", "clickhouse-parity"),
+    doc="Theta-sketch-style SET OPERATIONS on KMV distinct sketches "
+    "(ClickHouse uniqTheta union/intersect analog): A = signup users, "
+    "B = purchase users. Union sketch = k smallest distinct hashes of "
+    "A union B (sketch mergeability IS the plan); intersection and "
+    "Jaccard by inclusion-exclusion over the three estimates, clamped "
+    "at 0. Same portable md5 family as uniq_kmv_sketch, so the oracle "
+    "matches the estimates bit-for-bit, with exact counts beside them "
+    "as the error audit. One per-user flag aggregate feeds both the "
+    "sketches (explode to <=3 set rows/user, k-smallest via bucketed "
+    "streaming row_number — bounded memory) and the exact counts.",
+)
+def kmv_set_operations(spark, sf_dir):
+    from ..functions.hashing import md5_hash64
+
+    K = _KMV_K
+    ev = t(spark, sf_dir, "events")
+    m = (
+        ev.filter(F.col("event_type").isin("signup", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "signup").cast("int")).alias("ha"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("hb"),
+        )
+    )
+    m = m.persist()  # feeds sketches AND exact counts
+    hs = m.withColumn("h", md5_hash64(F.col("user_id").cast("string")))
+    sets = hs.select(
+        F.explode(
+            F.concat(
+                F.when(F.col("ha") == 1, F.array(F.lit("a"))).otherwise(
+                    F.array().cast("array<string>")
+                ),
+                F.when(F.col("hb") == 1, F.array(F.lit("b"))).otherwise(
+                    F.array().cast("array<string>")
+                ),
+                F.array(F.lit("u")),
+            )
+        ).alias("s"),
+        "h",
+    ).dropDuplicates(["s", "h"])
+    w_b = Window.partitionBy("s", F.pmod("h", F.lit(_KMV_BUCKETS))).orderBy("h")
+    survivors = sets.withColumn("_rn", F.row_number().over(w_b)).filter(
+        F.col("_rn") <= K
+    )
+    w_t = Window.partitionBy("s").orderBy("h")
+    topk = survivors.withColumn("_rn2", F.row_number().over(w_t)).filter(
+        F.col("_rn2") <= K
+    )
+    sk = topk.groupBy("s").agg(
+        F.max(F.when(F.col("_rn2") == K, F.col("h"))).alias("hk"),
+        F.count("*").alias("nk"),
+    )
+    est = F.when(F.col("nk") < K, F.col("nk").cast("double")).otherwise(
+        F.round(F.lit((K - 1) * _TWO60) / F.col("hk"))
+    )
+    p = (
+        sk.withColumn("e", est)
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("s") == "a", F.col("e"))).alias("ea"),
+            F.max(F.when(F.col("s") == "b", F.col("e"))).alias("eb"),
+            F.max(F.when(F.col("s") == "u", F.col("e"))).alias("eu"),
+        )
+    )
+    x = m.agg(
+        F.sum("ha").cast("long").alias("exact_a"),
+        F.sum("hb").cast("long").alias("exact_b"),
+        F.count("*").cast("long").alias("exact_union"),
+        F.sum(F.col("ha") * F.col("hb")).cast("long").alias("exact_intersection"),
+    )
+    inter = F.greatest(F.lit(0.0), F.col("ea") + F.col("eb") - F.col("eu"))
+    return p.crossJoin(F.broadcast(x)).select(
+        F.col("ea").cast("long").alias("est_a"),
+        F.col("eb").cast("long").alias("est_b"),
+        F.col("eu").cast("long").alias("est_union"),
+        inter.cast("long").alias("est_intersection"),
+        F.round(inter / F.col("eu"), 6).alias("jaccard_est"),
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersection",
+    )
+
+
+# =====================================================================
+# Interval sweep analytics (ClickHouse maxIntersections + coverage)
+# =====================================================================
+
+_IV_DUR_US = 300_000_000  # each event spans [ts, ts + 300 s)
+
+
+@register(
+    "max_concurrent_intervals",
+    f"""
+    WITH d AS (
+      SELECT event_type, event_id, epoch_us(ts) AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, event_id, epoch_us(ts) + {_IV_DUR_US}, -1 FROM events
+    ),
+    p AS (
+      SELECT event_type, t,
+             sum(delta) OVER (PARTITION BY event_type
+                              ORDER BY t, delta, event_id
+                              ROWS UNBOUNDED PRECEDING) AS c
+      FROM d
+    ),
+    mx AS (SELECT *, max(c) OVER (PARTITION BY event_type) AS mc FROM p)
+    SELECT event_type, CAST(max(c) AS BIGINT) AS max_concurrent,
+           CAST(min(CASE WHEN c = mc THEN t END) AS BIGINT) AS first_peak_us
+    FROM mx GROUP BY event_type
+    """,
+    tags=("temporal", "sweep", "clickhouse-parity"),
+    doc="ClickHouse maxIntersections / maxIntersectionsPosition analog: "
+    "each event spans [ts, ts+300s); per event type, the maximum number "
+    "of concurrently open intervals and the earliest instant it is "
+    "reached. Classic +1/-1 boundary sweep: 2 rows per event, running "
+    "sum ordered by (t, delta, event_id) — the -1 sorts before the +1 "
+    "at an equal instant, giving exact half-open semantics. The running "
+    "sum rides the range-sliced distributed prefix scan "
+    "(operators.ranking.prefix_sum), so one type's timeline never "
+    "serializes onto a single task; peak + position come from one "
+    "max_by pass (lexicographic (count, -t) argmax = earliest peak).",
+)
+def max_concurrent_intervals(spark, sf_dir):
+    from ..operators.ranking import prefix_sum
+
+    ev = t(spark, sf_dir, "events").select("event_type", "event_id", "ts_us")
+    deltas = ev.select(
+        "event_type",
+        "event_id",
+        F.col("ts_us").alias("t"),
+        F.lit(1).alias("delta"),
+    ).unionByName(
+        ev.select(
+            "event_type",
+            "event_id",
+            (F.col("ts_us") + F.lit(_IV_DUR_US)).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    pre = prefix_sum(
+        deltas, ["event_type"], ["t", "delta", "event_id"], "delta"
+    )
+    return pre.groupBy("event_type").agg(
+        F.max("_prefix").cast("long").alias("max_concurrent"),
+        F.max_by(
+            F.col("t"),
+            F.struct(F.col("_prefix").alias("c"), (-F.col("t")).alias("nt")),
+        )
+        .cast("long")
+        .alias("first_peak_us"),
+    )
+
+
+@register(
+    "user_interval_coverage",
+    f"""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + {_IV_DUR_US} AS e
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pe
+      FROM iv
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(greatest(0, e - greatest(s, coalesce(pe, s))))
+                AS BIGINT) AS covered_us
+    FROM p GROUP BY user_id
+    """,
+    tags=("temporal", "sweep", "gaps-and-islands"),
+    doc="Gaps-and-islands interval UNION per user: total micros covered "
+    "by the merged [ts, ts+300s) spans (overlaps counted once, half-open "
+    "adjacency merges seamlessly). Sweep form: with starts sorted, each "
+    "interval adds max(0, end - max(start, prev_max_end)) where "
+    "prev_max_end is the running max end over STRICTLY earlier rows — "
+    "expressed via the zero-information-query-row idiom on the "
+    "range-sliced running max (operators.ranking.running_max_sliced): a "
+    "null-valued query row per event sorts (ts, event_id, kind) just "
+    "before its data row, so its inclusive running max IS the strict "
+    "predecessor max, with no bounded frame and no self-join. Sliced on "
+    "the composite (user, ts) key, so a mega-user splits by time while "
+    "the carry table stays O(distinct users).",
+)
+def user_interval_coverage(spark, sf_dir):
+    from ..operators.ranking import composite_slice_key, running_max_sliced
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts_us")
+    rows = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.lit(1).alias("kind"),
+        (F.col("ts_us") + F.lit(_IV_DUR_US)).alias("end_v"),
+    ).unionByName(
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("long").alias("end_v"),
+        )
+    )
+    swept = running_max_sliced(
+        rows,
+        ["user_id"],
+        ["ts_us", "event_id", "kind"],
+        "end_v",
+        slice_col=composite_slice_key("user_id", "ts_us"),
+        broadcast_offsets=False,
+    )
+    start = F.col("ts_us")
+    end = F.col("ts_us") + F.lit(_IV_DUR_US)
+    prev = F.coalesce(F.col("_rmax"), start)
+    contrib = F.greatest(F.lit(0).cast("long"), end - F.greatest(start, prev))
+    return (
+        swept.filter(F.col("kind") == 0)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.sum(contrib).cast("long").alias("covered_us"),
+        )
+    )
+
+
+@register(
+    "sum_map_by_day",
+    """
+    WITH g AS (
+      SELECT epoch_us(ts) // 86400000000 AS day_id, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day_id,
+           array_to_string(list(event_type ORDER BY event_type), '|')
+             AS type_keys,
+           array_to_string(list(CAST(n AS VARCHAR) ORDER BY event_type), '|')
+             AS counts,
+           array_to_string(list(CAST(v AS VARCHAR) ORDER BY event_type), '|')
+             AS value_cents
+    FROM g GROUP BY day_id
+    """,
+    tags=("A-array", "clickhouse-parity"),
+    doc="ClickHouse sumMap analog: per day, the key-sorted parallel "
+    "arrays (event_type keys, per-key event counts, per-key value sums "
+    "in exact integer cents) — the tuple-of-arrays shape sumMap returns, "
+    "serialized pipe-joined for engine-portable hashing (the "
+    "user_first_events convention). Two map-side-combined aggregations; "
+    "the per-day array build touches only the (days x types) rollup, "
+    "never raw rows, so the collect_list is bounded by the type "
+    "cardinality regardless of data scale.",
+)
+def sum_map_by_day(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.expr("ts_us div 86400000000").alias("day_id"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("v"),
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("event_type", "n", "v"))
+    )
+    return (
+        g.groupBy("day_id")
+        .agg(arr.alias("_a"))
+        .select(
+            "day_id",
+            F.concat_ws(
+                "|", F.transform(F.col("_a"), lambda s: s["event_type"])
+            ).alias("type_keys"),
+            F.concat_ws(
+                "|",
+                F.transform(F.col("_a"), lambda s: s["n"].cast("string")),
+            ).alias("counts"),
+            F.concat_ws(
+                "|",
+                F.transform(F.col("_a"), lambda s: s["v"].cast("string")),
+            ).alias("value_cents"),
+        )
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401

@@ -475,3 +475,58 @@ def test_gap_fill_explodes_after_aggregation(spark, sf_smoke):
     p = tree(explain(spark, "gap_filled_hourly_counts", sf_smoke))
     assert p.count("Generate") == 1
     assert "CartesianProduct" not in p
+
+
+def test_max_concurrent_sweep_sliced_prefix_scan(spark, sf_smoke):
+    # (r5) the +1/-1 boundary sweep's running sum must ride the
+    # range-sliced prefix scan: a bare event_type-keyed window caps
+    # parallelism at the type cardinality (5) and serializes each
+    # type's 100 TB timeline onto one task. Only equi-joins (the tiny
+    # carry broadcast) are allowed.
+    p = explain(spark, "max_concurrent_intervals", sf_smoke)
+    low = p.lower()
+    assert "cartesianproduct" not in low
+    assert "broadcastnestedloopjoin" not in low
+    assert "hashpartitioning(_slice" in low.replace(" ", "")
+
+
+def test_interval_coverage_sliced_no_self_join(spark, sf_smoke):
+    # (r5) the strict-predecessor running max must come from the
+    # query-row idiom on the sliced scan — never a self-join of events
+    # against events (quadratic on dense timelines) and never a bounded
+    # sliding RANGE frame (re-evaluated in full per row). The offsets
+    # join is AQE-chosen (no forced broadcast: the carry is O(users)),
+    # but must stay an equi-join.
+    p = explain(spark, "user_interval_coverage", sf_smoke)
+    low = p.lower()
+    assert "cartesianproduct" not in low
+    assert "broadcastnestedloopjoin" not in low
+    assert "specifiedwindowframe(rangeframe,-" not in low.replace(" ", "")
+    assert "hashpartitioning(_slice" in low.replace(" ", "")
+
+
+def test_ngram_lm_scoring_joins_broadcast(spark, sf_smoke):
+    # the bigram/unigram count tables are capped at 128^2 / 128 rows by
+    # construction — scoring must plan as broadcast joins over the token
+    # stream (map-side, no shuffle of the 100 TB pair stream), exactly
+    # like the DSIR bucket tables
+    p = explain(spark, "ngram_lm_fluency", sf_smoke)
+    low = tree(p).lower()
+    assert low.count("broadcasthashjoin") >= 2
+    assert "sortmergejoin" not in low
+    assert "cartesianproduct" not in low
+
+
+def test_kmv_setops_bounded_state(spark, sf_smoke):
+    # sketch construction must stay bounded-memory: k-smallest via
+    # streaming row_number windows (never a collected set), and the only
+    # unkeyed join is the 1-row exact-counts broadcast
+    p = explain(spark, "kmv_set_operations", sf_smoke)
+    low = tree(p).lower()
+    assert "collect_set" not in low and "collect_list" not in low
+    assert "cartesianproduct" not in low
+    # the only nested loop is the 1-row exact-counts broadcast (the
+    # accepted 1-row-aggregate crossJoin pattern); at runtime the
+    # persisted flags frame collapses the two static scan branches
+    assert low.count("broadcastnestedloopjoin") <= 1
+    assert low.count("scan parquet") <= 2

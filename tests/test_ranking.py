@@ -147,3 +147,41 @@ def test_running_last_sliced_matches_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_running_max_sliced_composite_slice_col(spark):
+    from clickhouse_github_log_importer_spark.operators.ranking import (
+        composite_slice_key,
+        running_max_sliced,
+    )
+
+    # skewed integer keys (one mega-key) + the composite (key, ts) slice
+    # column and an AQE-chosen offsets join: values must still match the
+    # naive window exactly
+    data = [
+        (i, 7 if i % 4 else i % 13, i * 1_000_000, ((i * 31) % 17) or None)
+        for i in range(160)
+    ]
+    df = spark.createDataFrame(data, "id long, k long, ts long, v long")
+    got = {
+        (r["k"], r["id"]): r["_rmax"]
+        for r in running_max_sliced(
+            df,
+            ["k"],
+            ["ts", "id"],
+            "v",
+            n_slices=6,
+            slice_col=composite_slice_key("k", "ts"),
+            broadcast_offsets=False,
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r["k"], r["id"]): r["m"]
+        for r in df.select("k", "id", F.max("v").over(w).alias("m")).collect()
+    }
+    assert got == want
