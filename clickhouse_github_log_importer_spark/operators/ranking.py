@@ -107,6 +107,7 @@ def ranked(
     part_cols: list[str],
     order_cols: list[str],
     n_slices: int | None = None,
+    bounds_df: DataFrame | None = None,
 ) -> DataFrame:
     """Add ``_rank`` (1-based within ``part_cols``, ordered by
     ``order_cols``, which must end in a unique tiebreaker) and ``_n``
@@ -114,7 +115,10 @@ def ranked(
     task. Ascending, nulls-first — Window.orderBy's defaults."""
     n_slices = n_slices or df.sparkSession.sparkContext.defaultParallelism
     sliced = df.withColumn(
-        "_slice", slice_expr(df, order_cols[0], n_slices)
+        "_slice",
+        slice_expr(
+            bounds_df if bounds_df is not None else df, order_cols[0], n_slices
+        ),
     )
     # local rank: windows keyed by (slice, category) — n_slices-way
     # parallel, each holds one contiguous ordered range of one category
@@ -149,6 +153,7 @@ def prefix_sum(
     n_slices: int | None = None,
     slice_col: Column | None = None,
     broadcast_offsets: bool = True,
+    bounds_df: DataFrame | None = None,
 ) -> DataFrame:
     """Add ``_prefix``: the inclusive running sum of ``val_col`` within
     ``part_cols`` ordered by ``order_cols`` (unique tiebreaker required),
@@ -165,7 +170,7 @@ def prefix_sum(
     sliced = df.withColumn(
         "_slice",
         slice_expr(
-            df,
+            bounds_df if bounds_df is not None else df,
             slice_col if slice_col is not None else order_cols[0],
             n_slices,
         ),
@@ -202,6 +207,7 @@ def running_last_sliced(
     order_cols: list[str],
     val_col: str,
     n_slices: int | None = None,
+    bounds_df: DataFrame | None = None,
 ) -> DataFrame:
     """Add ``_last``: the running last non-null ``val_col`` within
     ``part_cols`` ordered by ``order_cols`` (unique tiebreaker required)
@@ -222,7 +228,10 @@ def running_last_sliced(
     """
     n_slices = n_slices or df.sparkSession.sparkContext.defaultParallelism
     sliced = df.withColumn(
-        "_slice", slice_expr(df, order_cols[0], n_slices)
+        "_slice",
+        slice_expr(
+            bounds_df if bounds_df is not None else df, order_cols[0], n_slices
+        ),
     )
     w_loc = (
         Window.partitionBy("_slice", *part_cols)
@@ -262,6 +271,7 @@ def running_max_sliced(
     n_slices: int | None = None,
     slice_col: Column | None = None,
     broadcast_offsets: bool = True,
+    bounds_df: DataFrame | None = None,
 ) -> DataFrame:
     """Add ``_rmax``: the running max of ``val_col`` (nulls ignored)
     within ``part_cols`` ordered by ``order_cols``, inclusive of the
@@ -285,7 +295,7 @@ def running_max_sliced(
     sliced = df.withColumn(
         "_slice",
         slice_expr(
-            df,
+            bounds_df if bounds_df is not None else df,
             slice_col if slice_col is not None else order_cols[0],
             n_slices,
         ),

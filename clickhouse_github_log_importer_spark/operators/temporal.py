@@ -130,6 +130,12 @@ def trailing_range_sum(
         # when it measures small, shuffle-join when keys are many
         slice_col=composite_slice_key(part_col, "_time"),
         broadcast_offsets=False,
+        # boundary quantiles from the un-exploded scan (same (key, time)
+        # distribution — the subtrahend row's -window shift is far inside
+        # a slice): quantiling `u` would execute the 3x explode twice
+        bounds_df=df.select(
+            part_col, F.col(ts_col).cast("long").alias("_time")
+        ),
     )
     # equal-(key, ts) peers emit duplicate query rows with identical
     # prefixes; max() collapses them
@@ -203,7 +209,18 @@ def band_count_keyless(
     u = quotes.unionByName(boundary(lower - 1, 0)).unionByName(
         boundary(upper, 1)
     )
-    ps = prefix_sum(u, [], ["_tm", "_q", "_kind", "_id"], "_c")
+    # slice boundaries from the raw timestamp scan, not the composed
+    # union: quantiles only need the time DISTRIBUTION (band offsets are
+    # +-seconds, far inside a slice), and quantiling `u` itself would
+    # re-execute its per-timestamp count shuffle once for the boundary
+    # job and again for the real pass
+    ps = prefix_sum(
+        u,
+        [],
+        ["_tm", "_q", "_kind", "_id"],
+        "_c",
+        bounds_df=df.select(F.col(ts_col).cast("long").alias("_tm")),
+    )
     hi = F.max(F.when(F.col("_kind") == 1, F.col("_prefix")))
     lo = F.max(F.when(F.col("_kind") == 0, F.col("_prefix")))
     return (

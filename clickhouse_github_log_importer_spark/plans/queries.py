@@ -3428,7 +3428,13 @@ def max_concurrent_intervals(spark, sf_dir):
         )
     )
     pre = prefix_sum(
-        deltas, ["event_type"], ["t", "delta", "event_id"], "delta"
+        deltas,
+        ["event_type"],
+        ["t", "delta", "event_id"],
+        "delta",
+        # boundaries from the single un-doubled scan (the +300s end rows
+        # shift the time distribution by less than a slice width)
+        bounds_df=ev.select(F.col("ts_us").alias("t")),
     )
     return pre.groupBy("event_type").agg(
         F.max("_prefix").cast("long").alias("max_concurrent"),
@@ -3501,6 +3507,9 @@ def user_interval_coverage(spark, sf_dir):
         "end_v",
         slice_col=composite_slice_key("user_id", "ts_us"),
         broadcast_offsets=False,
+        # boundaries from the single un-doubled scan: data + query rows
+        # share (user, ts), so the union has the same distribution
+        bounds_df=ev.select("user_id", "ts_us"),
     )
     start = F.col("ts_us")
     end = F.col("ts_us") + F.lit(_IV_DUR_US)
@@ -3513,6 +3522,86 @@ def user_interval_coverage(spark, sf_dir):
             F.count("*").cast("long").alias("n_intervals"),
             F.sum(contrib).cast("long").alias("covered_us"),
         )
+    )
+
+
+@register(
+    "sequence_pair_count",
+    """
+    WITH d AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS delta,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS kind
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    p AS (
+      SELECT user_id, kind,
+             sum(delta) OVER (PARTITION BY user_id
+                              ORDER BY t, kind, event_id
+                              ROWS UNBOUNDED PRECEDING) AS c
+      FROM d
+    )
+    SELECT user_id,
+           CAST(sum(1 - kind) AS BIGINT) AS n_signups,
+           CAST(sum(kind) AS BIGINT) AS n_purchases,
+           CAST(sum(kind) - greatest(0, max(c)) AS BIGINT) AS seq_count,
+           (sum(kind) - greatest(0, max(c))) >= 1 AS has_match
+    FROM p GROUP BY user_id
+    """,
+    tags=("temporal", "funnel", "clickhouse-parity"),
+    doc="ClickHouse sequenceCount('(?1)(?2)') analog: per user, the "
+    "number of NON-OVERLAPPING greedy (signup -> later purchase) chains, "
+    "plus the sequenceMatch boolean. Closed form via parenthesis "
+    "matching: treating signups as '(' and purchases as ')', matched "
+    "pairs = #purchases - max(0, max prefix (#purchases - #signups)) in "
+    "(ts, kind, event_id) order (signup sorts before purchase at an "
+    "equal instant) - provably the greedy count, so the whole automaton "
+    "collapses to ONE range-sliced prefix sum (composite (user, ts) "
+    "slices, AQE carry join) + a per-user aggregate. No per-user "
+    "collect_list, no join expansion, skew-flat by construction.",
+)
+def sequence_pair_count(spark, sf_dir):
+    from ..operators.ranking import composite_slice_key, prefix_sum
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("signup", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(-1)
+            .alias("delta"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("kind"),
+        )
+    )
+    pre = prefix_sum(
+        ev,
+        ["user_id"],
+        ["ts_us", "kind", "event_id"],
+        "delta",
+        slice_col=composite_slice_key("user_id", "ts_us"),
+        broadcast_offsets=False,
+        bounds_df=ev.select("user_id", "ts_us"),
+    )
+    agg = pre.groupBy("user_id").agg(
+        F.sum(F.lit(1) - F.col("kind")).cast("long").alias("n_signups"),
+        F.sum("kind").cast("long").alias("n_purchases"),
+        (
+            F.sum("kind") - F.greatest(F.lit(0).cast("long"), F.max("_prefix"))
+        )
+        .cast("long")
+        .alias("seq_count"),
+    )
+    return agg.select(
+        "user_id",
+        "n_signups",
+        "n_purchases",
+        "seq_count",
+        (F.col("seq_count") >= 1).alias("has_match"),
     )
 
 

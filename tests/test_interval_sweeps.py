@@ -124,3 +124,44 @@ def test_kmv_set_operations_matches_python_sketches(spark, sf_smoke):
     merged = sorted(set(sk_a) | set(sk_b))[: _KMV_K]
     full = sorted({_h60(str(x)) for x in u})[: _KMV_K]
     assert merged == full
+
+
+def test_sequence_pair_count_matches_greedy_automaton(spark, sf_smoke):
+    # the parenthesis-matching closed form vs the literal greedy automaton
+    # (scan in time order, match each purchase to an unmatched earlier
+    # signup) — the semantics ClickHouse sequenceCount implements
+    rows = _events(sf_smoke)
+    by_user: dict[int, list] = {}
+    for r in rows:
+        if r["event_type"] in ("signup", "purchase"):
+            by_user.setdefault(r["user_id"], []).append(r)
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort(
+            key=lambda e: (
+                e["ts_us"],
+                0 if e["event_type"] == "signup" else 1,
+                e["event_id"],
+            )
+        )
+        open_signups = matched = n_a = n_b = 0
+        for e in evs:
+            if e["event_type"] == "signup":
+                open_signups += 1
+                n_a += 1
+            else:
+                n_b += 1
+                if open_signups:
+                    open_signups -= 1
+                    matched += 1
+        want[u] = (n_a, n_b, matched, matched >= 1)
+    got = {
+        r["user_id"]: (
+            r["n_signups"],
+            r["n_purchases"],
+            r["seq_count"],
+            r["has_match"],
+        )
+        for r in REGISTRY["sequence_pair_count"].spark(spark, sf_smoke).collect()
+    }
+    assert got == want

@@ -202,6 +202,11 @@ def run_probe(scales, names, repeats: int = 2) -> dict:
 
     timings: dict[str, dict[int, float]] = {n: {} for n in names}
     errors: dict[str, str] = {}
+    # 1-min load average sampled after every measurement: this VM sees
+    # transient host-side stalls (load >10 at 100% guest-idle) that can
+    # inflate a single (query, scale) cell 5-10x — the context a reader
+    # needs before believing any super-linear verdict
+    loads: list[float] = []
     # untimed warm pass at the smallest scale: codegen/JIT + python-worker
     # pools + model memos warm up OUTSIDE the timed columns, so x1 does
     # not absorb every first-run cost and skew the slope downward
@@ -225,7 +230,9 @@ def run_probe(scales, names, repeats: int = 2) -> dict:
                     dt = time.monotonic() - t0
                     best = dt if best is None else min(best, dt)
                 timings[n][k] = round(best, 3)
-                print(f"# x{k} {n}: {best:.2f}s")
+                load1 = os.getloadavg()[0]
+                loads.append(load1)
+                print(f"# x{k} {n}: {best:.2f}s (load {load1:.1f})")
             except Exception as e:  # noqa: BLE001
                 errors[n] = f"x{k}: {type(e).__name__}: {e}"[:300]
                 print(f"# x{k} {n}: ERROR {errors[n]}")
@@ -259,7 +266,16 @@ def run_probe(scales, names, repeats: int = 2) -> dict:
             "ratio_hi": round(ts[k3] / ts[k2], 2),
             "verdict": verdict,
         }
-    return {"scales": scales, "src": SRC, "queries": report, "errors": errors}
+    return {
+        "scales": scales,
+        "src": SRC,
+        "queries": report,
+        "errors": errors,
+        "host_load_1m": {
+            "min": round(min(loads), 1) if loads else None,
+            "max": round(max(loads), 1) if loads else None,
+        },
+    }
 
 
 def main():
