@@ -207,6 +207,8 @@ def running_last_sliced(
     order_cols: list[str],
     val_col: str,
     n_slices: int | None = None,
+    slice_col: Column | None = None,
+    broadcast_offsets: bool = True,
     bounds_df: DataFrame | None = None,
 ) -> DataFrame:
     """Add ``_last``: the running last non-null ``val_col`` within
@@ -230,7 +232,9 @@ def running_last_sliced(
     sliced = df.withColumn(
         "_slice",
         slice_expr(
-            bounds_df if bounds_df is not None else df, order_cols[0], n_slices
+            bounds_df if bounds_df is not None else df,
+            slice_col if slice_col is not None else order_cols[0],
+            n_slices,
         ),
     )
     w_loc = (
@@ -256,8 +260,9 @@ def running_last_sliced(
         *part_cols,
         F.last("_carry", ignorenulls=True).over(w_off).alias("_in"),
     )
+    off = F.broadcast(offsets) if broadcast_offsets else offsets
     return (
-        local.join(F.broadcast(offsets), ["_slice", *part_cols])
+        local.join(off, ["_slice", *part_cols])
         .withColumn("_last", F.coalesce("_lval", "_in"))
         .drop("_slice", "_lval", "_in")
     )

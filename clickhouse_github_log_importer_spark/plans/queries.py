@@ -3666,6 +3666,168 @@ def sum_map_by_day(spark, sf_dir):
     )
 
 
+_GAP_EDGES_US = (
+    1_000_000,  # <= 1 s
+    10_000_000,  # <= 10 s
+    60_000_000,  # <= 1 min
+    600_000_000,  # <= 10 min
+    3_600_000_000,  # <= 1 h
+    86_400_000_000,  # <= 1 d
+)
+_GAP_LABELS = ("<=1s", "<=10s", "<=1m", "<=10m", "<=1h", "<=1d", ">1d")
+
+
+def _gap_bucket_sql(col: str) -> str:
+    w = " ".join(
+        f"WHEN {col} <= {e} THEN '{lbl}'"
+        for e, lbl in zip(_GAP_EDGES_US, _GAP_LABELS)
+    )
+    return f"CASE {w} ELSE '{_GAP_LABELS[-1]}' END"
+
+
+@register(
+    "inter_event_gap_profile",
+    f"""
+    WITH g AS (
+      SELECT epoch_us(ts)
+               - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_us(ts), event_id)
+               AS gap_us
+      FROM events
+    ),
+    b AS (SELECT {_gap_bucket_sql('gap_us')} AS gap_bucket FROM g
+          WHERE gap_us IS NOT NULL)
+    SELECT gap_bucket, CAST(count(*) AS BIGINT) AS n_gaps,
+           round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6)
+             AS frac
+    FROM b GROUP BY gap_bucket
+    """,
+    tags=("temporal", "window", "behavior"),
+    doc="Inter-event gap distribution: per user, the time between "
+    "consecutive events (ts, event_id order), bucketed on a log-ish "
+    "grid — the cadence profile behind session-gap and bot-detection "
+    "thresholds. The predecessor timestamp is NOT a lag window per user "
+    "(the mega-user serial-task trap): ts is monotone in the scan "
+    "order, so prev_ts = running max over strictly earlier rows — the "
+    "zero-information-query-row idiom on running_max_sliced, composite "
+    "(user, ts) slices. The histogram rollup then touches 7 buckets.",
+)
+def inter_event_gap_profile(spark, sf_dir):
+    from ..operators.ranking import composite_slice_key, running_max_sliced
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts_us")
+    rows = ev.select(
+        "user_id", "event_id", "ts_us", F.lit(1).alias("kind"),
+        F.col("ts_us").alias("val"),
+    ).unionByName(
+        ev.select(
+            "user_id", "event_id", "ts_us", F.lit(0).alias("kind"),
+            F.lit(None).cast("long").alias("val"),
+        )
+    )
+    swept = running_max_sliced(
+        rows,
+        ["user_id"],
+        ["ts_us", "event_id", "kind"],
+        "val",
+        slice_col=composite_slice_key("user_id", "ts_us"),
+        broadcast_offsets=False,
+        bounds_df=ev.select("user_id", "ts_us"),
+    )
+    gap = (F.col("ts_us") - F.col("_rmax")).alias("gap_us")
+    bucket = F.lit(_GAP_LABELS[-1])
+    for e, lbl in reversed(list(zip(_GAP_EDGES_US, _GAP_LABELS))):
+        bucket = F.when(F.col("gap_us") <= e, F.lit(lbl)).otherwise(bucket)
+    counts = (
+        swept.filter((F.col("kind") == 0) & F.col("_rmax").isNotNull())
+        .select(gap)
+        .select(bucket.alias("gap_bucket"))
+        .groupBy("gap_bucket")
+        .agg(F.count("*").cast("long").alias("n_gaps"))
+    )
+    w_all = Window.partitionBy()
+    return counts.select(
+        "gap_bucket",
+        "n_gaps",
+        F.round(
+            F.col("n_gaps") / F.sum("n_gaps").over(w_all).cast("double"), 6
+        ).alias("frac"),
+    )
+
+
+@register(
+    "user_delta_sum",
+    """
+    WITH d AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT)
+               - lag(CAST(round(value * 100) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS dv
+      FROM events
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN dv > 0 THEN dv ELSE 0 END) AS BIGINT)
+             AS delta_sum_cents,
+           CAST(sum(CASE WHEN dv < 0 THEN -dv ELSE 0 END) AS BIGINT)
+             AS delta_drop_cents,
+           CAST(count(dv) AS BIGINT) AS n_deltas
+    FROM d GROUP BY user_id
+    """,
+    tags=("temporal", "window", "clickhouse-parity"),
+    doc="ClickHouse deltaSum analog (plus the symmetric drop sum): per "
+    "user, the sum of positive (and of negative) changes between "
+    "consecutive values in (ts, event_id) order, in exact integer "
+    "cents. The predecessor VALUE comes from running_last_sliced via "
+    "the query-row idiom (a null-valued twin row reads the last "
+    "non-null among strictly earlier rows), so one user's history "
+    "splits across slices — never a per-user lag window. One sliced "
+    "scan + one user-keyed aggregate.",
+)
+def user_delta_sum(spark, sf_dir):
+    from ..operators.ranking import composite_slice_key, running_last_sliced
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    rows = ev.select(
+        "user_id", "event_id", "ts_us", "cents", F.lit(1).alias("kind"),
+        F.col("cents").alias("val"),
+    ).unionByName(
+        ev.select(
+            "user_id", "event_id", "ts_us", "cents",
+            F.lit(0).alias("kind"),
+            F.lit(None).cast("long").alias("val"),
+        )
+    )
+    swept = running_last_sliced(
+        rows,
+        ["user_id"],
+        ["ts_us", "event_id", "kind"],
+        "val",
+        slice_col=composite_slice_key("user_id", "ts_us"),
+        broadcast_offsets=False,
+        bounds_df=ev.select("user_id", "ts_us"),
+    )
+    dv = F.col("cents") - F.col("_last")
+    return (
+        swept.filter(F.col("kind") == 0)
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(dv > 0, dv).otherwise(F.lit(0).cast("long")))
+            .cast("long")
+            .alias("delta_sum_cents"),
+            F.sum(F.when(dv < 0, -dv).otherwise(F.lit(0).cast("long")))
+            .cast("long")
+            .alias("delta_drop_cents"),
+            F.count(F.col("_last")).cast("long").alias("n_deltas"),
+        )
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401

@@ -207,6 +207,30 @@ def run_probe(scales, names, repeats: int = 2) -> dict:
     # inflate a single (query, scale) cell 5-10x — the context a reader
     # needs before believing any super-linear verdict
     loads: list[float] = []
+
+    # Parallel-width calibration: the probe data carries k splits at
+    # scale xk, so a single-wave stage runs k concurrent tasks. On this
+    # VM, FIXED per-task work measurably slows as concurrency rises
+    # (measured: 1.0s at 10 tasks -> 2.0s at 30 tasks for identical 2M-md5
+    # tasks — effective width ~half the advertised 32 vCPUs). Without
+    # correction, any query whose wall is one task wave reads as
+    # "super-linear" purely because x30 runs wider waves than x10.
+    # cal[k] = wall of k identical CPU-bound tasks; verdicts divide the
+    # measured growth ratio by cal[k3]/cal[k2].
+    from pyspark.sql import functions as _F
+
+    cal: dict[int, float] = {}
+    for k in scales:
+        best = None
+        for _ in range(max(2, repeats)):
+            t0 = time.monotonic()
+            spark.range(0, k * 2_000_000, 1, k).select(
+                _F.md5(_F.col("id").cast("string")).alias("h")
+            ).select(_F.max("h")).collect()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        cal[k] = round(best, 3)
+    print(f"# parallel-width calibration (k tasks, fixed per-task work): {cal}")
     # untimed warm pass at the smallest scale: codegen/JIT + python-worker
     # pools + model memos warm up OUTSIDE the timed columns, so x1 does
     # not absorb every first-run cost and skew the slope downward
@@ -254,7 +278,12 @@ def run_probe(scales, names, repeats: int = 2) -> dict:
         # so flag only clear violations on queries big enough to time.
         lin = k3 / k2
         ratio = ts[k3] / ts[k2] if ts[k2] > 0 else float("inf")
-        if ratio > lin * 1.35 and ts[k3] > 1.0:
+        # divide out the box's measured wave-width slowdown (cal): a
+        # query whose wall is one k-task wave inflates by cal[k3]/cal[k2]
+        # on identical per-task work, which is the machine, not the plan
+        cal_ratio = max(1.0, cal[k3] / cal[k2]) if cal.get(k2) else 1.0
+        ratio_adj = ratio / cal_ratio
+        if ratio_adj > lin * 1.35 and ts[k3] > 1.0:
             verdict = "super-linear"
         elif ratio < lin * 0.65:
             verdict = "sub-linear"
@@ -264,6 +293,7 @@ def run_probe(scales, names, repeats: int = 2) -> dict:
             "t": {f"x{k}": ts[k] for k in scales},
             "marginal_sec_per_unit": [round(m1, 4), round(m2, 4)],
             "ratio_hi": round(ts[k3] / ts[k2], 2),
+            "ratio_hi_caladj": round(ratio_adj, 2),
             "verdict": verdict,
         }
     return {
@@ -275,6 +305,7 @@ def run_probe(scales, names, repeats: int = 2) -> dict:
             "min": round(min(loads), 1) if loads else None,
             "max": round(max(loads), 1) if loads else None,
         },
+        "parallel_calibration_sec": {f"x{k}": v for k, v in cal.items()},
     }
 
 

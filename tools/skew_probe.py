@@ -43,6 +43,12 @@ EVENT_QUERIES = [
     "window_funnel_levels",
     "user_activity",
     "top_events_per_user",
+    # r5 sliced sweeps/scans: all user-keyed, so the mega-user variant
+    # must stay flat for the composite-slice claim to hold
+    "user_interval_coverage",
+    "sequence_pair_count",
+    "user_delta_sum",
+    "inter_event_gap_profile",
 ]
 DOC_QUERIES = ["source_capped_sample", "sequence_packing_plan"]
 
