@@ -2464,3 +2464,137 @@ def dsir_importance_weights(spark, sf_dir):
         )
     )
     return scored.orderBy(F.desc("dsir_weight"), F.asc("doc_id")).limit(top)
+
+
+@register(
+    "edit_distance_near_pairs",
+    """
+    WITH d0 AS (
+      SELECT doc_id, substr(text, 1, 12) AS blk,
+             substr(text, 1, 64) AS t64
+      FROM documents
+    ),
+    bs AS (SELECT blk FROM d0 GROUP BY blk HAVING COUNT(*) <= 64),
+    d AS (SELECT d0.* FROM d0 JOIN bs USING (blk)),
+    p AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(levenshtein(a.t64, b.t64) AS BIGINT) AS edit_distance
+      FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM p WHERE edit_distance <= 16
+    ORDER BY edit_distance, doc_id_a, doc_id_b LIMIT 20
+    """,
+    tags=("dedup", "er", "text", "llm-pipeline"),
+    doc="Blocked edit-distance near-duplicate pairs (ClickHouse "
+    "editDistance / classic entity-resolution blocking): candidate "
+    "pairs share a 12-char prefix block, pairs within Levenshtein 16 "
+    "on the 64-char head survive; top-20 by (distance, ids). The "
+    "all-pairs trap is handled the way production ER does: the "
+    "equi-join on the block key only ever expands WITHIN a block, and "
+    "a size guard drops pathological blocks (>64 members) before the "
+    "join, so the worst task is 64x64 comparisons regardless of "
+    "corpus size — the hot loop is Spark's built-in levenshtein "
+    "(JVM codegen, Wagner-Fischer), no Python in the path.",
+)
+def edit_distance_near_pairs(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 12).alias("blk"),
+        F.substring("text", 1, 64).alias("t64"),
+    )
+    ok = docs.groupBy("blk").agg(F.count("*").alias("_bn")).filter(
+        F.col("_bn") <= 64
+    )
+    d = docs.join(ok.select("blk"), "blk")
+    a = d.select(
+        "blk", F.col("doc_id").alias("doc_id_a"), F.col("t64").alias("_ta")
+    )
+    b = d.select(
+        "blk", F.col("doc_id").alias("doc_id_b"), F.col("t64").alias("_tb")
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.levenshtein("_ta", "_tb").cast("long").alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 16)
+    )
+    return pairs.orderBy(
+        "edit_distance", "doc_id_a", "doc_id_b"
+    ).limit(20)
+
+
+@register(
+    "vocab_growth_curve",
+    """
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                 FROM documents),
+    tok2 AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+    firsts AS (SELECT w, min(doc_id) AS fd FROM tok2 GROUP BY w),
+    n AS (SELECT count(*) AS nd FROM documents),
+    cps AS (SELECT CAST(power(2, g.generate_series) AS BIGINT) AS c
+            FROM generate_series(4, 40) g, n
+            WHERE power(2, g.generate_series) <= nd)
+    SELECT c AS checkpoint_docs,
+           CAST((SELECT count(*) FROM firsts WHERE fd < c) AS BIGINT)
+             AS vocab_size,
+           CAST((SELECT count(*) FROM tok2 WHERE doc_id < c) AS BIGINT)
+             AS total_tokens
+    FROM cps ORDER BY 1
+    """,
+    tags=("text", "corpus-stats", "llm-pipeline"),
+    doc="Heaps'-law vocabulary growth audit: distinct-token vocabulary "
+    "size and total token count at geometric doc-count checkpoints "
+    "(powers of two up to the corpus size) — the curve a tokenizer "
+    "team reads before fixing a vocab budget, and a drift alarm when "
+    "a new crawl bends it. Scale shape: ONE token-keyed map-side-"
+    "combined shuffle to (token, first_doc) — the vocabulary "
+    "histogram — then both curves are rollups of tiny frames joined "
+    "against a BROADCAST <=40-row checkpoint spine; the token stream "
+    "is scanned once and nothing wider than the vocabulary ever "
+    "shuffles.",
+)
+def vocab_growth_curve(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("w")
+        ).filter(F.col("w") != "")
+    )
+    firsts = tok.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    nd = docs.count()
+    cps = spark.createDataFrame(
+        [(1 << k,) for k in range(4, 41) if (1 << k) <= nd],
+        "checkpoint_docs long",
+    )
+    per_doc = tok.groupBy("doc_id").agg(F.count("*").alias("ntok"))
+    vocab = (
+        firsts.join(
+            F.broadcast(cps), F.col("fd") < F.col("checkpoint_docs")
+        )
+        .groupBy("checkpoint_docs")
+        .agg(F.count("*").cast("long").alias("vocab_size"))
+    )
+    toks = (
+        per_doc.join(
+            F.broadcast(cps), F.col("doc_id") < F.col("checkpoint_docs")
+        )
+        .groupBy("checkpoint_docs")
+        .agg(F.sum("ntok").cast("long").alias("total_tokens"))
+    )
+    return (
+        cps.join(vocab, "checkpoint_docs", "left")
+        .join(toks, "checkpoint_docs", "left")
+        .select(
+            "checkpoint_docs",
+            F.coalesce("vocab_size", F.lit(0)).cast("long").alias(
+                "vocab_size"
+            ),
+            F.coalesce("total_tokens", F.lit(0)).cast("long").alias(
+                "total_tokens"
+            ),
+        )
+    )

@@ -3828,6 +3828,470 @@ def user_delta_sum(spark, sf_dir):
     )
 
 
+@register(
+    "weighted_median_price",
+    """
+    WITH h AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT l_returnflag, price_c, w,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+      FROM h
+    )
+    SELECT l_returnflag,
+           CAST(min(price_c) AS BIGINT) AS weighted_median_cents,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM c WHERE 2 * cw >= tw GROUP BY 1
+    """,
+    tags=("agg", "quantile", "clickhouse-parity"),
+    doc="ClickHouse quantilesExactWeighted(0.5) analog: per return flag, "
+    "the exact lower weighted median of extended price (integer cents) "
+    "with quantity as the weight. Scale shape is the VALUE-HISTOGRAM "
+    "trick, the same reason quantilesExactWeighted scales in "
+    "ClickHouse: the first shuffle collapses the fact stream to one "
+    "row per (flag, distinct price) with map-side-combined weights, so "
+    "the cumulative-weight window that picks the median runs over the "
+    "histogram (bounded by the price DOMAIN, data-independent), never "
+    "over the raw rows. 100 TB of lineitem and 1 GB produce the same "
+    "window input size.",
+)
+def weighted_median_price(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    h = li.groupBy("l_returnflag", "price_c").agg(F.sum("qty").alias("w"))
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    c = h.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price_c").cast("long").alias("weighted_median_cents"),
+            F.min("tw").cast("long").alias("total_weight"),
+        )
+    )
+
+
+@register(
+    "bitmap_audience_overlap",
+    """
+    WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+    tot AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM d GROUP BY 1),
+    x AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_and
+      FROM d a JOIN d b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+           ta.n AS n_a, tb.n AS n_b,
+           CAST(COALESCE(x.n_and, 0) AS BIGINT) AS n_and,
+           CAST(ta.n + tb.n - COALESCE(x.n_and, 0) AS BIGINT) AS n_or
+    FROM tot ta JOIN tot tb ON ta.event_type < tb.event_type
+    LEFT JOIN x ON x.type_a = ta.event_type AND x.type_b = tb.event_type
+    """,
+    tags=("set", "sketch", "clickhouse-parity"),
+    doc="ClickHouse groupBitmapAnd/Or analog: exact audience-overlap "
+    "cardinalities (AND/OR of distinct-user sets) for every pair of "
+    "event types, computed on CHUNKED PACKED BITMAPS (the roaring-"
+    "bitmap container design, RoaringBitmap.h): one distinct shuffle, "
+    "then each (type, user_id>>13) group folds its <=8192 members into "
+    "a 1 KiB packed sub-bitmap in one Arrow batch; pair cardinalities "
+    "are popcounts of sub-bitmap ANDs joined on the bucket id, so no "
+    "shuffle ever carries a row wider than 1 KiB and a billion-user "
+    "audience is ~122k independent sub-bitmaps, not one giant blob on "
+    "one task. OR is derived by inclusion-exclusion, never "
+    "materialized. See operators/bitmaps.py.",
+)
+def bitmap_audience_overlap(spark, sf_dir):
+    from ..operators.bitmaps import audience_bitmaps, bitmap_pair_overlap
+
+    ev = t(spark, sf_dir, "events")
+    bm = audience_bitmaps(ev, "event_type", "user_id")
+    return bitmap_pair_overlap(bm)
+
+
+@register(
+    "interpolated_hourly_values",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(hour_id) AS lo, max(hour_id) AS hi FROM c),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS hour_id FROM span),
+    g AS (SELECT grid.hour_id, c.cents
+          FROM grid LEFT JOIN c USING (hour_id)),
+    f AS (
+      SELECT hour_id, cents,
+             last_value(cents IGNORE NULLS) OVER
+               (ORDER BY hour_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+             first_value(cents IGNORE NULLS) OVER
+               (ORDER BY hour_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+             last_value(CASE WHEN cents IS NOT NULL THEN hour_id END
+                        IGNORE NULLS) OVER
+               (ORDER BY hour_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             first_value(CASE WHEN cents IS NOT NULL THEN hour_id END
+                         IGNORE NULLS) OVER
+               (ORDER BY hour_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM g
+    )
+    SELECT hour_id,
+           round(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                      WHEN nh = ph THEN CAST(pc AS DOUBLE)
+                      ELSE pc + (nc - pc) * (CAST(hour_id - ph AS DOUBLE)
+                                             / CAST(nh - ph AS DOUBLE))
+                 END / 100.0, 4) AS value_usd,
+           cents IS NULL AS is_filled
+    FROM f
+    """,
+    tags=("fill", "timeseries", "clickhouse-parity"),
+    doc="ClickHouse ORDER BY ... WITH FILL INTERPOLATE analog: the "
+    "hourly total-value series with every missing hour linearly "
+    "interpolated between its nearest present neighbors (span ends are "
+    "present by construction, so no extrapolation arm is ever taken). "
+    "The pre-aggregation is one map-side-combined shuffle to the "
+    "(hour) histogram; the spine and the prev/next sweeps then run "
+    "over TIME-BOUNDED rows (a century is <1M hours, independent of "
+    "corpus size), which is why the single ordered window here is "
+    "safe where a per-user one would not be. Arithmetic is exact "
+    "integer cents until the final IEEE-identical lerp + round(4).",
+)
+def interpolated_hourly_values(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy(F.expr("ts_us div 3600000000").alias("hour_id")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    grid = c.agg(
+        F.min("hour_id").alias("lo"), F.max("hour_id").alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("hour_id"))
+    g = grid.join(c, "hour_id", "left")
+    wp = Window.orderBy("hour_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.orderBy("hour_id").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    marked = F.when(F.col("cents").isNotNull(), F.col("hour_id"))
+    f = g.select(
+        "hour_id",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wp).alias("pc"),
+        F.first("cents", ignorenulls=True).over(wn).alias("nc"),
+        F.last(marked, ignorenulls=True).over(wp).alias("ph"),
+        F.first(marked, ignorenulls=True).over(wn).alias("nh"),
+    )
+    lerp = F.col("pc") + (F.col("nc") - F.col("pc")) * (
+        (F.col("hour_id") - F.col("ph")).cast("double")
+        / (F.col("nh") - F.col("ph")).cast("double")
+    )
+    filled = (
+        F.when(F.col("cents").isNotNull(), F.col("cents").cast("double"))
+        .when(F.col("nh") == F.col("ph"), F.col("pc").cast("double"))
+        .otherwise(lerp)
+    )
+    return f.select(
+        "hour_id",
+        F.round(filled / 100.0, 4).alias("value_usd"),
+        F.col("cents").isNull().alias("is_filled"),
+    )
+
+
+@register(
+    "bounded_distinct_by_type",
+    """
+    WITH pu AS (
+      SELECT event_type, user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(least(COUNT(*), 11) AS BIGINT) AS uniq_upto_10,
+           (max(struct_pack(c := cents, u := user_id))).u AS top_user_id,
+           (max(struct_pack(c := cents, u := user_id))).c
+             AS top_user_cents
+    FROM pu GROUP BY 1
+    """,
+    tags=("agg", "clickhouse-parity"),
+    doc="ClickHouse uniqUpTo(10) + topKWeighted(1)/argMax parity in one "
+    "pass: per event type, the distinct-user count saturated at 11 "
+    "(uniqUpTo's exact contract: counts are exact up to N, N+1 means "
+    "'more than N') and the top user by total spend in integer cents "
+    "with deterministic ties (lexicographic (cents, user_id) struct "
+    "max — ClickHouse's topK tie order is engine-arbitrary; we pin "
+    "it). Two map-side-combined shuffles: fact -> (type, user) "
+    "partials -> per-type fold; the struct max IS the single-pass "
+    "heavy-hitter fold, no sort, no window.",
+)
+def bounded_distinct_by_type(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    pu = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    agg = pu.groupBy("event_type").agg(
+        F.least(F.count("*"), F.lit(11)).cast("long").alias("uniq_upto_10"),
+        F.max(F.struct(F.col("cents").alias("c"), F.col("user_id").alias("u"))).alias("m"),
+    )
+    return agg.select(
+        "event_type",
+        "uniq_upto_10",
+        F.col("m.u").alias("top_user_id"),
+        F.col("m.c").alias("top_user_cents"),
+    )
+
+
+@register(
+    "ema_user_value",
+    """
+    WITH s AS (
+      SELECT user_id,
+             list(round(value * 100) ORDER BY epoch_us(ts), event_id)
+               AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+           round(list_reduce(vs, (acc, x) -> 0.25 * x + 0.75 * acc), 4)
+             AS ema
+    FROM s
+    """,
+    tags=("temporal", "fold", "clickhouse-parity"),
+    doc="ClickHouse exponentialMovingAverage analog (per-step smoothing "
+    "alpha=0.25, seeded with the first observation): the final EMA of "
+    "each user's value-in-cents stream in (ts, event_id) order. EMA is "
+    "irreducibly a sequential per-key fold — ClickHouse's own "
+    "implementation is a per-group ordered scan — so the honest "
+    "distributed shape is ONE shuffle to (user, sorted array) and a "
+    "JVM-side higher-order aggregate() fold per user (no Python, no "
+    "window, no join); state per user is one double. Both engines run "
+    "the identical left fold (0.25*x + 0.75*acc) over the identical "
+    "total order, so the doubles agree bit-for-bit before round(4).",
+)
+def ema_user_value(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("ts_us").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.round(F.col("value") * 100).alias("v"),
+                )
+            )
+        ).alias("arr")
+    )
+    vs = F.transform(F.col("arr"), lambda r: r["v"])
+    ema = F.aggregate(
+        F.slice(vs, F.lit(2), F.greatest(F.size(vs) - 1, F.lit(0))),
+        F.element_at(vs, 1),
+        lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+    )
+    return s.select(
+        "user_id",
+        F.size("arr").cast("long").alias("n_events"),
+        F.round(ema, 4).alias("ema"),
+    )
+
+
+@register(
+    "value_hour_correlation",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(epoch_us(ts) // 3600000000 % 24) AS BIGINT) AS sx,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sy,
+             CAST(SUM((epoch_us(ts) // 3600000000 % 24)
+                      * (epoch_us(ts) // 3600000000 % 24)) AS BIGINT)
+               AS sxx,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS syy,
+             CAST(SUM((epoch_us(ts) // 3600000000 % 24)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sxy
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS corr_xy,
+           round((CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sy / CAST(n AS DOUBLE))
+                 / (CAST(n AS DOUBLE) - 1), 6) AS covar_samp,
+           round(sqrt((CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * sy / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1)), 6) AS stddev_y
+    FROM m
+    """,
+    tags=("agg", "stats", "clickhouse-parity"),
+    doc="ClickHouse corr / covarSamp / stddevSamp parity per event "
+    "type, between hour-of-day and value-in-cents. The portability "
+    "trick is EXACT INTEGER MOMENTS: n, Sx, Sy, Sxx, Syy, Sxy are "
+    "overflow-safe BIGINTs (hour<=23, cents<=~1e6 keep Sxy under 2^63 "
+    "past 10^12 rows), reduced with map-side combine in ONE shuffle "
+    "whose merge order cannot matter — unlike naive float corr(), "
+    "whose partial-sum order differs per engine and per run. The "
+    "closed-form double arithmetic at the end is the identical "
+    "expression in both engines, so it is IEEE-bit-identical before "
+    "round(6).",
+)
+def value_hour_correlation(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    x = F.expr("ts_us div 3600000000") % 24
+    y = F.round(F.col("value") * 100).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(y * y).cast("long").alias("syy"),
+        F.sum(x * y).cast("long").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    corr = (nd * F.col("sxy") - sxd * F.col("sy")) / F.sqrt(
+        (nd * F.col("sxx") - sxd * F.col("sx"))
+        * (nd * F.col("syy") - syd * F.col("sy"))
+    )
+    covar = (F.col("sxy").cast("double") - sxd * F.col("sy") / nd) / (
+        nd - 1
+    )
+    sdy = F.sqrt(
+        (F.col("syy").cast("double") - syd * F.col("sy") / nd) / (nd - 1)
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(corr, 6).alias("corr_xy"),
+        F.round(covar, 6).alias("covar_samp"),
+        F.round(sdy, 6).alias("stddev_y"),
+    )
+
+
+@register(
+    "welch_ttest_values",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS s,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS ss
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        (SELECT CAST(n AS DOUBLE) FROM m WHERE event_type = 'click')
+          AS na,
+        (SELECT CAST(s AS DOUBLE) FROM m WHERE event_type = 'click')
+          AS sa,
+        (SELECT CAST(ss AS DOUBLE) FROM m WHERE event_type = 'click')
+          AS ssa,
+        (SELECT CAST(n AS DOUBLE) FROM m WHERE event_type = 'view')
+          AS nb,
+        (SELECT CAST(s AS DOUBLE) FROM m WHERE event_type = 'view')
+          AS sb,
+        (SELECT CAST(ss AS DOUBLE) FROM m WHERE event_type = 'view')
+          AS ssb
+    ),
+    v AS (
+      SELECT na, nb,
+             sa / na AS ma, sb / nb AS mb,
+             (ssa - sa * sa / na) / (na - 1) / na AS va,
+             (ssb - sb * sb / nb) / (nb - 1) / nb AS vb
+      FROM w
+    )
+    SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_view,
+           round((ma - mb) / sqrt(va + vb), 6) AS t_stat,
+           round((va + vb) * (va + vb)
+                 / (va * va / (na - 1) + vb * vb / (nb - 1)), 4)
+             AS welch_df
+    FROM v
+    """,
+    tags=("agg", "stats", "clickhouse-parity"),
+    doc="ClickHouse welchTTest analog: Welch's unequal-variance t "
+    "statistic and Welch-Satterthwaite degrees of freedom for "
+    "value-in-cents, click vs view arms. Same exact-integer-moment "
+    "design as value_hour_correlation: each arm reduces to (n, S, SS) "
+    "BIGINTs in one map-side-combined shuffle (merge-order-proof), "
+    "the 2-row moment table collapses to one row, and the closed-form "
+    "double expression is evaluated identically in both engines — "
+    "bit-identical before rounding. The p-value lookup (incomplete "
+    "beta) is presentation, not data reduction, and is left to the "
+    "caller like ClickHouse returns (t, df) from welchTTest.",
+)
+def welch_ttest_values(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    y = F.round(F.col("value") * 100).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(y).cast("long").alias("s"),
+        F.sum(y * y).cast("long").alias("ss"),
+    )
+    one = m.groupBy().pivot("event_type", ["click", "view"]).agg(
+        F.first("n").alias("n"), F.first("s").alias("s"),
+        F.first("ss").alias("ss"),
+    )
+    na, sa, ssa = (
+        F.col("click_n").cast("double"),
+        F.col("click_s").cast("double"),
+        F.col("click_ss").cast("double"),
+    )
+    nb, sb, ssb = (
+        F.col("view_n").cast("double"),
+        F.col("view_s").cast("double"),
+        F.col("view_ss").cast("double"),
+    )
+    ma, mb = sa / na, sb / nb
+    va = (ssa - sa * sa / na) / (na - 1) / na
+    vb = (ssb - sb * sb / nb) / (nb - 1) / nb
+    return one.select(
+        F.col("click_n").alias("n_click"),
+        F.col("view_n").alias("n_view"),
+        F.round((ma - mb) / F.sqrt(va + vb), 6).alias("t_stat"),
+        F.round(
+            (va + vb) * (va + vb)
+            / (va * va / (na - 1) + vb * vb / (nb - 1)),
+            4,
+        ).alias("welch_df"),
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401

@@ -1,0 +1,87 @@
+"""Chunked packed-bitmap set algebra (operators/bitmaps.py).
+
+The groupBitmapAnd/Or analog must be exactly the distinct-set algebra it
+replaces: container popcounts == COUNT(DISTINCT), pair ANDs == join
+cardinalities, and containers must be lossless mergeable state (OR of two
+sub-bitmaps for the same bucket == bitmap of the union)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from clickhouse_github_log_importer_spark.operators.bitmaps import (
+    BUCKET_BITS,
+    audience_bitmaps,
+    bitmap_pair_overlap,
+)
+
+
+def _toy(spark):
+    rows = []
+    # key "a": ids 0..99 and a far bucket; key "b": evens plus overlap tail
+    rows += [("a", i) for i in range(100)]
+    rows += [("a", (5 << BUCKET_BITS) + 7)]
+    rows += [("b", i) for i in range(0, 200, 2)]
+    rows += [("b", (5 << BUCKET_BITS) + 7)]
+    # duplicates must not double-count
+    rows += [("a", 3), ("b", 0)]
+    return spark.createDataFrame(rows, "k string, id long")
+
+
+def test_container_popcounts_match_distinct(spark):
+    df = _toy(spark)
+    bm = audience_bitmaps(df, "k", "id")
+    got = {r["key"]: r["n"] for r in bm.groupBy("key").agg(
+        F.sum("n").alias("n")).collect()}
+    exact = {
+        r["k"]: r["n"]
+        for r in df.distinct().groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == exact
+
+
+def test_pair_overlap_matches_set_algebra(spark):
+    df = _toy(spark)
+    out = bitmap_pair_overlap(audience_bitmaps(df, "k", "id")).collect()
+    assert len(out) == 1
+    row = out[0]
+    a = {i for k, i in _toy_rows() if k == "a"}
+    b = {i for k, i in _toy_rows() if k == "b"}
+    assert (row["type_a"], row["type_b"]) == ("a", "b")
+    assert row["n_a"] == len(a)
+    assert row["n_b"] == len(b)
+    assert row["n_and"] == len(a & b)
+    assert row["n_or"] == len(a | b)
+
+
+def _toy_rows():
+    rows = []
+    rows += [("a", i) for i in range(100)]
+    rows += [("a", (5 << BUCKET_BITS) + 7)]
+    rows += [("b", i) for i in range(0, 200, 2)]
+    rows += [("b", (5 << BUCKET_BITS) + 7)]
+    rows += [("a", 3), ("b", 0)]
+    return rows
+
+
+def test_containers_are_mergeable_state(spark):
+    # -State/-Merge contract: byte-wise OR of the sub-bitmaps of two
+    # disjoint loads == sub-bitmap of the combined load.
+    h1 = spark.createDataFrame(
+        [("a", i) for i in range(0, 50)], "k string, id long"
+    )
+    h2 = spark.createDataFrame(
+        [("a", i) for i in range(30, 80)], "k string, id long"
+    )
+    both = h1.unionByName(h2)
+
+    def bmap(df):
+        [r] = audience_bitmaps(df, "k", "id").filter(
+            F.col("bucket") == 0
+        ).collect()
+        return np.frombuffer(r["bitmap"], dtype=np.uint8)
+
+    merged = bmap(h1) | bmap(h2)
+    assert np.array_equal(merged, bmap(both))
+    assert int(np.unpackbits(merged).sum()) == 80
