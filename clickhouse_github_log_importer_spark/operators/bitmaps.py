@@ -100,14 +100,23 @@ def _and_popcount():
     return pop
 
 
-def bitmap_pair_overlap(bm: DataFrame) -> DataFrame:
+def bitmap_pair_overlap(
+    bm: DataFrame, scope: "CacheScope | None" = None
+) -> DataFrame:
     """All key pairs (a < b): exact AND/OR cardinalities from containers.
 
     The pair join is keyed on the bucket id (containers of different
     keys co-locate per bucket); buckets present on only one side cannot
     intersect and are correctly absent from the inner join. Totals come
-    from the container popcounts; OR is inclusion-exclusion.
+    from the container popcounts; OR is inclusion-exclusion. The
+    container frame feeds three consumers (both pair-join legs and the
+    totals), so it is persisted — register with ``scope`` to control
+    the lifetime. The per-pair AND counts and per-key totals are
+    O(#keys^2) / O(#keys) rows and broadcast into the spine joins.
     """
+    from .cache import persist_in
+
+    bm = persist_in(scope, bm)
     a = bm.select(
         F.col("key").alias("type_a"),
         F.col("bucket").alias("bucket"),
@@ -132,8 +141,12 @@ def bitmap_pair_overlap(bm: DataFrame) -> DataFrame:
     tot = bm.groupBy("key").agg(F.sum("n").cast("long").alias("n"))
     ta = tot.select(F.col("key").alias("type_a"), F.col("n").alias("n_a"))
     tb = tot.select(F.col("key").alias("type_b"), F.col("n").alias("n_b"))
-    spine = ta.crossJoin(tb).filter(F.col("type_a") < F.col("type_b"))
-    return spine.join(ands, ["type_a", "type_b"], "left").select(
+    spine = ta.crossJoin(F.broadcast(tb)).filter(
+        F.col("type_a") < F.col("type_b")
+    )
+    return spine.join(
+        F.broadcast(ands), ["type_a", "type_b"], "left"
+    ).select(
         "type_a",
         "type_b",
         "n_a",

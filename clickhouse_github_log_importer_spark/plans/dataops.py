@@ -2586,8 +2586,8 @@ def vocab_growth_curve(spark, sf_dir):
         .agg(F.sum("ntok").cast("long").alias("total_tokens"))
     )
     return (
-        cps.join(vocab, "checkpoint_docs", "left")
-        .join(toks, "checkpoint_docs", "left")
+        cps.join(F.broadcast(vocab), "checkpoint_docs", "left")
+        .join(F.broadcast(toks), "checkpoint_docs", "left")
         .select(
             "checkpoint_docs",
             F.coalesce("vocab_size", F.lit(0)).cast("long").alias(

@@ -79,6 +79,10 @@ def test_topk_uses_take_ordered(spark, sf_smoke):
 DECLARED_ARROW = (
     "multimodal_",
     "ann_",
+    # chunked packed-bitmap containers: the per-(key, bucket) packbits fold
+    # and the byte-AND popcount are Arrow-batched numpy by design
+    # (operators/bitmaps.py)
+    "bitmap_audience_overlap",
     "simhash_signatures",
     "embedding_near_dup_pairs",
     "cross_modal_near_dups",
@@ -530,3 +534,73 @@ def test_kmv_setops_bounded_state(spark, sf_smoke):
     # persisted flags frame collapses the two static scan branches
     assert low.count("broadcastnestedloopjoin") <= 1
     assert low.count("scan parquet") <= 2
+
+
+def test_bitmap_overlap_no_cartesian_wide_rows(spark, sf_smoke):
+    # the container pair join must be an equi-join on the bucket id —
+    # never a cartesian of the container tables — and the only
+    # nested-loop join allowed is the tiny per-key totals spine
+    # (#keys x #keys rows, data-size-independent)
+    p = tree(explain(spark, "bitmap_audience_overlap", sf_smoke))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # the tiny totals spine
+    # the bucket pair join and the spine<-ands join both broadcast
+    assert p.count("BroadcastHashJoin") == 2
+    # distinct before the containers: the id stream is deduped with
+    # map-side combine (partial + final HashAggregate), not collected
+    assert "HashAggregate" in p
+
+
+def test_edit_distance_blocked_equi_join(spark, sf_smoke):
+    # the ER pair expansion must happen INSIDE prefix blocks (equi-join
+    # on blk) with the >64-member guard applied before it; a cartesian
+    # or nested-loop join here would be the all-pairs trap
+    p = explain(spark, "edit_distance_near_pairs", sf_smoke)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "levenshtein" in p.lower()
+    assert "TakeOrderedAndProject" in p  # top-20, never a global sort
+
+
+def test_weighted_median_windows_over_histogram(spark, sf_smoke):
+    # both windows must run over the post-aggregation value histogram
+    # (bounded by the price domain), never the raw fact rows: exactly
+    # one scan, and the partial/final aggregate pair sits under the
+    # window operators
+    p = tree(explain(spark, "weighted_median_price", sf_smoke))
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_moment_reductions_single_shuffle(spark, sf_smoke):
+    # the exact-integer-moment stats: one map-side-combined shuffle on
+    # event_type, no join (correlation) / only the 1-row pivot collapse
+    # (welch) — and all arithmetic JVM-side
+    p = tree(explain(spark, "value_hour_correlation", sf_smoke))
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p
+    assert p.count("Exchange") <= 2
+    p2 = explain(spark, "welch_ttest_values", sf_smoke)
+    assert "CartesianProduct" not in p2
+    assert "ArrowEvalPython" not in p2 and "BatchEvalPython" not in p2
+
+
+def test_ema_fold_is_jvm_aggregate(spark, sf_smoke):
+    # the EMA fold must be the higher-order aggregate() over the sorted
+    # per-user array: one shuffle to the user aggregation, no window, no
+    # join, no Python
+    p = explain(spark, "ema_user_value", sf_smoke)
+    assert "Join" not in tree(p)
+    assert "Window" not in tree(p)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert tree(p).count("Exchange") <= 2
+
+
+def test_vocab_growth_checkpoint_spine_broadcast(spark, sf_smoke):
+    # both curve joins must broadcast the <=40-row checkpoint spine; the
+    # token stream shuffles only for its keyed aggregations
+    p = tree(explain(spark, "vocab_growth_curve", sf_smoke))
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
