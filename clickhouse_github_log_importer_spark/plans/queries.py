@@ -4292,6 +4292,154 @@ def welch_ttest_values(spark, sf_dir):
     )
 
 
+_LTTB_OUT = 20
+_LTTB_B = _LTTB_OUT - 2
+
+
+@register(
+    "lttb_downsample_hourly",
+    f"""
+    WITH RECURSIVE
+    series AS (
+      SELECT epoch_us(ts) // 3600000000 AS x,
+             CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    pts AS (SELECT row_number() OVER (ORDER BY x) AS i, x, y FROM series),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+    bkt AS (SELECT CAST((i-2) * {_LTTB_B} // (n-2) AS BIGINT) AS k, x, y
+            FROM pts, nn WHERE i >= 2 AND i <= n - 1),
+    anch AS (
+      SELECT k - 1 AS k, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+      FROM bkt GROUP BY k HAVING k - 1 >= 0
+      UNION ALL
+      SELECT {_LTTB_B} - 1, 1, x, y FROM pts, nn WHERE i = n
+    ),
+    sel AS (
+      SELECT 0 AS step, x AS px, y AS py FROM pts WHERE i = 1
+      UNION ALL
+      SELECT s.step + 1, c.x, c.y
+      FROM sel s, LATERAL (
+        SELECT b.x, b.y
+        FROM bkt b JOIN anch a ON a.k = s.step
+        WHERE b.k = s.step
+        ORDER BY abs(CAST(s.px * a.c - a.sx AS DOUBLE)
+                       * CAST(b.y - s.py AS DOUBLE)
+                   - CAST(s.px - b.x AS DOUBLE)
+                       * CAST(a.sy - s.py * a.c AS DOUBLE)) DESC,
+                 b.x ASC
+        LIMIT 1) c
+      WHERE s.step < {_LTTB_B}
+    )
+    SELECT CAST(step AS BIGINT) AS rank, px AS hour_id, py AS cents
+    FROM sel
+    UNION ALL
+    SELECT {_LTTB_B} + 1, x, y FROM pts, nn WHERE i = n
+    ORDER BY rank
+    """,
+    tags=("timeseries", "downsample", "clickhouse-parity"),
+    doc="ClickHouse largestTriangleThreeBuckets analog: downsample the "
+    "hourly total-cents series to 20 visually-representative points — "
+    "first + last kept, 18 index-equal interior buckets, each "
+    "contributing the point that maximizes the triangle area with the "
+    "PREVIOUSLY SELECTED point and the NEXT bucket's average (the "
+    "Steinarsson 2013 algorithm, sequential by construction — "
+    "ClickHouse's own is a per-group ordered scan). Engine "
+    "portability: the bucket-average anchor is cleared of its "
+    "denominator (score cross-multiplied by the bucket count) so every "
+    "subexpression is exact int64; only the two outer products go "
+    "through IEEE double, identically in both engines, and ties pin "
+    "to the earliest x. Scale shape: the fact stream reduces map-side "
+    "to the TIME-BOUNDED hourly histogram; the sequential fold then "
+    "runs as ONE JVM higher-order aggregate() over a single bounded "
+    "nested array (B=18 buckets), no Python, no loop over collect(). "
+    "Contract: series longer than 20 points (shorter series need no "
+    "downsampling).",
+)
+def lttb_downsample_hourly(spark, sf_dir):
+    B = _LTTB_B
+    ev = t(spark, sf_dir, "events")
+    series = ev.groupBy(F.expr("ts_us div 3600000000").alias("x")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
+    )
+    w = Window.orderBy("x")
+    pts = series.select(F.row_number().over(w).alias("i"), "x", "y")
+    nn = pts.agg(F.count("*").cast("long").alias("n"))
+    ptsn = pts.crossJoin(F.broadcast(nn))
+    bkt = ptsn.filter(
+        (F.col("i") >= 2) & (F.col("i") <= F.col("n") - 1)
+    ).select(F.expr(f"(i-2) * {B} div (n-2)").alias("k"), "x", "y")
+    anch = (
+        bkt.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("c"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+        )
+        .select((F.col("k") - 1).alias("k"), "c", "sx", "sy")
+        .filter(F.col("k") >= 0)
+        .unionByName(
+            ptsn.filter(F.col("i") == F.col("n")).select(
+                F.lit(B - 1).cast("long").alias("k"),
+                F.lit(1).cast("long").alias("c"),
+                F.col("x").alias("sx"),
+                F.col("y").alias("sy"),
+            )
+        )
+    )
+    bgrp = bkt.groupBy("k").agg(
+        F.sort_array(F.collect_list(F.struct("x", "y"))).alias("pts")
+    )
+    one = (
+        bgrp.join(F.broadcast(anch), "k")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("k", "pts", "c", "sx", "sy"))
+            ).alias("bks")
+        )
+        .crossJoin(
+            F.broadcast(
+                ptsn.agg(
+                    F.min_by(F.struct("x", "y"), "i").alias("p0"),
+                    F.max_by(F.struct("x", "y"), "i").alias("pn"),
+                )
+            )
+        )
+    )
+    score = (
+        "abs(cast(acc.px * b.c - b.sx as double)"
+        "      * cast(p.y - acc.py as double)"
+        "   - cast(acc.px - p.x as double)"
+        "      * cast(b.sy - acc.py * b.c as double))"
+    )
+    fold = (
+        "aggregate(bks,"
+        "  named_struct('px', p0.x, 'py', p0.y,"
+        "    'sel', array(named_struct('x', p0.x, 'y', p0.y))),"
+        "  (acc, b) -> aggregate(b.pts,"
+        "    named_struct('s', cast(-1.0 as double),"
+        "      'x', cast(0 as bigint), 'y', cast(0 as bigint)),"
+        f"    (a2, p) -> if({score} > a2.s,"
+        f"      named_struct('s', {score}, 'x', p.x, 'y', p.y), a2),"
+        "    bst -> named_struct('px', bst.x, 'py', bst.y,"
+        "      'sel', concat(acc.sel,"
+        "        array(named_struct('x', bst.x, 'y', bst.y))))))"
+    )
+    sel = one.select(
+        F.expr(
+            f"concat(({fold}).sel, array(named_struct('x', pn.x, 'y', pn.y)))"
+        ).alias("sel")
+    )
+    return sel.select(
+        F.posexplode("sel").alias("rank", "p")
+    ).select(
+        F.col("rank").cast("long").alias("rank"),
+        F.col("p.x").alias("hour_id"),
+        F.col("p.y").alias("cents"),
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401

@@ -604,3 +604,13 @@ def test_vocab_growth_checkpoint_spine_broadcast(spark, sf_smoke):
     p = tree(explain(spark, "vocab_growth_curve", sf_smoke))
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_lttb_fold_jvm_bounded(spark, sf_smoke):
+    # the LTTB bucket walk must be the single-row JVM aggregate() fold
+    # over the bounded nested array: no Python eval, and the only
+    # nested-loop joins are the 1-row n / first-last broadcasts
+    p = explain(spark, "lttb_downsample_hourly", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p

@@ -149,3 +149,55 @@ def test_wav_roundtrip_fuzz(samples, rate, junk):
     wav2 = MM.decode_wav(patched)
     assert wav2["sample_rate"] == rate
     assert np.array_equal(wav2["samples"], arr)
+
+
+def test_lttb_matches_pure_python(spark):
+    # independent reimplementation of the Steinarsson LTTB spec: build
+    # the hourly series from the raw parquet via pandas (not the Spark
+    # plan), run the greedy bucket walk with the same cross-multiplied
+    # integer-anchor scoring, compare the selected points exactly
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _LTTB_B as B,
+    )
+
+    ev = t(spark, SF, "events").select("ts_us", "value").toPandas()
+    ev["x"] = ev["ts_us"] // 3600000000
+    ev["y"] = (ev["value"] * 100).round().astype("int64")
+    series = sorted(
+        (int(x), int(y))
+        for x, y in ev.groupby("x")["y"].sum().items()
+    )
+    n = len(series)
+    assert n > B + 2
+    buckets = [[] for _ in range(B)]
+    for j, p in enumerate(series[1:-1]):
+        buckets[(j * B) // (n - 2)].append(p)
+    sel = [series[0]]
+    for k in range(B):
+        if k < B - 1:
+            nxt = buckets[k + 1]
+            c = len(nxt)
+            sx = sum(p[0] for p in nxt)
+            sy = sum(p[1] for p in nxt)
+        else:
+            c, sx, sy = 1, series[-1][0], series[-1][1]
+        px, py = sel[-1]
+        best = None
+        for x, y in buckets[k]:
+            s = abs(
+                float(px * c - sx) * float(y - py)
+                - float(px - x) * float(sy - py * c)
+            )
+            if best is None or s > best[0]:
+                best = (s, (x, y))
+        sel.append(best[1])
+    sel.append(series[-1])
+    expect = [(i, p[0], p[1]) for i, p in enumerate(sel)]
+    got = [
+        (r["rank"], r["hour_id"], r["cents"])
+        for r in REGISTRY["lttb_downsample_hourly"]
+        .spark(spark, SF)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
