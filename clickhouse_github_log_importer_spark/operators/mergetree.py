@@ -147,3 +147,51 @@ def versioned_collapsing_merge(
         F.explode(F.expr("array_repeat(_r, _m)")).alias("_r")
     )
     return exploded.select(*[F.col(f"_r.{c}").alias(c) for c in df.columns])
+
+
+def ttl_sweep(
+    spark,
+    table_path: str,
+    ts_col: str,
+    cutoff,
+    partition_col: str = "created_month",
+) -> dict:
+    """``TTL <ts> + INTERVAL ... DELETE`` analog: partition-pruned expiry.
+
+    ClickHouse applies TTL deletes at merge time, part by part. The
+    Spark analog: read the month-partition listing, fully DROP the
+    partitions whose upper bound is older than ``cutoff`` (a directory
+    delete — no data read at all), rewrite ONLY the single boundary
+    partition that straddles the cutoff, and never touch live
+    partitions. Cost tracks the boundary partition size, not the table.
+    Returns {"dropped": [...], "rewritten": [...], "kept": n}.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    cutoff_lit = F.lit(cutoff).cast("timestamp")
+    parts = [
+        r[partition_col]
+        for r in spark.read.parquet(table_path)
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    cutoff_month = int(
+        spark.range(1)
+        .select(F.date_format(cutoff_lit, "yyyyMM").cast("int"))
+        .first()[0]
+    )
+    dropped = sorted(p for p in parts if p < cutoff_month)
+    boundary = [p for p in parts if p == cutoff_month]
+    kept = len([p for p in parts if p > cutoff_month])
+    for p in dropped:
+        shutil.rmtree(f"{table_path}/{partition_col}={p}", ignore_errors=True)
+    for p in boundary:
+        sub = f"{table_path}/{partition_col}={p}"
+        df = spark.read.parquet(sub).filter(F.col(ts_col) >= cutoff_lit)
+        df.write.mode("overwrite").parquet(sub + ".ttl_tmp")
+        shutil.rmtree(sub)
+        shutil.move(sub + ".ttl_tmp", sub)
+    return {"dropped": dropped, "rewritten": boundary, "kept": kept}

@@ -4440,6 +4440,132 @@ def lttb_downsample_hourly(spark, sf_dir):
     )
 
 
+def _uniq_state_rollup_oracle() -> str:
+    from ..functions.hashing import md5_hash64_sql
+
+    K = _KMV_K
+    bound = 4.0 / (K - 2) ** 0.5
+    h = md5_hash64_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH h AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_id,
+                      epoch_us(ts) // 3600000000 AS hour_id, {h} AS h
+               FROM events),
+    hr AS (SELECT day_id, hour_id, h,
+                  row_number() OVER (PARTITION BY day_id, hour_id
+                                     ORDER BY h) AS rn
+           FROM h),
+    st AS (SELECT day_id, hour_id, h FROM hr WHERE rn <= {K}),
+    dm AS (SELECT day_id, h,
+                  row_number() OVER (PARTITION BY day_id ORDER BY h) AS rn
+           FROM (SELECT DISTINCT day_id, h FROM st)),
+    dk AS (SELECT day_id, CAST(count(*) AS BIGINT) AS nk,
+                  max(CASE WHEN rn = {K} THEN h END) AS hk
+           FROM dm WHERE rn <= {K} GROUP BY day_id),
+    ex AS (SELECT epoch_us(ts) // 86400000000 AS day_id,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+                  CAST(count(DISTINCT epoch_us(ts) // 3600000000)
+                       AS BIGINT) AS n_hours
+           FROM events GROUP BY 1),
+    est AS (
+      SELECT ex.day_id, ex.n_hours, ex.exact_users,
+             CASE WHEN dk.nk < {K} THEN CAST(dk.nk AS DOUBLE)
+                  ELSE round({K - 1} * {_TWO60} / dk.hk) END AS est
+      FROM ex JOIN dk USING (day_id)
+    )
+    SELECT day_id, n_hours, exact_users,
+           CAST(est AS BIGINT) AS kmv_estimate,
+           abs(est - exact_users) <= {bound} * exact_users
+             AS within_bound
+    FROM est
+    """
+
+
+@register(
+    "uniq_state_rollup",
+    _uniq_state_rollup_oracle(),
+    tags=("A-approx", "sketch", "rollup", "clickhouse-parity"),
+    doc="AggregatingMergeTree uniqState/uniqMerge analog: an hourly "
+    "materialized view stores the KMV distinct-user sketch STATE "
+    "(k=64 smallest distinct md5 hashes) per hour, and day-level "
+    "distinct estimates come from MERGING that day's hour states — "
+    "the raw event stream is never re-read at the coarser grain, "
+    "which is the whole economics of the ClickHouse -State/-Merge "
+    "materialized-view pattern. Merge is exact by construction (the "
+    "k smallest of a day are each among their hour's k smallest), so "
+    "the day estimate equals a direct day sketch bit-for-bit, and "
+    "the portable md5 family makes the oracle match the estimate "
+    "itself. exact_users/within_bound keep the 4/sqrt(k-2) error "
+    "audit beside it. Scale shape: one distinct shuffle on (hour, "
+    "hash), bounded per-(hour, bucket) streaming row_number for the "
+    "states (never a collected set), then the merge pass runs over "
+    "<= 24*k rows per day.",
+)
+def uniq_state_rollup(spark, sf_dir):
+    from ..functions.hashing import md5_hash64
+
+    K = _KMV_K
+    bound = 4.0 / (K - 2) ** 0.5
+    ev = t(spark, sf_dir, "events")
+    hashed = (
+        ev.select(
+            F.expr("ts_us div 86400000000").alias("day_id"),
+            F.expr("ts_us div 3600000000").alias("hour_id"),
+            md5_hash64(F.col("user_id").cast("string")).alias("h"),
+        )
+        .groupBy("day_id", "hour_id", "h")
+        .agg(F.lit(1).alias("_one"))
+    )
+    # hour-level -State: k smallest per (hour, hash-bucket) then per hour
+    w_b = Window.partitionBy(
+        "day_id", "hour_id", F.pmod("h", F.lit(_KMV_BUCKETS))
+    ).orderBy("h")
+    pre = hashed.withColumn("_rn", F.row_number().over(w_b)).filter(
+        F.col("_rn") <= K
+    )
+    w_h = Window.partitionBy("day_id", "hour_id").orderBy("h")
+    states = pre.withColumn("_rnh", F.row_number().over(w_h)).filter(
+        F.col("_rnh") <= K
+    )
+    # -Merge: day sketch from the union of its hour states only
+    w_d = Window.partitionBy("day_id").orderBy("h")
+    merged = (
+        states.select("day_id", "h")
+        .distinct()
+        .withColumn("_rnd", F.row_number().over(w_d))
+        .filter(F.col("_rnd") <= K)
+        .groupBy("day_id")
+        .agg(
+            F.max(F.when(F.col("_rnd") == K, F.col("h"))).alias("_hk"),
+            F.count("*").alias("_nk"),
+        )
+    )
+    exact = ev.groupBy(
+        F.expr("ts_us div 86400000000").alias("day_id")
+    ).agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+        F.count_distinct(F.expr("ts_us div 3600000000"))
+        .cast("long")
+        .alias("n_hours"),
+    )
+    est = F.when(
+        F.col("_nk") < K, F.col("_nk").cast("double")
+    ).otherwise(F.round(F.lit((K - 1) * _TWO60) / F.col("_hk")))
+    return (
+        exact.join(F.broadcast(merged), "day_id")
+        .withColumn("_est", est)
+        .select(
+            "day_id",
+            "n_hours",
+            "exact_users",
+            F.col("_est").cast("long").alias("kmv_estimate"),
+            (
+                F.abs(F.col("_est") - F.col("exact_users"))
+                <= F.lit(bound) * F.col("exact_users")
+            ).alias("within_bound"),
+        )
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401

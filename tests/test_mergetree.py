@@ -155,3 +155,41 @@ def test_folds_are_idempotent(spark):
     f = lambda d: versioned_collapsing_merge(d, ["k"], "sign", "ver", "seq")
     once = f(df)
     assert rows_set(f(once)) == rows_set(once)
+
+
+def test_ttl_sweep_partition_pruned(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [
+            (1, "2015-01-10 00:00:00"),
+            (2, "2015-02-10 00:00:00"),
+            (3, "2015-03-05 00:00:00"),
+            (4, "2015-03-20 00:00:00"),
+            (5, "2015-04-01 00:00:00"),
+        ],
+        "id long, ts string",
+    ).select(
+        "id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.date_format(F.col("ts").cast("timestamp"), "yyyyMM")
+        .cast("int")
+        .alias("created_month"),
+    )
+    df.write.partitionBy("created_month").parquet(path)
+    from clickhouse_github_log_importer_spark.operators.mergetree import (
+        ttl_sweep,
+    )
+
+    res = ttl_sweep(spark, path, "ts", "2015-03-10 00:00:00")
+    assert res["dropped"] == [201501, 201502]
+    assert res["rewritten"] == [201503]
+    assert res["kept"] == 1
+    left = sorted(
+        r["id"] for r in spark.read.parquet(path).select("id").collect()
+    )
+    assert left == [4, 5]  # boundary row 3 expired, live partitions intact
+    assert not os.path.exists(f"{path}/created_month=201501")

@@ -94,3 +94,56 @@ def test_rollup_reads_prune_on_hour_key(spark, tmp_path):
     # partition filter must prune at the source, not post-scan
     assert "PartitionFilters: [isnotnull(hour_key" in plan
     assert df.count() == 1
+
+
+def test_uniq_state_merge_equals_direct_day_sketch(spark):
+    # the -State/-Merge soundness property: the day estimate computed by
+    # merging hour states must equal a direct KMV sketch over the day's
+    # raw hashes — k smallest of a union of per-hour k-smallest IS the
+    # day's k smallest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from clickhouse_github_log_importer_spark.functions.hashing import (
+        md5_hash64,
+    )
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _KMV_K as K,
+        _TWO60,
+        REGISTRY,
+        t,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rolled = {
+        r["day_id"]: r["kmv_estimate"]
+        for r in REGISTRY["uniq_state_rollup"].spark(spark, sf).collect()
+    }
+    ev = t(spark, sf, "events")
+    direct_rows = (
+        ev.select(
+            F.expr("ts_us div 86400000000").alias("day_id"),
+            md5_hash64(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("day_id").orderBy("h")),
+        )
+        .filter(F.col("_rn") <= K)
+        .groupBy("day_id")
+        .agg(
+            F.max(F.when(F.col("_rn") == K, F.col("h"))).alias("hk"),
+            F.count("*").alias("nk"),
+        )
+        .collect()
+    )
+    direct = {
+        r["day_id"]: (
+            int(r["nk"])
+            if r["nk"] < K
+            else int(round((K - 1) * _TWO60 / r["hk"]))
+        )
+        for r in direct_rows
+    }
+    assert rolled == direct
