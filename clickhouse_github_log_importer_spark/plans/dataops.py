@@ -2565,12 +2565,27 @@ def vocab_growth_curve(spark, sf_dir):
         ).filter(F.col("w") != "")
     )
     firsts = tok.groupBy("w").agg(F.min("doc_id").alias("fd"))
-    nd = docs.count()
-    cps = spark.createDataFrame(
-        [(1 << k,) for k in range(4, 41) if (1 << k) <= nd],
-        "checkpoint_docs long",
+    # lazy checkpoint spine: no driver-side count action; 2^k exact in
+    # double through 2^40
+    nd = docs.agg(F.count("*").alias("nd"))
+    cps = (
+        spark.range(4, 41)
+        .select(
+            F.pow(F.lit(2.0), F.col("id").cast("double"))
+            .cast("long")
+            .alias("checkpoint_docs")
+        )
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("checkpoint_docs") <= F.col("nd"))
+        .select("checkpoint_docs")
     )
-    per_doc = tok.groupBy("doc_id").agg(F.count("*").alias("ntok"))
+    # token counts per doc need no explode at all: count the split array
+    per_doc = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).cast("long").alias("ntok"),
+    )
     vocab = (
         firsts.join(
             F.broadcast(cps), F.col("fd") < F.col("checkpoint_docs")

@@ -3859,30 +3859,26 @@ def user_delta_sum(spark, sf_dir):
     "row per (flag, distinct price) with map-side-combined weights, so "
     "the cumulative-weight window that picks the median runs over the "
     "histogram (bounded by the price DOMAIN, data-independent), never "
-    "over the raw rows. 100 TB of lineitem and 1 GB produce the same "
-    "window input size.",
+    "over the raw rows — and the cumulative weight itself rides "
+    "ranking.prefix_sum's range-sliced two-pass scan, so even a huge "
+    "value domain splits across tasks instead of serializing one "
+    "window partition per flag. Totals come back as a broadcast "
+    "3-row aggregate, not a second window.",
 )
 def weighted_median_price(spark, sf_dir):
+    from ..operators.ranking import prefix_sum
+
     li = t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
         F.round(F.col("l_quantity")).cast("long").alias("qty"),
     )
     h = li.groupBy("l_returnflag", "price_c").agg(F.sum("qty").alias("w"))
-    wc = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("price_c")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wt = Window.partitionBy("l_returnflag")
-    c = h.select(
-        "l_returnflag",
-        "price_c",
-        F.sum("w").over(wc).alias("cw"),
-        F.sum("w").over(wt).alias("tw"),
-    )
+    pre = prefix_sum(h, ["l_returnflag"], ["price_c"], "w")
+    tot = h.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
+    c = pre.join(F.broadcast(tot), "l_returnflag")
     return (
-        c.filter(2 * F.col("cw") >= F.col("tw"))
+        c.filter(2 * F.col("_prefix") >= F.col("tw"))
         .groupBy("l_returnflag")
         .agg(
             F.min("price_c").cast("long").alias("weighted_median_cents"),

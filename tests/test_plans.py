@@ -563,15 +563,16 @@ def test_edit_distance_blocked_equi_join(spark, sf_smoke):
     assert "TakeOrderedAndProject" in p  # top-20, never a global sort
 
 
-def test_weighted_median_windows_over_histogram(spark, sf_smoke):
-    # both windows must run over the post-aggregation value histogram
-    # (bounded by the price domain), never the raw fact rows: exactly
-    # one scan, and the partial/final aggregate pair sits under the
-    # window operators
+def test_weighted_median_sliced_prefix_over_histogram(spark, sf_smoke):
+    # the cumulative weight must ride the range-sliced prefix scan OVER
+    # THE POST-AGGREGATION HISTOGRAM (slice-local windows + broadcast
+    # offsets), never one serial window partition per flag over raw
+    # rows, and the 3-row totals must come back as a broadcast
     p = tree(explain(spark, "weighted_median_price", sf_smoke))
-    assert p.count("Scan parquet") == 1
-    assert "Join" not in p
-    assert "Window" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2  # offsets + totals
+    assert "_slice" in p or "Window" in p
 
 
 def test_moment_reductions_single_shuffle(spark, sf_smoke):
