@@ -2613,3 +2613,40 @@ def vocab_growth_curve(spark, sf_dir):
             ),
         )
     )
+
+
+def _epoch_shuffle_oracle(epoch: int = 1, top: int = 20) -> str:
+    h = md5_hash64_sql(f"concat('epoch{epoch}:', CAST(doc_id AS VARCHAR))")
+    return f"""
+    SELECT doc_id, {h} AS shuffle_rank
+    FROM documents
+    ORDER BY shuffle_rank, doc_id LIMIT {top}
+    """
+
+
+@register(
+    "epoch_shuffle_sample",
+    _epoch_shuffle_oracle(),
+    tags=("llm-pipeline", "shuffle", "sampling"),
+    doc="Deterministic training-epoch shuffle: every doc gets the "
+    "pseudorandom rank md5('epoch1:' || doc_id) — reshuffling between "
+    "epochs is just a new seed prefix, and the order is reproducible "
+    "across runs, engines, and cluster sizes (no RNG state, no "
+    "partition-order dependence — the properties a resumable data "
+    "loader needs). The full-epoch materialization at 100 TB is "
+    "repartitionByRange(shuffle_rank) + sortWithinPartitions (one "
+    "range shuffle, globally ordered shards, no global sort); this "
+    "query surfaces the head of the epoch order as the driver-"
+    "checkable sample via TakeOrdered, never a full sort.",
+)
+def epoch_shuffle_sample(spark, sf_dir):
+    from ..functions.hashing import md5_hash64
+
+    docs = t(spark, sf_dir, "documents")
+    ranked = docs.select(
+        "doc_id",
+        md5_hash64(
+            F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_rank"),
+    )
+    return ranked.orderBy("shuffle_rank", "doc_id").limit(20)

@@ -85,3 +85,26 @@ def test_containers_are_mergeable_state(spark):
     merged = bmap(h1) | bmap(h2)
     assert np.array_equal(merged, bmap(both))
     assert int(np.unpackbits(merged).sum()) == 80
+
+
+def test_bitmap_algebra_fuzz(spark):
+    # randomized id sets across bucket boundaries: container popcounts
+    # and pair AND/OR must equal python set algebra exactly
+    import random
+
+    rng = random.Random(20260814)
+    domain = (1 << BUCKET_BITS) * 3  # spans 3 containers
+    sets = {
+        k: {rng.randrange(domain) for _ in range(rng.randrange(1, 400))}
+        for k in ("a", "b", "c")
+    }
+    rows = [(k, i) for k, ids in sets.items() for i in ids]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k string, id long")
+    out = bitmap_pair_overlap(audience_bitmaps(df, "k", "id")).collect()
+    assert len(out) == 3
+    for r in out:
+        a, b = sets[r["type_a"]], sets[r["type_b"]]
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert r["n_and"] == len(a & b), (r["type_a"], r["type_b"])
+        assert r["n_or"] == len(a | b)
