@@ -3874,7 +3874,18 @@ def weighted_median_price(spark, sf_dir):
         F.round(F.col("l_quantity")).cast("long").alias("qty"),
     )
     h = li.groupBy("l_returnflag", "price_c").agg(F.sum("qty").alias("w"))
-    pre = prefix_sum(h, ["l_returnflag"], ["price_c"], "w")
+    # slice boundaries priced on the NARROW raw scan: quantiling h would
+    # execute the histogram shuffle once for the bounds job and again
+    # for the real pass (the bounds only need the order column's
+    # distribution, and row-weighted quantiles balance slices at least
+    # as well as distinct-value quantiles)
+    pre = prefix_sum(
+        h,
+        ["l_returnflag"],
+        ["price_c"],
+        "w",
+        bounds_df=li.select("price_c"),
+    )
     tot = h.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
     c = pre.join(F.broadcast(tot), "l_returnflag")
     return (

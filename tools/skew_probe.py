@@ -49,6 +49,9 @@ EVENT_QUERIES = [
     "sequence_pair_count",
     "user_delta_sum",
     "inter_event_gap_profile",
+    # r5: per-user sequential folds (EMA is serial per key by
+    # definition; the probe measures what the mega-user straggler costs)
+    "ema_user_value",
 ]
 DOC_QUERIES = ["source_capped_sample", "sequence_packing_plan"]
 
