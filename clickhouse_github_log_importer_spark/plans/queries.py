@@ -3846,14 +3846,20 @@ def user_delta_sum(spark, sf_dir):
       FROM h
     )
     SELECT l_returnflag,
-           CAST(min(price_c) AS BIGINT) AS weighted_median_cents,
+           CAST(min(CASE WHEN 4 * cw >= tw THEN price_c END) AS BIGINT)
+             AS p25_cents,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN price_c END) AS BIGINT)
+             AS weighted_median_cents,
+           CAST(min(CASE WHEN 4 * cw >= 3 * tw THEN price_c END)
+                AS BIGINT) AS p75_cents,
            CAST(min(tw) AS BIGINT) AS total_weight
-    FROM c WHERE 2 * cw >= tw GROUP BY 1
+    FROM c GROUP BY 1
     """,
     tags=("agg", "quantile", "clickhouse-parity"),
-    doc="ClickHouse quantilesExactWeighted(0.5) analog: per return flag, "
-    "the exact lower weighted median of extended price (integer cents) "
-    "with quantity as the weight. Scale shape is the VALUE-HISTOGRAM "
+    doc="ClickHouse quantilesExactWeighted(0.25, 0.5, 0.75) analog: per "
+    "return flag, the exact lower weighted quartiles of extended price "
+    "(integer cents) with quantity as the weight, all three crossings "
+    "read from ONE cumulative pass. Scale shape is the VALUE-HISTOGRAM "
     "trick, the same reason quantilesExactWeighted scales in "
     "ClickHouse: the first shuffle collapses the fact stream to one "
     "row per (flag, distinct price) with map-side-combined weights, so "
@@ -3888,13 +3894,16 @@ def weighted_median_price(spark, sf_dir):
     )
     tot = h.groupBy("l_returnflag").agg(F.sum("w").alias("tw"))
     c = pre.join(F.broadcast(tot), "l_returnflag")
-    return (
-        c.filter(2 * F.col("_prefix") >= F.col("tw"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.min("price_c").cast("long").alias("weighted_median_cents"),
-            F.min("tw").cast("long").alias("total_weight"),
-        )
+    cw, tw, price = F.col("_prefix"), F.col("tw"), F.col("price_c")
+    return c.groupBy("l_returnflag").agg(
+        F.min(F.when(4 * cw >= tw, price)).cast("long").alias("p25_cents"),
+        F.min(F.when(2 * cw >= tw, price))
+        .cast("long")
+        .alias("weighted_median_cents"),
+        F.min(F.when(4 * cw >= 3 * tw, price))
+        .cast("long")
+        .alias("p75_cents"),
+        F.min("tw").cast("long").alias("total_weight"),
     )
 
 
@@ -4569,6 +4578,45 @@ def uniq_state_rollup(spark, sf_dir):
                 F.abs(F.col("_est") - F.col("exact_users"))
                 <= F.lit(bound) * F.col("exact_users")
             ).alias("within_bound"),
+        )
+    )
+
+
+@register(
+    "events_limit_by",
+    """
+    SELECT event_type, rank, event_id
+    FROM (
+      SELECT event_type, event_id,
+             CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rank
+      FROM events
+    )
+    WHERE rank <= 3
+    """,
+    tags=("limit", "clickhouse-parity"),
+    doc="ClickHouse `LIMIT 3 BY event_type` analog: the first three "
+    "events of every type in (ts, event_id) order. The per-group "
+    "limit rides ranking.ranked's range-sliced two-pass machinery "
+    "(slice-local row_number + broadcast prefix offsets), so a "
+    "low-cardinality group column never serializes one window "
+    "partition per type onto a task — the same reason ClickHouse "
+    "evaluates LIMIT BY streaming per block rather than sorting whole "
+    "groups.",
+)
+def events_limit_by(spark, sf_dir):
+    from ..operators.ranking import ranked
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "ts_us", "event_id"
+    )
+    r = ranked(ev, ["event_type"], ["ts_us", "event_id"])
+    return (
+        r.filter(F.col("_rank") <= 3)
+        .select(
+            "event_type",
+            F.col("_rank").cast("long").alias("rank"),
+            "event_id",
         )
     )
 
