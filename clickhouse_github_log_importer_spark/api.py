@@ -99,6 +99,26 @@ def query(
     }
 
 
+def envelope(df) -> dict[str, Any]:
+    """ClickhouseSelectResponse envelope for an already-built DataFrame
+    plan (the GET /op/<name> registry surface — same shape as
+    :func:`query`, without the SQL round-trip)."""
+    t0 = time.monotonic()
+    data = [list(r) for r in df.collect()]
+    elapsed = time.monotonic() - t0
+    meta = [
+        {"name": f.name, "type": f.dataType.simpleString()}
+        for f in df.schema.fields
+    ]
+    return {
+        "meta": meta,
+        "data": data,
+        "rows": len(data),
+        "rows_before_limit_at_least": len(data),
+        "statistics": {"elapsed": elapsed, **_plan_metrics(df)},
+    }
+
+
 def register_views(spark: SparkSession, table_paths: dict[str, str]) -> None:
     """Register parquet tables as SQL views for the passthrough surface."""
     for name, path in table_paths.items():

@@ -89,6 +89,36 @@ def make_handler(spark: SparkSession, status_path: str | None):
                     self._json({**api.query(spark, sql), "query": sql})
                 except Exception as e:  # noqa: BLE001
                     self._json({"error": str(e)}, 400)
+            elif u.path == "/ops":
+                from .plans.queries import REGISTRY
+
+                self._json(
+                    {
+                        "ops": [
+                            {"name": n, "tags": list(s.tags)}
+                            for n, s in sorted(REGISTRY.items())
+                        ]
+                    }
+                )
+            elif u.path.startswith("/op/"):
+                # the whole registered operator surface over HTTP: every
+                # query a reference user runs today, by name, with the
+                # same envelope the POST /query facade returns
+                from .plans.queries import REGISTRY
+
+                name = u.path[len("/op/"):]
+                if name not in REGISTRY:
+                    self._json({"error": f"unknown op {name}"}, 404)
+                    return
+                sf_dir = q.get("sf_dir", ["/root/testdata/sf0.001"])[0]
+                limit = int(q.get("limit", ["100"])[0])
+                try:
+                    df = REGISTRY[name].spark(spark, sf_dir).limit(limit)
+                    self._json(
+                        {**api.envelope(df), "op": name, "sf_dir": sf_dir}
+                    )
+                except Exception as e:  # noqa: BLE001
+                    self._json({"error": str(e)}, 400)
             else:
                 self._json({"error": "not found"}, 404)
 

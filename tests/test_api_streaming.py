@@ -74,3 +74,47 @@ def test_query_named_params(spark, sf_smoke):
         spark, "SELECT COUNT(*) AS c FROM events_np WHERE event_type = 'click'"
     )
     assert resp["data"] == plain["data"] and resp["data"][0][0] > 0
+
+
+def test_op_endpoint_serves_whole_registry(spark, sf_smoke):
+    # the GET /op/<name> surface: any registered operator by name, with
+    # the ClickhouseSelectResponse envelope — a reference user's whole
+    # query surface over HTTP
+    import json as _json
+    import urllib.request
+
+    from clickhouse_github_log_importer_spark.api_server import serve
+
+    server = serve(spark)
+    try:
+        host, port = server.server_address
+        base = f"http://{host}:{port}"
+        ops = _json.load(urllib.request.urlopen(f"{base}/ops"))["ops"]
+        assert len(ops) >= 138
+        names = {o["name"] for o in ops}
+        assert {"record_count", "lttb_downsample_hourly"} <= names
+
+        resp = _json.load(
+            urllib.request.urlopen(
+                f"{base}/op/events_per_type?sf_dir={sf_smoke}"
+            )
+        )
+        assert resp["op"] == "events_per_type"
+        assert resp["rows"] == 5
+        assert "event_type" in {m["name"] for m in resp["meta"]}
+
+        limited = _json.load(
+            urllib.request.urlopen(
+                f"{base}/op/events_per_type?sf_dir={sf_smoke}&limit=2"
+            )
+        )
+        assert limited["rows"] == 2
+
+        try:
+            urllib.request.urlopen(f"{base}/op/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+            assert _json.load(e)["error"].startswith("unknown op")
+    finally:
+        server.shutdown()
