@@ -251,10 +251,17 @@ def asof_join(
     tiebreak: str | None = None,
     allow_exact_matches: bool = True,
     how: str = "left",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """As-of join: attach to each probe row the payload of the latest
     reference row sharing ``on`` with ``ref_time <= probe_time`` (strict
     ``<`` when ``allow_exact_matches=False``).
+
+    ``tolerance`` (same units as the time columns, e.g. epoch micros)
+    bounds the lookback like pandas ``merge_asof(tolerance=...)``: a
+    match older than ``probe_time - tolerance`` is treated as no match
+    (payload nulled on left joins, row dropped on inner). Purely a
+    post-predicate on the matched pair — the plan shape is unchanged.
 
     Both time columns must be integer-comparable (use epoch micros, the
     repo's portable exact timestamp). ``tiebreak`` orders reference rows
@@ -298,14 +305,26 @@ def asof_join(
     filled = u.select(
         "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}") for c in carried]
     )
+    keep = None
+    if tolerance is not None:
+        keep = (
+            F.col("_at") - F.col(f"_f_{ASOF_TIME}")
+        ) <= F.lit(int(tolerance))
     out = (
         filled.filter(F.col("_side") == probe_side)
-        .drop(*carried, "_side", "_at")
+        .drop(*carried, "_side")
         .select(
             "*",
-            *[F.col(f"_f_{c}").alias(c) for c in carried],
+            *[
+                (
+                    F.when(keep, F.col(f"_f_{c}"))
+                    if keep is not None
+                    else F.col(f"_f_{c}")
+                ).alias(c)
+                for c in carried
+            ],
         )
-        .drop(*[f"_f_{c}" for c in carried])
+        .drop(*[f"_f_{c}" for c in carried], "_at")
     )
     if how == "inner":
         out = out.filter(F.col(ASOF_TIME).isNotNull())

@@ -4621,6 +4621,133 @@ def events_limit_by(spark, sf_dir):
     )
 
 
+@register(
+    "purchase_attribution_windowed",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    j AS (
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+             c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC NULLS LAST,
+                                         c.event_id DESC) AS rn
+      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+    )
+    SELECT event_id, user_id,
+           CASE WHEN ts_us - click_ts_us <= 7200000000
+                THEN click_id END AS attributed_click_id,
+           CASE WHEN ts_us - click_ts_us <= 7200000000
+                THEN (ts_us - click_ts_us) // 1000000
+           END AS lag_seconds
+    FROM j WHERE rn = 1
+    """,
+    tags=("temporal", "asof", "clickhouse-parity"),
+    doc="Tolerance-bounded as-of attribution (pandas merge_asof "
+    "tolerance semantics): each purchase matched to the same user's "
+    "latest click at or before it ONLY if that click is within the 2 h "
+    "attribution window — older matches null out, exactly how "
+    "marketing attribution windows work. Same single-shuffle "
+    "union+window asof_join plan as purchase_attribution (the "
+    "tolerance is a post-predicate on the matched pair, no extra "
+    "shuffle); the oracle cross-checks with the expand+rank "
+    "formulation.",
+)
+def purchase_attribution_windowed(spark, sf_dir):
+    from ..operators import temporal as TMP
+
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.col("event_id").alias("attributed_click_id")
+    )
+    j = TMP.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        probe_time="ts_us",
+        ref_time="ts_us",
+        payload=["attributed_click_id"],
+        tiebreak="attributed_click_id",
+        tolerance=7_200_000_000,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "attributed_click_id",
+        F.expr(f"(ts_us - {TMP.ASOF_TIME}) div 1000000").alias(
+            "lag_seconds"
+        ),
+    )
+
+
+@register(
+    "user_bounding_ratio",
+    """
+    WITH v AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             event_id
+      FROM events
+    ),
+    g AS (
+      SELECT user_id,
+             (max(struct_pack(t := t, e := event_id, v := cents))).v
+               AS v_last,
+             (min(struct_pack(t := t, e := event_id, v := cents))).v
+               AS v_first,
+             max(t) AS t_max, min(t) AS t_min,
+             CAST(count(*) AS BIGINT) AS n
+      FROM v GROUP BY 1
+    )
+    SELECT user_id, n,
+           CASE WHEN t_max > t_min
+                THEN round((v_last - v_first)
+                           / (CAST(t_max - t_min AS DOUBLE) / 1e6), 6)
+           END AS cents_per_second
+    FROM g
+    """,
+    tags=("agg", "clickhouse-parity"),
+    doc="ClickHouse boundingRatio analog: per user, the slope "
+    "(last value - first value) / (last ts - first ts) in cents per "
+    "second, with first/last picked deterministically by the "
+    "(ts, event_id) struct extremes (ClickHouse's pick at equal "
+    "timestamps is arbitrary; we pin it) and single-event users "
+    "yielding NULL. One map-side-combined shuffle; the struct min/max "
+    "IS the single-pass fold — no window, no sort.",
+)
+def user_bounding_ratio(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    s = F.struct(
+        F.col("ts_us").alias("t"),
+        F.col("event_id").alias("e"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    g = ev.groupBy("user_id").agg(
+        F.max(s).alias("_mx"),
+        F.min(s).alias("_mn"),
+        F.max("ts_us").alias("_tmax"),
+        F.min("ts_us").alias("_tmin"),
+        F.count("*").cast("long").alias("n"),
+    )
+    slope = F.round(
+        (F.col("_mx.v") - F.col("_mn.v"))
+        / ((F.col("_tmax") - F.col("_tmin")).cast("double") / F.lit(1e6)),
+        6,
+    )
+    return g.select(
+        "user_id",
+        "n",
+        F.when(F.col("_tmax") > F.col("_tmin"), slope).alias(
+            "cents_per_second"
+        ),
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401

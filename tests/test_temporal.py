@@ -226,3 +226,36 @@ def test_band_count_keyless_exact_and_matches_pair_form(spark):
     }
     for i, n in out.items():
         assert via_pairs.get(i, 0) == n
+
+
+def test_asof_tolerance_bounds_lookback(trades, quotes):
+    # tolerance=5: only matches with tt - qt <= 5 survive; older ones
+    # null out exactly like pandas merge_asof(tolerance=...)
+    out = asof_join(
+        trades,
+        quotes,
+        on=["k"],
+        probe_time="tt",
+        ref_time="qt",
+        payload=["quote_id", "px"],
+        tiebreak="quote_id",
+        tolerance=5,
+    )
+    got = _by_trade(out)
+    assert got[101] == (3, 20)   # equal time, within tolerance
+    assert got[102] == (None, None)  # quote at 20, lag 19 > 5 -> nulled
+    assert got[103] == (None, None)  # quote at 40, lag 59 > 5
+    assert got[100] == (None, None)  # no earlier quote at all
+    # inner mode drops the out-of-tolerance rows entirely
+    inner = asof_join(
+        trades,
+        quotes,
+        on=["k"],
+        probe_time="tt",
+        ref_time="qt",
+        payload=["quote_id", "px"],
+        tiebreak="quote_id",
+        how="inner",
+        tolerance=5,
+    )
+    assert sorted(r["trade_id"] for r in inner.collect()) == [101]
