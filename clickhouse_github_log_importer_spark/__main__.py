@@ -35,6 +35,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("sql")
     p.add_argument("--events", required=True)
 
+    p = sub.add_parser(
+        "op", help="run any registered operator by name (use 'op --list')"
+    )
+    p.add_argument("name", nargs="?", default=None)
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--limit", type=int, default=100)
+    p.add_argument("--list", action="store_true", dest="list_ops")
+
     sub.add_parser("schema", help="db_schema introspection")
 
     p = sub.add_parser("status", help="pipeline status document")
@@ -46,6 +54,19 @@ def main(argv: list[str] | None = None) -> int:
         from . import api
 
         print(json.dumps(api.db_schema()))
+        return 0
+
+    if args.cmd == "op" and args.list_ops:  # no Spark needed
+        from .plans.queries import REGISTRY
+
+        print(
+            json.dumps(
+                [
+                    {"name": n, "tags": list(sp.tags)}
+                    for n, sp in sorted(REGISTRY.items())
+                ]
+            )
+        )
         return 0
 
     if args.cmd == "status":
@@ -100,6 +121,17 @@ def main(argv: list[str] | None = None) -> int:
 
         api.register_views(spark, {"events": args.events})
         print(json.dumps(api.query(spark, args.sql), default=str))
+        return 0
+
+    if args.cmd == "op":
+        from . import api
+        from .plans.queries import REGISTRY
+
+        if args.name not in REGISTRY:
+            print(json.dumps({"error": f"unknown op {args.name!r}"}))
+            return 2
+        df = REGISTRY[args.name].spark(spark, args.sf_dir).limit(args.limit)
+        print(json.dumps({**api.envelope(df), "op": args.name}, default=str))
         return 0
 
     return 1
