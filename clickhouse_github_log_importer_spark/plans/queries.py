@@ -4748,6 +4748,67 @@ def user_bounding_ratio(spark, sf_dir):
     )
 
 
+@register(
+    "user_moving_sum_arrays",
+    """
+    WITH s AS (
+      SELECT user_id,
+             list(CAST(round(value * 100) AS BIGINT)
+                  ORDER BY epoch_us(ts), event_id) AS vs
+      FROM events GROUP BY 1
+    )
+    SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+           array_to_string(
+             list_transform(range(1, len(vs) + 1),
+               i -> CAST(list_sum(list_slice(vs, greatest(1, i - 2), i))
+                         AS BIGINT)),
+             ',') AS moving3_cents
+    FROM s
+    """,
+    tags=("agg", "array", "clickhouse-parity"),
+    doc="ClickHouse groupArrayMovingSum(3) analog: per user, the "
+    "length-3 trailing moving sum of value-in-cents at every position "
+    "of the (ts, event_id)-ordered history, returned as one array per "
+    "group (serialized to a comma string for engine-portable "
+    "hashing, like sum_map_by_day). Same per-key array contract as "
+    "ema_user_value — groupArrayMovingSum is array-valued per group "
+    "by definition, bounded by the per-user history; the windowed "
+    "sums are a JVM transform+aggregate over the sorted array, exact "
+    "integers, no window operator and no join.",
+)
+def user_moving_sum_arrays(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("ts_us").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.round(F.col("value") * 100)
+                    .cast("long")
+                    .alias("v"),
+                )
+            )
+        ).alias("arr")
+    )
+    mov = (
+        "transform(sequence(1, size(_vs)), i -> "
+        "  aggregate(slice(_vs, greatest(1, i - 2),"
+        "                  i - greatest(1, i - 2) + 1),"
+        "            0L, (acc, x) -> acc + x))"
+    )
+    return (
+        s.withColumn("_vs", F.expr("transform(arr, r -> r.v)"))
+        .select(
+            "user_id",
+            F.size("_vs").cast("long").alias("n_events"),
+            F.expr(
+                f"concat_ws(',', transform({mov}, x -> cast(x as string)))"
+            ).alias("moving3_cents"),
+        )
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401
