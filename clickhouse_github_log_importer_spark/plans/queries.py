@@ -3611,7 +3611,9 @@ def sequence_pair_count(spark, sf_dir):
     WITH g AS (
       SELECT epoch_us(ts) // 86400000000 AS day_id, event_type,
              CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v,
+             CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mn,
+             CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mx
       FROM events GROUP BY 1, 2
     )
     SELECT day_id,
@@ -3620,13 +3622,18 @@ def sequence_pair_count(spark, sf_dir):
            array_to_string(list(CAST(n AS VARCHAR) ORDER BY event_type), '|')
              AS counts,
            array_to_string(list(CAST(v AS VARCHAR) ORDER BY event_type), '|')
-             AS value_cents
+             AS value_cents,
+           array_to_string(list(CAST(mn AS VARCHAR) ORDER BY event_type), '|')
+             AS min_cents,
+           array_to_string(list(CAST(mx AS VARCHAR) ORDER BY event_type), '|')
+             AS max_cents
     FROM g GROUP BY day_id
     """,
     tags=("A-array", "clickhouse-parity"),
-    doc="ClickHouse sumMap analog: per day, the key-sorted parallel "
-    "arrays (event_type keys, per-key event counts, per-key value sums "
-    "in exact integer cents) — the tuple-of-arrays shape sumMap returns, "
+    doc="ClickHouse sumMap + minMap + maxMap analogs in one pass: per "
+    "day, the key-sorted parallel arrays (event_type keys, per-key "
+    "event counts, per-key value sums/mins/maxes in exact integer "
+    "cents) — the tuple-of-arrays shape the Map combinators return, "
     "serialized pipe-joined for engine-portable hashing (the "
     "user_first_events convention). Two map-side-combined aggregations; "
     "the per-day array build touches only the (days x types) rollup, "
@@ -3642,9 +3649,15 @@ def sum_map_by_day(spark, sf_dir):
         F.sum(F.round(F.col("value") * 100).cast("long"))
         .cast("long")
         .alias("v"),
+        F.min(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("mn"),
+        F.max(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("mx"),
     )
     arr = F.array_sort(
-        F.collect_list(F.struct("event_type", "n", "v"))
+        F.collect_list(F.struct("event_type", "n", "v", "mn", "mx"))
     )
     return (
         g.groupBy("day_id")
@@ -3662,6 +3675,14 @@ def sum_map_by_day(spark, sf_dir):
                 "|",
                 F.transform(F.col("_a"), lambda s: s["v"].cast("string")),
             ).alias("value_cents"),
+            F.concat_ws(
+                "|",
+                F.transform(F.col("_a"), lambda s: s["mn"].cast("string")),
+            ).alias("min_cents"),
+            F.concat_ws(
+                "|",
+                F.transform(F.col("_a"), lambda s: s["mx"].cast("string")),
+            ).alias("max_cents"),
         )
     )
 
