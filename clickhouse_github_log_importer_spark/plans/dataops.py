@@ -2650,3 +2650,54 @@ def epoch_shuffle_sample(spark, sf_dir):
         ).alias("shuffle_rank"),
     )
     return ranked.orderBy("shuffle_rank", "doc_id").limit(20)
+
+
+@register(
+    "token_fertility_by_lang",
+    """
+    WITH d AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                  AS BIGINT) AS n_tok,
+             CAST(n_chars AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(sum(n_chars) / CAST(sum(n_tok) AS DOUBLE), 4)
+             AS chars_per_token,
+           round(sum(n_tok) / CAST(count(*) AS DOUBLE), 4)
+             AS tokens_per_doc
+    FROM d GROUP BY lang
+    """,
+    tags=("text", "corpus-stats", "llm-pipeline"),
+    doc="Tokenizer fertility audit per language: bytes(chars)-per-token "
+    "and tokens-per-doc — the ratio a tokenizer team watches per "
+    "language slice (a lang whose fertility drifts up is being "
+    "under-served by the vocab and will train slower per byte). "
+    "Zero-shuffle token counting (size of the filtered split array, "
+    "no explode) into one map-side-combined aggregate; ratios from "
+    "exact integer sums, IEEE-identical in both engines.",
+)
+def token_fertility_by_lang(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tok"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(
+            F.sum("n_chars") / F.sum("n_tok").cast("double"), 4
+        ).alias("chars_per_token"),
+        F.round(
+            F.sum("n_tok") / F.count("*").cast("double"), 4
+        ).alias("tokens_per_doc"),
+    )
