@@ -2749,8 +2749,15 @@ def retention_cohorts(spark, sf_dir):
     )
 
 
-def _funnel_chain_scan(spark, sf_dir):
+def _funnel_chain_scan(spark, sf_dir, inclusive: bool = False):
     """The shared RANGE-SLICED signup->click->purchase chain scan.
+
+    ``inclusive=True`` flips the equal-timestamp sort so predecessors
+    at the SAME timestamp count (signup sorts before click sorts before
+    purchase): the deterministic pinning of ClickHouse windowFunnel's
+    default mode, whose same-timestamp behavior the docs declare
+    order-dependent. Kinds become signup -2 / click -1 / purchase 0
+    (click stays -1, so the scan body is unchanged).
 
     One segmented scan over the (user, ts)-ordered event stream: the
     per-user fold state (S = latest signup ts, C = best chain start
@@ -2779,12 +2786,13 @@ def _funnel_chain_scan(spark, sf_dir):
         .filter(F.col("event_type").isin("signup", "click", "purchase"))
     )
     n_slices = spark.sparkContext.defaultParallelism
+    purchase_k, signup_k = (0, -2) if inclusive else (-2, 0)
     base = ev.select(
         "user_id",
         F.col("ts_us").cast("long").alias("_ts"),
-        F.when(F.col("event_type") == "purchase", -2)
+        F.when(F.col("event_type") == "purchase", purchase_k)
         .when(F.col("event_type") == "click", -1)
-        .otherwise(0)
+        .otherwise(signup_k)
         .alias("_k"),
         F.when(F.col("event_type") == "signup", F.col("ts_us").cast("long"))
         .alias("_sig"),
@@ -4828,6 +4836,73 @@ def user_moving_sum_arrays(spark, sf_dir):
             ).alias("moving3_cents"),
         )
     )
+
+
+@register(
+    "window_funnel_levels_inclusive",
+    f"""
+    WITH s1 AS (SELECT user_id, epoch_us(ts) AS t1 FROM events
+                WHERE event_type = 'signup'),
+    s2 AS (
+      SELECT s1.user_id, s1.t1, min(epoch_us(e.ts)) AS t2
+      FROM s1 JOIN events e ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) >= s1.t1
+        AND epoch_us(e.ts) <= s1.t1 + {_FUNNEL_WINDOW_US}
+      GROUP BY 1, 2
+    ),
+    s3 AS (
+      SELECT s2.user_id, s2.t1, min(epoch_us(e.ts)) AS t3
+      FROM s2 JOIN events e ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) >= s2.t2
+        AND epoch_us(e.ts) <= s2.t1 + {_FUNNEL_WINDOW_US}
+      GROUP BY 1, 2
+    ),
+    lvl AS (
+      SELECT u.user_id,
+             CASE WHEN u.user_id IN (SELECT user_id FROM s3) THEN 3
+                  WHEN u.user_id IN (SELECT user_id FROM s2) THEN 2
+                  ELSE 1 END AS funnel_level
+      FROM (SELECT DISTINCT user_id FROM s1) u
+    )
+    SELECT funnel_level, count(*) AS n_users FROM lvl GROUP BY 1
+    """,
+    tags=("J1", "funnel", "clickhouse-parity"),
+    doc="windowFunnel(24h) in ClickHouse's DEFAULT tie mode, pinned "
+    "deterministic: stages may chain at EQUAL timestamps (t2 >= t1, "
+    "t3 >= t2) — ClickHouse's docs declare same-timestamp behavior "
+    "order-dependent; this analog pins it by sorting signup before "
+    "click before purchase at a tie, so an inclusive running frame "
+    "sees same-timestamp predecessors. Same single range-sliced chain "
+    "scan as window_funnel_levels (only the equal-ts sort kind flips); "
+    "the strict sibling IS the strict_increase mode. Same O(k)-per-"
+    "user, skew-flat plan.",
+)
+def window_funnel_levels_inclusive(spark, sf_dir):
+    W = _FUNNEL_WINDOW_US
+    g = _funnel_chain_scan(spark, sf_dir, inclusive=True)
+    lvl = (
+        g.select(
+            "user_id",
+            F.when(
+                (F.col("_k") == 0) & (F.col("_gC") >= F.col("_ts") - W), 3
+            )
+            .when(
+                (F.col("_k") == -1) & (F.col("_gS") >= F.col("_ts") - W), 2
+            )
+            .when(F.col("_k") == -2, 1)
+            .alias("_lvl"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("_lvl").alias("_max_lvl"),
+            F.max((F.col("_lvl") == 1).cast("int")).alias("_l1"),
+        )
+        .filter(F.col("_l1") == 1)
+        .select(F.col("_max_lvl").cast("long").alias("funnel_level"))
+    )
+    return lvl.groupBy("funnel_level").agg(F.count("*").alias("n_users"))
 
 
 # Training-data pipeline queries register themselves on import (uses the
