@@ -52,6 +52,8 @@ EVENT_QUERIES = [
     # r5: per-user sequential folds (EMA is serial per key by
     # definition; the probe measures what the mega-user straggler costs)
     "ema_user_value",
+    "window_funnel_levels_inclusive",
+    "user_bounding_ratio",
 ]
 DOC_QUERIES = ["source_capped_sample", "sequence_packing_plan"]
 
