@@ -4905,6 +4905,50 @@ def window_funnel_levels_inclusive(spark, sf_dir):
     return lvl.groupBy("funnel_level").agg(F.count("*").alias("n_users"))
 
 
+@register(
+    "conditional_aggregates_by_type",
+    """
+    WITH v AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             (epoch_us(ts) // 86400000000) % 7 AS dow7
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE dow7 IN (2, 3)) AS BIGINT)
+             AS weekend_n,
+           CAST(COALESCE(sum(cents) FILTER (WHERE dow7 IN (2, 3)), 0)
+                AS BIGINT) AS weekend_cents,
+           (min(struct_pack(v := cents, e := event_id))
+              FILTER (WHERE dow7 IN (2, 3))).e
+             AS cheapest_weekend_event
+    FROM v GROUP BY 1
+    """,
+    tags=("agg", "clickhouse-parity"),
+    doc="ClickHouse -If combinator parity (countIf / sumIf / argMinIf) "
+    "in one pass: per event type, weekend-only count, cent sum, and "
+    "the event id of the cheapest weekend event with deterministic "
+    "(cents, event_id) struct-min ties. 'Weekend' is epoch-day "
+    "arithmetic ((day_id) % 7 in {2, 3}: 1970-01-01 was a Thursday), "
+    "NOT dayofweek() — the two engines number weekdays differently "
+    "and the modular form is identical in both. One map-side-combined "
+    "shuffle; conditional aggregates never become a second scan or a "
+    "filtered self-join.",
+)
+def conditional_aggregates_by_type(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    wk = (F.expr("ts_us div 86400000000") % 7).isin(2, 3)
+    cents = F.round(F.col("value") * 100).cast("long")
+    s = F.struct(cents.alias("v"), F.col("event_id").alias("e"))
+    return ev.groupBy("event_type").agg(
+        F.count(F.when(wk, F.lit(1))).cast("long").alias("weekend_n"),
+        F.coalesce(F.sum(F.when(wk, cents)), F.lit(0))
+        .cast("long")
+        .alias("weekend_cents"),
+        F.min(F.when(wk, s)).getField("e").alias("cheapest_weekend_event"),
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401
