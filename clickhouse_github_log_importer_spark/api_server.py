@@ -111,8 +111,11 @@ def make_handler(spark: SparkSession, status_path: str | None):
                     self._json({"error": f"unknown op {name}"}, 404)
                     return
                 sf_dir = q.get("sf_dir", ["/root/testdata/sf0.001"])[0]
-                limit = int(q.get("limit", ["100"])[0])
                 try:
+                    # inside the try: a malformed ?limit=abc must produce
+                    # the same JSON 400 envelope as any other bad input,
+                    # not an unhandled traceback
+                    limit = int(q.get("limit", ["100"])[0])
                     df = REGISTRY[name].spark(spark, sf_dir).limit(limit)
                     self._json(
                         {**api.envelope(df), "op": name, "sf_dir": sf_dir}

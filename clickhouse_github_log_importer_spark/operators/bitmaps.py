@@ -53,8 +53,16 @@ def audience_bitmaps(
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        offs = pdf["_off"].to_numpy()
+        # numpy negative indexing would silently set the WRONG bit; fail
+        # loudly instead (nulls are filtered out before the shuffle)
+        if offs.size and (offs.min() < 0 or offs.max() >= _BUCKET_SIZE):
+            raise ValueError(
+                "audience_bitmaps: id out of container domain "
+                f"[0, {_BUCKET_SIZE}) — ids must be non-negative integers"
+            )
         bits = np.zeros(_BUCKET_SIZE, dtype=bool)
-        bits[pdf["_off"].to_numpy()] = True
+        bits[offs] = True
         return pd.DataFrame(
             {
                 "key": [pdf["key"].iloc[0]],
@@ -69,6 +77,11 @@ def audience_bitmaps(
             F.col(key_col).cast("string").alias("key"),
             F.col(id_col).cast("long").alias("_id"),
         )
+        # domain contract: ids are non-negative integers (ClickHouse
+        # groupBitmap is UInt-typed). Nulls carry no set membership and
+        # are dropped; negatives would corrupt bit offsets downstream,
+        # so they are dropped here AND re-checked loudly in the fold.
+        .filter(F.col("_id").isNotNull() & (F.col("_id") >= 0))
         .distinct()
         .select(
             "key",

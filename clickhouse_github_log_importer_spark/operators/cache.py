@@ -57,3 +57,23 @@ class CacheScope:
 def persist_in(scope: CacheScope | None, df: DataFrame) -> DataFrame:
     """persist `df`, registering with `scope` when one is given."""
     return scope.persist(df) if scope is not None else df.persist()
+
+
+_ROTATING: dict[str, CacheScope] = {}
+
+
+def rotating_scope(key: str) -> CacheScope:
+    """A CacheScope whose lifetime is "until the next call with the same
+    key": lazily-returned registry entries can't unpersist-after-action
+    (the action happens in the caller — driver collect, bench loop, HTTP
+    envelope), so a bare ``.persist()`` there accretes one cached frame
+    per invocation.  Rotating the scope bounds the storage layer at ONE
+    live frame set per entry name: each call first unpersists whatever
+    the previous call with this key persisted (its action is long done
+    by then), then hands out a fresh scope for the new plan."""
+    old = _ROTATING.pop(key, None)
+    if old is not None:
+        old.unpersist_all()
+    scope = CacheScope()
+    _ROTATING[key] = scope
+    return scope

@@ -3971,10 +3971,13 @@ def weighted_median_price(spark, sf_dir):
 )
 def bitmap_audience_overlap(spark, sf_dir):
     from ..operators.bitmaps import audience_bitmaps, bitmap_pair_overlap
+    from ..operators.cache import rotating_scope
 
     ev = t(spark, sf_dir, "events")
     bm = audience_bitmaps(ev, "event_type", "user_id")
-    return bitmap_pair_overlap(bm)
+    # rotating scope: the lazily-returned frame can't unpersist after its
+    # own action, so each call releases the previous call's container cache
+    return bitmap_pair_overlap(bm, scope=rotating_scope("bitmap_audience_overlap"))
 
 
 @register(
@@ -4177,19 +4180,18 @@ def ema_user_value(spark, sf_dir):
              CAST(SUM((epoch_us(ts) // 3600000000 % 24)
                       * (epoch_us(ts) // 3600000000 % 24)) AS BIGINT)
                AS sxx,
-             CAST(SUM(CAST(round(value * 100) AS BIGINT)
-                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               AS syy,
-             CAST(SUM((epoch_us(ts) // 3600000000 % 24)
-                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               AS sxy
+             SUM(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS syy,
+             SUM((epoch_us(ts) // 3600000000 % 24)
+                 * CAST(round(value * 100) AS BIGINT)) AS sxy
       FROM events GROUP BY 1
     )
     SELECT event_type, n,
-           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * sy)
                  / sqrt((CAST(n AS DOUBLE) * sxx
                          - CAST(sx AS DOUBLE) * sx)
-                        * (CAST(n AS DOUBLE) * syy
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                            - CAST(sy AS DOUBLE) * sy)), 6) AS corr_xy,
            round((CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * sy / CAST(n AS DOUBLE))
@@ -4202,9 +4204,15 @@ def ema_user_value(spark, sf_dir):
     tags=("agg", "stats", "clickhouse-parity"),
     doc="ClickHouse corr / covarSamp / stddevSamp parity per event "
     "type, between hour-of-day and value-in-cents. The portability "
-    "trick is EXACT INTEGER MOMENTS: n, Sx, Sy, Sxx, Syy, Sxy are "
-    "overflow-safe BIGINTs (hour<=23, cents<=~1e6 keep Sxy under 2^63 "
-    "past 10^12 rows), reduced with map-side combine in ONE shuffle "
+    "trick is EXACT INTEGER MOMENTS: n, Sx, Sy, Sxx stay BIGINT "
+    "(hour<=23, cents<=~6e4: Sxx wraps at ~1.7e16 rows/group, Sy at "
+    "~1.6e14 — beyond any real group), while the SQUARED/CROSS moments "
+    "Syy and Sxy accumulate as decimal(38,0) / HUGEINT (cents^2 <= "
+    "~3.2e9 would wrap int64 SILENTLY at ~2.9e9 rows/group — a real "
+    "bound at 100 TB; decimal sums are exact and mergeable, and only "
+    "the final closed form casts them to DOUBLE — the driver hasher "
+    "never sees a wide type), reduced with map-side combine in ONE "
+    "shuffle "
     "whose merge order cannot matter — unlike naive float corr(), "
     "whose partial-sum order differs per engine and per run. The "
     "closed-form double arithmetic at the end is the identical "
@@ -4220,21 +4228,21 @@ def value_hour_correlation(spark, sf_dir):
         F.sum(x).cast("long").alias("sx"),
         F.sum(y).cast("long").alias("sy"),
         F.sum(x * x).cast("long").alias("sxx"),
-        F.sum(y * y).cast("long").alias("syy"),
-        F.sum(x * y).cast("long").alias("sxy"),
+        # squared/cross moments: exact decimal accumulators (int64 would
+        # wrap silently at ~2.9e9 rows/group for cents<=~6e4)
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
-    corr = (nd * F.col("sxy") - sxd * F.col("sy")) / F.sqrt(
+    sxyd = F.col("sxy").cast("double")
+    syyd = F.col("syy").cast("double")
+    corr = (nd * sxyd - sxd * F.col("sy")) / F.sqrt(
         (nd * F.col("sxx") - sxd * F.col("sx"))
-        * (nd * F.col("syy") - syd * F.col("sy"))
+        * (nd * syyd - syd * F.col("sy"))
     )
-    covar = (F.col("sxy").cast("double") - sxd * F.col("sy") / nd) / (
-        nd - 1
-    )
-    sdy = F.sqrt(
-        (F.col("syy").cast("double") - syd * F.col("sy") / nd) / (nd - 1)
-    )
+    covar = (sxyd - sxd * F.col("sy") / nd) / (nd - 1)
+    sdy = F.sqrt((syyd - syd * F.col("sy") / nd) / (nd - 1))
     return m.select(
         "event_type",
         "n",
@@ -4252,9 +4260,8 @@ def value_hour_correlation(spark, sf_dir):
              CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                AS s,
-             CAST(SUM(CAST(round(value * 100) AS BIGINT)
-                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-               AS ss
+             SUM(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS ss
       FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
     ),
     w AS (
@@ -4290,8 +4297,10 @@ def value_hour_correlation(spark, sf_dir):
     doc="ClickHouse welchTTest analog: Welch's unequal-variance t "
     "statistic and Welch-Satterthwaite degrees of freedom for "
     "value-in-cents, click vs view arms. Same exact-integer-moment "
-    "design as value_hour_correlation: each arm reduces to (n, S, SS) "
-    "BIGINTs in one map-side-combined shuffle (merge-order-proof), "
+    "design as value_hour_correlation: each arm reduces to (n, S) "
+    "BIGINT + SS decimal(38,0)/HUGEINT (cents^2 would wrap int64 at "
+    "~2.9e9 rows/arm) in one map-side-combined shuffle (merge-order-"
+    "proof), "
     "the 2-row moment table collapses to one row, and the closed-form "
     "double expression is evaluated identically in both engines — "
     "bit-identical before rounding. The p-value lookup (incomplete "
@@ -4306,7 +4315,8 @@ def welch_ttest_values(spark, sf_dir):
     m = ev.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n"),
         F.sum(y).cast("long").alias("s"),
-        F.sum(y * y).cast("long").alias("ss"),
+        # exact decimal accumulator — see value_hour_correlation
+        F.sum((y * y).cast("decimal(38,0)")).alias("ss"),
     )
     one = m.groupBy().pivot("event_type", ["click", "view"]).agg(
         F.first("n").alias("n"), F.first("s").alias("s"),

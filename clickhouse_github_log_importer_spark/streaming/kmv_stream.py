@@ -47,7 +47,10 @@ def _estimate(uniq: list[int], k: int) -> tuple[int, int, int]:
     if nk < k:
         est = nk
     else:
-        est = int(round((k - 1) * _TWO60 / hk))
+        # HALF-UP rounding (int(x + 0.5)), matching Spark F.round and the
+        # DuckDB round() the batch oracles use — Python round() is
+        # half-to-even and would diverge when (k-1)*2^60/hk lands on .5
+        est = int((k - 1) * _TWO60 / hk + 0.5)
     return nk, hk, est
 
 
