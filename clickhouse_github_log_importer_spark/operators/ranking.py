@@ -108,16 +108,25 @@ def ranked(
     order_cols: list[str],
     n_slices: int | None = None,
     bounds_df: DataFrame | None = None,
+    slice_col: Column | None = None,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Add ``_rank`` (1-based within ``part_cols``, ordered by
     ``order_cols``, which must end in a unique tiebreaker) and ``_n``
     (partition row count) without ever sorting a whole partition on one
-    task. Ascending, nulls-first — Window.orderBy's defaults."""
+    task. Ascending, nulls-first — Window.orderBy's defaults.
+
+    ``slice_col`` (e.g. :func:`composite_slice_key`) keeps the offsets
+    table at O(distinct keys) for high-cardinality ``part_cols``, and
+    ``broadcast_offsets=False`` lets AQE pick the offsets-join strategy
+    there — same contract as :func:`prefix_sum`."""
     n_slices = n_slices or df.sparkSession.sparkContext.defaultParallelism
     sliced = df.withColumn(
         "_slice",
         slice_expr(
-            bounds_df if bounds_df is not None else df, order_cols[0], n_slices
+            bounds_df if bounds_df is not None else df,
+            slice_col if slice_col is not None else order_cols[0],
+            n_slices,
         ),
     )
     # local rank: windows keyed by (slice, category) — n_slices-way
@@ -138,8 +147,9 @@ def ranked(
         F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
         F.sum("_c").over(w_tot).alias("_n"),
     )
+    off = F.broadcast(offsets) if broadcast_offsets else offsets
     return (
-        local.join(F.broadcast(offsets), ["_slice", *part_cols])
+        local.join(off, ["_slice", *part_cols])
         .withColumn("_rank", (F.col("_off") + F.col("_lrank")).cast("long"))
         .drop("_slice", "_lrank", "_off")
     )

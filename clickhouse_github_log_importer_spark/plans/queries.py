@@ -4119,32 +4119,62 @@ def bounded_distinct_by_type(spark, sf_dir):
 @register(
     "ema_user_value",
     """
-    WITH s AS (
-      SELECT user_id,
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS bkt,
              list(round(value * 100) ORDER BY epoch_us(ts), event_id)
                AS vs
-      FROM events GROUP BY user_id
+      FROM events GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT user_id, bkt, len(vs) AS m,
+             list_reduce(list_prepend(CAST(1.0 AS DOUBLE), vs),
+                         (acc, x) -> 0.75 * acc) AS a,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs),
+                         (acc, x) -> 0.25 * x + 0.75 * acc) AS b,
+             list_reduce(vs, (acc, x) -> 0.25 * x + 0.75 * acc) AS s
+      FROM b
+    ),
+    u AS (
+      SELECT user_id, CAST(SUM(m) AS BIGINT) AS n_events,
+             list(struct_pack(a := a, b := b, s := s) ORDER BY bkt)
+               AS segs
+      FROM seg GROUP BY 1
     )
-    SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
-           round(list_reduce(vs, (acc, x) -> 0.25 * x + 0.75 * acc), 4)
-             AS ema
-    FROM s
+    SELECT user_id, n_events,
+           round(list_reduce(segs,
+                   (acc, r) -> struct_pack(a := r.a, b := r.b,
+                                           s := r.a * acc.s + r.b)).s,
+                 4) AS ema
+    FROM u
     """,
-    tags=("temporal", "fold", "clickhouse-parity"),
+    tags=("temporal", "fold", "clickhouse-parity", "segmented-scan"),
     doc="ClickHouse exponentialMovingAverage analog (per-step smoothing "
     "alpha=0.25, seeded with the first observation): the final EMA of "
-    "each user's value-in-cents stream in (ts, event_id) order. EMA is "
-    "irreducibly a sequential per-key fold — ClickHouse's own "
-    "implementation is a per-group ordered scan — so the honest "
-    "distributed shape is ONE shuffle to (user, sorted array) and a "
-    "JVM-side higher-order aggregate() fold per user (no Python, no "
-    "window, no join); state per user is one double. Both engines run "
-    "the identical left fold (0.25*x + 0.75*acc) over the identical "
-    "total order, so the doubles agree bit-for-bit before round(4).",
+    "each user's value-in-cents stream in (ts, event_id) order. The EMA "
+    "step acc' = 0.25*x + 0.75*acc is an AFFINE map, and affine maps "
+    "compose associatively — a contiguous slice of the stream reduces "
+    "to a (coeff, offset) pair: coeff = 0.75^m (left-multiplied fold), "
+    "offset = the same fold started from 0. So instead of collecting "
+    "one user's ENTIRE history onto one task (the r5 shape: skew 2.95 "
+    "on a mega-user, OOM-by-bot-user at 100x), the stream is segmented "
+    "on the calendar (user, hour) — deterministic, engine-portable "
+    "slicing, unlike quantile boundaries — each segment folds its own "
+    "(a, b, s) in parallel, and the per-user composition folds the "
+    "TINY per-hour segment table (bounded by the time span, not the "
+    "data rate; a billion-event bot user is ~#hours segments, never "
+    "one array). Bit-parity holds because BOTH engines evaluate the "
+    "identical slice-composed IEEE expressions over the identical "
+    "segmentation: per-segment seeded fold s, affine fold (a, b), then "
+    "the identical composition r.a * acc + r.b in bucket order — "
+    "regrouped double arithmetic rounds differently than a flat fold, "
+    "so the oracle mirrors the segmentation exactly rather than "
+    "pretending the two are equal.",
 )
 def ema_user_value(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
-    s = ev.groupBy("user_id").agg(
+    b = ev.groupBy(
+        "user_id", F.expr("ts_us div 3600000000").alias("bkt")
+    ).agg(
         F.array_sort(
             F.collect_list(
                 F.struct(
@@ -4156,15 +4186,43 @@ def ema_user_value(spark, sf_dir):
         ).alias("arr")
     )
     vs = F.transform(F.col("arr"), lambda r: r["v"])
-    ema = F.aggregate(
-        F.slice(vs, F.lit(2), F.greatest(F.size(vs) - 1, F.lit(0))),
-        F.element_at(vs, 1),
-        lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
-    )
-    return s.select(
+    rest = F.slice(vs, F.lit(2), F.greatest(F.size(vs) - 1, F.lit(0)))
+    step = lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc  # noqa: E731
+    seg = b.select(
         "user_id",
-        F.size("arr").cast("long").alias("n_events"),
-        F.round(ema, 4).alias("ema"),
+        "bkt",
+        F.size("arr").cast("long").alias("m"),
+        # coeff 0.75^m by repeated left multiplication (not pow(): both
+        # engines run the same mult sequence -> bit-identical)
+        F.aggregate(vs, F.lit(1.0), lambda acc, x: F.lit(0.75) * acc).alias("a"),
+        F.aggregate(vs, F.lit(0.0), step).alias("b"),
+        # seeded fold: the value as if this segment started the stream
+        F.aggregate(rest, F.element_at(vs, 1), step).alias("s"),
+    )
+    u = seg.groupBy("user_id").agg(
+        F.sum("m").cast("long").alias("n_events"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("bkt").alias("k"),
+                    F.col("a"),
+                    F.col("b"),
+                    F.col("s"),
+                )
+            )
+        ).alias("segs"),
+    )
+    segs = F.col("segs")
+    restseg = F.slice(
+        segs, F.lit(2), F.greatest(F.size(segs) - 1, F.lit(0))
+    )
+    ema = F.aggregate(
+        restseg,
+        F.element_at(segs, 1)["s"],
+        lambda acc, r: r["a"] * acc + r["b"],
+    )
+    return u.select(
+        "user_id", "n_events", F.round(ema, 4).alias("ema")
     )
 
 
@@ -4622,6 +4680,150 @@ def uniq_state_rollup(spark, sf_dir):
 
 
 @register(
+    "quantile_state_rollup",
+    """
+    WITH h AS (
+      SELECT epoch_us(ts) // 86400000000 AS day_id,
+             epoch_us(ts) // 3600000000 AS hour_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2, 3
+    ),
+    m AS (SELECT day_id, cents, SUM(cnt) AS cnt FROM h GROUP BY 1, 2),
+    c AS (SELECT day_id, cents, cnt,
+                 SUM(cnt) OVER (PARTITION BY day_id ORDER BY cents)
+                   AS cum,
+                 SUM(cnt) OVER (PARTITION BY day_id) AS n
+          FROM m)
+    SELECT day_id, CAST(max(n) AS BIGINT) AS n_events,
+           round(min(CASE WHEN cum >= (n - 1) // 4 + 1
+                          THEN cents END) / 100.0, 2) AS p25_usd,
+           round(min(CASE WHEN cum >= (n - 1) // 2 + 1
+                          THEN cents END) / 100.0, 2) AS p50_usd,
+           round(min(CASE WHEN cum >= ((n - 1) * 3) // 4 + 1
+                          THEN cents END) / 100.0, 2) AS p75_usd
+    FROM c GROUP BY 1
+    """,
+    tags=("agg", "sketch", "rollup", "clickhouse-parity"),
+    doc="ClickHouse quantileState/quantileMerge (AggregatingMergeTree "
+    "percentile MV) parity — the percentile-drift monitor a training-"
+    "data pipeline runs continuously: hourly quantile STATES merged to "
+    "day-level p25/p50/p75 of value-in-cents WITHOUT re-reading raw "
+    "data. The state is the exact value histogram (hour, cents, count) "
+    "— mergeable by SUM (associative/commutative, pytest-pinned merge "
+    "== direct), bounded by the VALUE DOMAIN not the row count, and "
+    "the quantile pick is quantileExactLow integer arithmetic "
+    "(idx = (n-1)*num div den) over the range-sliced cumulative scan, "
+    "so no float index math and no single-task day partitions. "
+    "operators/quantile_state.py; completes uniq_state_rollup's "
+    "-State/-Merge family for quantiles.",
+)
+def quantile_state_rollup(spark, sf_dir):
+    from ..operators.quantile_state import (
+        histogram_state,
+        merge_state,
+        quantiles_from_state,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        F.expr("ts_us div 86400000000").alias("day_id"),
+        F.expr("ts_us div 3600000000").alias("hour_id"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    # -State: what an hourly MV would persist
+    hourly = histogram_state(ev, ["day_id", "hour_id"], "cents")
+    # -Merge: day states from hour states only (raw rows never re-read)
+    day = merge_state(hourly, ["day_id"], "cents")
+    q = quantiles_from_state(day, ["day_id"], "cents")
+    return q.select(
+        "day_id",
+        "n_events",
+        F.round(F.col("p25") / 100.0, 2).alias("p25_usd"),
+        F.round(F.col("p50") / 100.0, 2).alias("p50_usd"),
+        F.round(F.col("p75") / 100.0, 2).alias("p75_usd"),
+    )
+
+
+_SEQ_MATCH_T_US = 3600 * 1000000  # the (?t<3600) edge bound, in micros
+
+
+@register(
+    "sequence_match_pattern",
+    f"""
+    WITH s AS (SELECT user_id, epoch_us(ts) AS ti FROM events
+               WHERE event_type = 'signup'),
+    c AS (SELECT user_id, epoch_us(ts) AS ti FROM events
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(ts) AS ti FROM events
+          WHERE event_type = 'purchase'),
+    qc AS (
+      SELECT DISTINCT c.user_id, c.ti
+      FROM c JOIN s ON s.user_id = c.user_id
+       AND s.ti < c.ti AND c.ti - s.ti < {_SEQ_MATCH_T_US}
+    ),
+    m AS (SELECT DISTINCT p.user_id
+          FROM p JOIN qc ON qc.user_id = p.user_id AND qc.ti < p.ti)
+    SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_matched,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM s) AS BIGINT)
+             AS n_signup_users
+    """,
+    tags=("funnel", "sequence", "clickhouse-parity", "segmented-scan"),
+    doc="ClickHouse sequenceMatch('(?1)(?t<3600)(?2)(?3)') parity: users "
+    "with a signup -> click chain whose first edge is time-bounded "
+    "(click within 3600 s strictly after SOME signup) followed by a "
+    "purchase strictly after that click. The per-edge time constraint "
+    "generalizes the windowFunnel chain scan: a click is stage-2 "
+    "reachable iff ts - (LATEST signup strictly before it) < T — the "
+    "latest predecessor is the closest, so the existence test needs "
+    "exactly the _gS the shared RANGE-SLICED chain scan already "
+    "computes — and the purchase existence test is a segmented running "
+    "max over qualified-click timestamps (operators/ranking."
+    "running_max_sliced, composite (user, ts) slices). Strictness is "
+    "encoded in the (ts, kind) sort key, no bounded RANGE frames, no "
+    "self-join, and a mega-user's timeline spreads across slices. The "
+    "oracle is the direct EXISTS formulation (joins are fine at oracle "
+    "scale).",
+)
+def sequence_match_pattern(spark, sf_dir):
+    from ..operators.ranking import composite_slice_key, running_max_sliced
+
+    g = _funnel_chain_scan(spark, sf_dir)
+    q = g.withColumn(
+        "_qts",
+        F.when(
+            (F.col("_k") == -1)
+            & (F.col("_ts") - F.col("_gS") < F.lit(_SEQ_MATCH_T_US)),
+            F.col("_ts"),
+        ),
+    )
+    r = running_max_sliced(
+        q,
+        ["user_id"],
+        ["_ts", "_k"],
+        "_qts",
+        slice_col=composite_slice_key("user_id", "_ts"),
+        broadcast_offsets=False,
+    )
+    # purchase rows (_k == -2 in strict mode) sort before equal-ts
+    # clicks, so _rmax at a purchase sees only strictly-earlier
+    # qualified clicks
+    matched = (
+        r.filter((F.col("_k") == -2) & F.col("_rmax").isNotNull())
+        .select("user_id")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_matched"))
+    )
+    signups = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_signup_users"))
+    )
+    return matched.crossJoin(signups)  # two 1-row aggregates
+
+
+@register(
     "events_limit_by",
     """
     SELECT event_type, rank, event_id
@@ -4789,46 +4991,83 @@ def user_bounding_ratio(spark, sf_dir):
 
 @register(
     "user_moving_sum_arrays",
-    """
-    WITH s AS (
-      SELECT user_id,
-             list(CAST(round(value * 100) AS BIGINT)
-                  ORDER BY epoch_us(ts), event_id) AS vs
-      FROM events GROUP BY 1
+    f"""
+    WITH r AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rk,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+             list(v ORDER BY rk) AS vs
+      FROM r WHERE rk <= {{cap}} GROUP BY 1
     )
-    SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+    SELECT user_id, n_events, n_events > {{cap}} AS truncated,
            array_to_string(
              list_transform(range(1, len(vs) + 1),
                i -> CAST(list_sum(list_slice(vs, greatest(1, i - 2), i))
                          AS BIGINT)),
              ',') AS moving3_cents
     FROM s
-    """,
-    tags=("agg", "array", "clickhouse-parity"),
+    """.format(cap=10000),
+    tags=("agg", "array", "clickhouse-parity", "segmented-scan"),
     doc="ClickHouse groupArrayMovingSum(3) analog: per user, the "
     "length-3 trailing moving sum of value-in-cents at every position "
     "of the (ts, event_id)-ordered history, returned as one array per "
-    "group (serialized to a comma string for engine-portable "
-    "hashing, like sum_map_by_day). Same per-key array contract as "
-    "ema_user_value — groupArrayMovingSum is array-valued per group "
-    "by definition, bounded by the per-user history; the windowed "
-    "sums are a JVM transform+aggregate over the sorted array, exact "
-    "integers, no window operator and no join.",
+    "group (serialized to a comma string for engine-portable hashing, "
+    "like sum_map_by_day). The per-group array IS the output contract "
+    "(groupArrayMovingSum is array-valued by definition) — but an "
+    "UNBOUNDED per-key array is an OOM-by-bot-user at 100x, so the "
+    "contract saturates like ClickHouse's groupArray(max_size): only "
+    "the FIRST 10000 positions per user are materialized, `truncated` "
+    "flags saturation, and `n_events` stays the true total. The "
+    "prefix filter rides the range-sliced distributed ranking "
+    "(operators/ranking.ranked, composite (user, ts) slices, AQE "
+    "offsets join) so no task ever holds one user's full history — "
+    "collect_list only ever sees <= cap rows per user. The windowed "
+    "sums are a JVM transform+aggregate over the sorted capped array, "
+    "exact integers, no window operator over the fact table.",
 )
 def user_moving_sum_arrays(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    s = ev.groupBy("user_id").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("ts_us").alias("t"),
-                    F.col("event_id").alias("e"),
-                    F.round(F.col("value") * 100)
-                    .cast("long")
-                    .alias("v"),
+    return _moving_sum_arrays(t(spark, sf_dir, "events"), cap=10000)
+
+
+def _moving_sum_arrays(ev: DataFrame, cap: int) -> DataFrame:
+    """groupArrayMovingSum(3) with a saturation cap — see the registry
+    entry. Parameterized so tests can pin the cap contract with a tiny
+    cap instead of generating 10k+ events."""
+    from ..operators.ranking import composite_slice_key, ranked
+
+    base = ev.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    rk = ranked(
+        base,
+        ["user_id"],
+        ["ts_us", "event_id"],
+        slice_col=composite_slice_key("user_id", "ts_us"),
+        broadcast_offsets=False,
+    )
+    s = (
+        rk.filter(F.col("_rank") <= cap)
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts_us").alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("v"),
+                    )
                 )
-            )
-        ).alias("arr")
+            ).alias("arr"),
+            F.max("_n").cast("long").alias("n_events"),
+        )
     )
     mov = (
         "transform(sequence(1, size(_vs)), i -> "
@@ -4840,7 +5079,8 @@ def user_moving_sum_arrays(spark, sf_dir):
         s.withColumn("_vs", F.expr("transform(arr, r -> r.v)"))
         .select(
             "user_id",
-            F.size("_vs").cast("long").alias("n_events"),
+            "n_events",
+            (F.col("n_events") > F.lit(cap)).alias("truncated"),
             F.expr(
                 f"concat_ws(',', transform({mov}, x -> cast(x as string)))"
             ).alias("moving3_cents"),

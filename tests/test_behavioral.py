@@ -50,7 +50,7 @@ def test_transitions_conserve_event_count(spark, sf_smoke):
 
 
 def _write_events(tmp_path, rows):
-    # rows: (event_id, ts_us, user_id, event_type)
+    # rows: (event_id, ts_us, user_id, event_type[, value])
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -61,7 +61,7 @@ def _write_events(tmp_path, rows):
             "ts": pd.to_datetime([r[1] for r in rows], unit="us"),
             "user_id": [r[2] for r in rows],
             "event_type": [r[3] for r in rows],
-            "value": [1.0] * len(rows),
+            "value": [float(r[4]) if len(r) > 4 else 1.0 for r in rows],
             "props": ["{}"] * len(rows),
         }
     )
@@ -147,3 +147,111 @@ def test_dup_rate_consistent(spark, sf_smoke):
     for r in rep:
         assert 1 <= r["n_unique"] <= r["n_docs"]
         assert 0.0 <= r["dup_rate"] < 1.0
+
+
+def test_ema_segmented_equals_flat_fold(spark, tmp_path):
+    # The r6 affine segmented scan must equal the flat seeded left fold
+    # acc = v1; acc = 0.25*v + 0.75*acc — on users whose histories span
+    # several hour buckets, sit inside one bucket, or have one event.
+    HOUR = 3600 * 1000000
+    rows, eid = [], 0
+    streams = {
+        1: [(i * HOUR // 3, (i * 37 % 101) + 0.17) for i in range(10)],  # ~4 buckets
+        2: [(i * 1000, (i * 53 % 89) + 0.41) for i in range(7)],         # one bucket
+        3: [(5 * HOUR, 42.13)],                                          # single event
+        4: [(i * 7 * HOUR, (i * 11 % 13) + 0.99) for i in range(6)],     # 1/bucket
+    }
+    for uid, evs in streams.items():
+        for ts_us, val in evs:
+            eid += 1
+            rows.append((eid, ts_us, uid, "click", val))
+    sf = _write_events(tmp_path, rows)
+    got = {
+        r["user_id"]: (r["n_events"], r["ema"])
+        for r in REGISTRY["ema_user_value"].spark(spark, sf).collect()
+    }
+    for uid, evs in streams.items():
+        acc = None
+        for _, val in evs:
+            v = round(val * 100)
+            acc = float(v) if acc is None else 0.25 * v + 0.75 * acc
+        n, ema = got[uid]
+        assert n == len(evs)
+        # `ema` is round(.,4); regrouped double arithmetic may also differ
+        # in the last ulp from the flat fold — allow the half-step
+        assert abs(ema - acc) <= 5.001e-5, (uid, ema, acc)
+
+    # and the DuckDB oracle mirrors the segmentation bit-for-bit
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    odf = con.execute(REGISTRY["ema_user_value"].oracle).fetchdf()
+    assert {
+        int(r.user_id): (int(r.n_events), float(r.ema))
+        for r in odf.itertuples()
+    } == {int(u): (int(n), float(e)) for u, (n, e) in got.items()}
+
+
+def test_moving_sum_cap_saturation(spark, tmp_path):
+    # groupArrayMovingSum saturation contract (r6): positions past the
+    # cap are dropped, `truncated` flags it, `n_events` stays the true
+    # total — uniqUpTo-style honesty instead of an unbounded per-key
+    # array.
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _moving_sum_arrays,
+    )
+
+    rows = [
+        # user 1: 7 events, values 1..7 (cents 100..700)
+        *[(i, i * 1000, 1, "click", float(i)) for i in range(1, 8)],
+        # user 2: 2 events
+        (10, 0, 2, "click", 5.0),
+        (11, 1000, 2, "click", 6.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = {
+        r["user_id"]: r
+        for r in _moving_sum_arrays(t(spark, sf, "events"), cap=3).collect()
+    }
+    u1 = out[1]
+    assert (u1["n_events"], u1["truncated"]) == (7, True)
+    assert u1["moving3_cents"] == "100,300,600"  # first 3 positions only
+    u2 = out[2]
+    assert (u2["n_events"], u2["truncated"]) == (2, False)
+    assert u2["moving3_cents"] == "500,1100"
+
+
+def test_sequence_match_edge_semantics(spark, tmp_path):
+    # sequenceMatch('(?1)(?t<3600)(?2)(?3)') pinning, T = 3600 s:
+    #  u1: signup(0) click(T-1) purchase(T)      -> matched (edge < T)
+    #  u2: signup(0) click(T) purchase(T+1)      -> NOT matched (c-s == T)
+    #  u3: signup(0) click(1) purchase(1)        -> NOT matched (purchase
+    #      must be strictly after the click)
+    #  u4: purchase(0) signup(1) click(2)        -> NOT matched (purchase
+    #      precedes the chain)
+    #  u5: signup(0) click(T+10) signup(T)
+    #      purchase(T+20)                        -> matched: the LATER
+    #      signup qualifies the click (latest-predecessor rule) — the
+    #      case a first-signup-only fold gets wrong
+    #  u6: click(0) purchase(1)                  -> no signup: excluded
+    T = 3600 * 1000000
+    rows = [
+        (1, 0, 1, "signup"), (2, T - 1, 1, "click"), (3, T, 1, "purchase"),
+        (4, 0, 2, "signup"), (5, T, 2, "click"), (6, T + 1, 2, "purchase"),
+        (7, 0, 3, "signup"), (8, 1, 3, "click"), (9, 1, 3, "purchase"),
+        (10, 0, 4, "purchase"), (11, 1, 4, "signup"), (12, 2, 4, "click"),
+        (13, 0, 5, "signup"), (14, T + 10, 5, "click"),
+        (15, T, 5, "signup"), (16, T + 20, 5, "purchase"),
+        (17, 0, 6, "click"), (18, 1, 6, "purchase"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    row = REGISTRY["sequence_match_pattern"].spark(spark, sf).first()
+    assert (row["n_matched"], row["n_signup_users"]) == (2, 5)
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    odf = con.execute(REGISTRY["sequence_match_pattern"].oracle).fetchdf()
+    assert (int(odf.n_matched[0]), int(odf.n_signup_users[0])) == (2, 5)

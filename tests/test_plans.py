@@ -589,14 +589,34 @@ def test_moment_reductions_single_shuffle(spark, sf_smoke):
 
 
 def test_ema_fold_is_jvm_aggregate(spark, sf_smoke):
-    # the EMA fold must be the higher-order aggregate() over the sorted
-    # per-user array: one shuffle to the user aggregation, no window, no
-    # join, no Python
+    # (r6) the EMA affine segmented scan: per-(user, hour) JVM
+    # aggregate() folds compose per user, so NO task ever holds one
+    # user's whole history (the r5 shape's skew-2.95 mega-user
+    # straggler). Still no window, no join, no Python — two keyed
+    # aggregation exchanges: (user, bkt) then user.
     p = explain(spark, "ema_user_value", sf_smoke)
     assert "Join" not in tree(p)
     assert "Window" not in tree(p)
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert tree(p).count("Exchange") <= 2
+    # the calendar segmentation is present: first aggregate keyed by
+    # (user_id, bkt), and the whole-history collect is gone
+    low = p.lower().replace(" ", "")
+    assert "bkt" in low
+
+
+def test_moving_sum_capped_sliced_prefix(spark, sf_smoke):
+    # (r6) groupArrayMovingSum saturation contract: the per-user array
+    # collect must sit BEHIND the rank<=cap filter computed by the
+    # range-sliced distributed ranking (composite (user, ts) slices) —
+    # never a bare per-user window, never an uncapped whole-history
+    # collect. The offsets join is AQE-chosen but must stay equi.
+    p = explain(spark, "user_moving_sum_arrays", sf_smoke)
+    low = p.lower()
+    assert "cartesianproduct" not in low
+    assert "broadcastnestedloopjoin" not in low
+    assert "hashpartitioning(_slice" in low.replace(" ", "")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
 
 
 def test_vocab_growth_checkpoint_spine_broadcast(spark, sf_smoke):
@@ -615,3 +635,31 @@ def test_lttb_fold_jvm_bounded(spark, sf_smoke):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+def test_quantile_state_sliced_histogram(spark, sf_smoke):
+    # (r6) the quantile rollup's cumulative pass runs over the MERGED
+    # per-day histogram (domain-bounded), rides the range-sliced prefix
+    # scan, and never touches Python or a fact-table self-join
+    p = explain(spark, "quantile_state_rollup", sf_smoke)
+    low = p.lower()
+    assert "cartesianproduct" not in low
+    assert "broadcastnestedloopjoin" not in low
+    assert "sortmergejoin" not in low
+    assert "hashpartitioning(_slice" in low.replace(" ", "")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # main cum subtree + prefix-scan carry subtree + totals subtree each
+    # show the (column-pruned, map-side-combined) histogram build in the
+    # static plan; exchange reuse dedupes them at runtime
+    assert tree(p).count("Scan parquet") <= 3
+
+
+def test_sequence_match_sliced_chain(spark, sf_smoke):
+    # (r6) sequenceMatch must ride the sliced chain scan + sliced running
+    # max: no per-user serial window, no events x events self-join; the
+    # only nested-loop join is the final two-1-row-aggregates cross
+    p = explain(spark, "sequence_match_pattern", sf_smoke)
+    low = p.lower()
+    assert "sortmergejoin" not in low
+    assert "hashpartitioning(_slice" in low.replace(" ", "")
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p

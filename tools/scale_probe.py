@@ -62,6 +62,18 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _git_head() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=REPO, capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:  # noqa: BLE001 — stamp is best-effort metadata
+        return "unknown"
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 PROBE_ROOT = os.path.join(REPO, ".scale_probe")
@@ -295,6 +307,10 @@ def run_probe(scales, names, repeats: int = 2) -> dict:
             "ratio_hi": round(ts[k3] / ts[k2], 2),
             "ratio_hi_caladj": round(ratio_adj, 2),
             "verdict": verdict,
+            # staleness guard: the merge keeps un-reprobed rows, so each
+            # row records WHEN and against WHICH commit it was measured
+            "probed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "commit": _git_head(),
         }
     return {
         "scales": scales,

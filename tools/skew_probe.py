@@ -33,6 +33,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+sys.path.insert(0, os.path.join(REPO, "tools"))
+from scale_probe import _git_head  # noqa: E402
+
 X10 = os.path.join(REPO, ".scale_probe", "x10")
 SKEW = os.path.join(REPO, ".scale_probe", "x10_skew")
 
@@ -49,11 +52,17 @@ EVENT_QUERIES = [
     "sequence_pair_count",
     "user_delta_sum",
     "inter_event_gap_profile",
-    # r5: per-user sequential folds (EMA is serial per key by
-    # definition; the probe measures what the mega-user straggler costs)
+    # r6: EMA is now an affine segmented scan over (user, hour) — the
+    # mega-user must be flat, not the r5 2.95x straggler
     "ema_user_value",
     "window_funnel_levels_inclusive",
     "user_bounding_ratio",
+    # r6: capped moving-sum arrays ride the sliced ranking; plus the two
+    # heaviest bench rows, both time-keyed sweeps that must shrug off a
+    # user-skewed log
+    "user_moving_sum_arrays",
+    "weighted_median_price",
+    "max_concurrent_intervals",
 ]
 DOC_QUERIES = ["source_capped_sample", "sequence_packing_plan"]
 
@@ -148,11 +157,13 @@ def main():
         return round(best, 3)
 
     report = {}
+    loads = []
     for name in EVENT_QUERIES + DOC_QUERIES:
         fn = REGISTRY[name].spark
         mat(fn(spark, X10))  # warm
         uni = best_of(lambda: fn(spark, X10))
         skw = best_of(lambda: fn(spark, SKEW))
+        loads.append(os.getloadavg()[0])
         report[name] = {
             "uniform_s": uni,
             "skewed_s": skw,
@@ -167,6 +178,16 @@ def main():
     }
     print(f"# naive cap skewed: {report['naive_single_window_cap(skewed)']['skewed_s']}s")
 
+    # provenance + noise telemetry: ratios from a loaded host fabricate
+    # 2-3x skew that isn't there (measured across rounds)
+    report["_meta"] = {
+        "probed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "commit": _git_head(),
+        "host_load_1m": {
+            "min": round(min(loads), 1) if loads else None,
+            "max": round(max(loads), 1) if loads else None,
+        },
+    }
     path = os.path.join(REPO, "SKEW_PROBE.json")
     with open(path, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
