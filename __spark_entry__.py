@@ -16,6 +16,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from clickhouse_github_log_importer_spark.plans.queries import REGISTRY
+from clickhouse_github_log_importer_spark.plans.sample_window import (
+    ordered_names,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,12 +28,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md 2."""
-    return {name: spec.spark for name, spec in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md 2, ordered so
+    the driver's 50-entry correctness sample rotates through entries
+    that lack a driver-green row (plans/sample_window.py)."""
+    return {name: REGISTRY[name].spark for name in ordered_names(REGISTRY)}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible)."""
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: REGISTRY[name].oracle
+        for name in ordered_names(REGISTRY)
+        if REGISTRY[name].oracle is not None
     }

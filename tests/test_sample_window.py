@@ -1,0 +1,46 @@
+"""The driver-sample rotation contract (plans/sample_window.py): the
+driver hashes the first 50 entries of __spark_entry__.queries(), so the
+window must be exactly what we scheduled, cover the full registry, and
+actually rotate (majority never-driver-sampled)."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+from clickhouse_github_log_importer_spark.plans.queries import REGISTRY
+from clickhouse_github_log_importer_spark.plans.sample_window import (
+    DRIVER_SAMPLE,
+    SAMPLED_PRIOR,
+    ordered_names,
+)
+
+
+def test_window_is_50_unique_registered_names():
+    assert len(DRIVER_SAMPLE) == 50
+    assert len(set(DRIVER_SAMPLE)) == 50
+    missing = [n for n in DRIVER_SAMPLE if n not in REGISTRY]
+    assert not missing, missing
+
+
+def test_queries_surface_complete_and_window_first():
+    q = E.queries()
+    assert list(q)[:50] == list(DRIVER_SAMPLE)
+    assert set(q) == set(REGISTRY)  # rotation must never drop an entry
+    o = E.oracle_sql()
+    assert set(o) <= set(q)
+    # every windowed entry must be hash-checkable (has an oracle)
+    assert all(n in o for n in DRIVER_SAMPLE)
+
+
+def test_window_actually_rotates():
+    fresh = [n for n in DRIVER_SAMPLE if n not in SAMPLED_PRIOR]
+    # majority of the sample must be entries with no driver-green row yet
+    assert len(fresh) >= 40, len(fresh)
+    # user_activity stays: entry() references it by name
+    assert DRIVER_SAMPLE[0] == "user_activity"
+
+
+def test_ordered_names_stable_tail():
+    order = ordered_names(REGISTRY)
+    tail = order[50:]
+    reg_order = [n for n in REGISTRY if n not in set(DRIVER_SAMPLE)]
+    assert tail == reg_order
