@@ -43,12 +43,67 @@ def headline_names() -> list[str]:
 NON_HEADLINE = {"concurrent_event_counts"}
 
 
+def _synth_event(eid: int) -> dict:
+    """One synthetic GH-Archive event (issue/push/watch-heavy mix)."""
+    kind = eid % 10
+    base = {
+        "id": str(1_000_000 + eid),
+        "actor": {"id": eid % 5000, "login": f"user{eid % 5000}"},
+        "repo": {"id": eid % 2000, "name": f"org/repo{eid % 2000}"},
+        "created_at": f"2015-01-{(eid % 27) + 1:02d}T12:00:00Z",
+    }
+    if kind < 3:
+        base["type"] = "PushEvent"
+        base["payload"] = {
+            "push_id": eid, "size": 1, "distinct_size": 1,
+            "ref": "refs/heads/main", "head": "abc",
+            "commits": [{"author": {"name": "a", "email": "e"}, "message": "m"}],
+        }
+    elif kind < 6:
+        base["type"] = "WatchEvent"
+        base["payload"] = {"action": "started"}
+    elif kind < 8:
+        base["type"] = "IssuesEvent"
+        base["payload"] = {
+            "action": "opened",
+            "issue": {"id": eid, "number": eid % 500, "title": "t",
+                      "body": "b" * 50,
+                      "user": {"id": 1, "login": "u", "type": "User"},
+                      "comments": 0,
+                      "labels": [{"name": "bug", "color": "red"}]},
+        }
+    else:
+        base["type"] = "PullRequestEvent"
+        base["payload"] = {
+            "action": "closed",
+            "pull_request": {"id": eid, "number": eid % 500,
+                             "title": "t", "merged": True,
+                             "commits": 2, "additions": 5, "deletions": 2,
+                             "changed_files": 1,
+                             "user": {"id": 1, "login": "u", "type": "User"},
+                             "base": {"ref": "main"},
+                             "head": {"ref": "fix"}},
+        }
+    return base
+
+
+def _write_event_files(dirpath: str, rel_names: list[str], per_file: int) -> None:
+    """Write synthetic NDJSON.gz hour files under ``dirpath``."""
+    import gzip
+    import json
+
+    for fi, rel in enumerate(rel_names):
+        path = os.path.join(dirpath, rel)
+        os.makedirs(os.path.dirname(path) or dirpath, exist_ok=True)
+        with gzip.open(path, "wt") as f:
+            for i in range(per_file):
+                f.write(json.dumps(_synth_event(fi * per_file + i)) + "\n")
+
+
 def bench_ingest(spark, n_events: int = 128_000, n_files: int = 32) -> dict:
     """GH-Archive ingest throughput: NDJSON.gz -> parse -> partitioned
     parquet, records/s. Comparable to the reference's published bulk
     import figure (~20.8k rec/s on 6 worker threads, README.md:65)."""
-    import gzip
-    import json
     import shutil
     import tempfile
     import time as _t
@@ -60,52 +115,10 @@ def bench_ingest(spark, n_events: int = 128_000, n_files: int = 32) -> dict:
 
     tmp = tempfile.mkdtemp(prefix="ingest_bench_")
     try:
-        # synthesize a realistic event mix (issue/push/watch heavy)
         per_file = n_events // n_files
-        for fi in range(n_files):
-            with gzip.open(os.path.join(tmp, f"2015-01-01-{fi}.json.gz"), "wt") as f:
-                for i in range(per_file):
-                    eid = fi * per_file + i
-                    kind = eid % 10
-                    base = {
-                        "id": str(1_000_000 + eid),
-                        "actor": {"id": eid % 5000, "login": f"user{eid % 5000}"},
-                        "repo": {"id": eid % 2000, "name": f"org/repo{eid % 2000}"},
-                        "created_at": f"2015-01-{(eid % 27) + 1:02d}T12:00:00Z",
-                    }
-                    if kind < 3:
-                        base["type"] = "PushEvent"
-                        base["payload"] = {
-                            "push_id": eid, "size": 1, "distinct_size": 1,
-                            "ref": "refs/heads/main", "head": "abc",
-                            "commits": [{"author": {"name": "a", "email": "e"}, "message": "m"}],
-                        }
-                    elif kind < 6:
-                        base["type"] = "WatchEvent"
-                        base["payload"] = {"action": "started"}
-                    elif kind < 8:
-                        base["type"] = "IssuesEvent"
-                        base["payload"] = {
-                            "action": "opened",
-                            "issue": {"id": eid, "number": eid % 500, "title": "t",
-                                      "body": "b" * 50,
-                                      "user": {"id": 1, "login": "u", "type": "User"},
-                                      "comments": 0,
-                                      "labels": [{"name": "bug", "color": "red"}]},
-                        }
-                    else:
-                        base["type"] = "PullRequestEvent"
-                        base["payload"] = {
-                            "action": "closed",
-                            "pull_request": {"id": eid, "number": eid % 500,
-                                             "title": "t", "merged": True,
-                                             "commits": 2, "additions": 5, "deletions": 2,
-                                             "changed_files": 1,
-                                             "user": {"id": 1, "login": "u", "type": "User"},
-                                             "base": {"ref": "main"},
-                                             "head": {"ref": "fix"}},
-                        }
-                    f.write(json.dumps(base) + "\n")
+        _write_event_files(
+            tmp, [f"2015-01-01-{fi}.json.gz" for fi in range(n_files)], per_file
+        )
         out = os.path.join(tmp, "events_table")
         # run the job twice, report the faster: the first pass pays
         # whole-stage-codegen compilation + JIT across all executor
@@ -125,6 +138,53 @@ def bench_ingest(spark, n_events: int = 128_000, n_files: int = 32) -> dict:
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_lifecycle(spark, n_events: int = 64_000, n_files: int = 16) -> dict:
+    """SURVEY 3.1's full pipeline tick timed as ONE unit: manifest ->
+    existence/validity checks -> import (parse + partitioned parquet
+    append) -> reconcile -> compaction check -> status write — i.e.
+    update_log.ts:10-52's hourly cron body, downloads mocked by
+    pre-staged hour files. The reference's only published number is bulk
+    ingest throughput; this line makes the end-to-end loop comparable
+    apples-to-apples across rounds."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from clickhouse_github_log_importer_spark.streaming.pipeline import (
+        run_incremental,
+    )
+
+    per_file = n_events // n_files
+    rels = [
+        f"2015/01/01/2015-01-01-{h}.json.gz" for h in range(n_files)
+    ]
+    elapsed, status = None, {}
+    for _ in range(2):  # min-of-2: strip one-off codegen/JIT like ingest
+        tmp = tempfile.mkdtemp(prefix="lifecycle_bench_")
+        try:
+            data_dir = os.path.join(tmp, "data")
+            _write_event_files(data_dir, rels, per_file)
+            t0 = _t.monotonic()
+            status = run_incremental(
+                spark,
+                os.path.join(tmp, "meta.json"),
+                data_dir,
+                os.path.join(tmp, "events_table"),
+                expected_files=rels,
+            )
+            dt = _t.monotonic() - t0
+            elapsed = dt if elapsed is None else min(elapsed, dt)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "lifecycle_files": n_files,
+        "lifecycle_records": n_events,
+        "lifecycle_sec": round(elapsed, 3),
+        "lifecycle_records_per_sec": round(n_events / elapsed),
+        "lifecycle_imported": status.get("imported"),
+    }
 
 
 def main() -> None:
@@ -150,11 +210,30 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         errors["_warmup"] = f"{type(e).__name__}: {e}"[:500]
 
+    # host-noise telemetry: rounds 4-5 showed +-35% wall drift from a
+    # loaded host reading as plan regressions; record the load window and
+    # warn loudly (stderr — the driver captures stdout's JSON line only)
+    import sys
+
+    loads = [os.getloadavg()[0]]
+    if loads[0] > 4.0:
+        print(
+            f"# WARNING bench host busy: load1={loads[0]:.1f} > 4.0 — "
+            "timings will read 1.3-2x slow; rerun on an idle host",
+            file=sys.stderr,
+        )
+
     try:
         ingest = bench_ingest(spark)
     except Exception as e:  # noqa: BLE001
         ingest = {}
         errors["_ingest"] = f"{type(e).__name__}: {e}"[:500]
+
+    try:
+        lifecycle = bench_lifecycle(spark)
+    except Exception as e:  # noqa: BLE001
+        lifecycle = {}
+        errors["_lifecycle"] = f"{type(e).__name__}: {e}"[:500]
 
     # two passes, report the min per query: strips one-off plan-codegen /
     # JIT costs so the figure reflects steady-state execution (what a
@@ -172,6 +251,7 @@ def main() -> None:
                     timings[name] = dt
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:500]
+        loads.append(os.getloadavg()[0])
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -182,6 +262,11 @@ def main() -> None:
         sum(v for k, v in timings.items() if k not in NON_HEADLINE), 3
     )
     # Full artifact -> sidecar file (complete per-query map + full errors).
+    try:
+        with open("/proc/uptime") as f:
+            uptime_s = round(float(f.read().split()[0]))
+    except OSError:
+        uptime_s = None
     full = {
         "metric": "headline_queries_total_wall",
         "value": None if errors else headline_total,
@@ -190,7 +275,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # noise telemetry: readers must discount a loaded-host run
+        "host_load_1m": {
+            "start": round(loads[0], 1),
+            "min": round(min(loads), 1),
+            "max": round(max(loads), 1),
+        },
+        "uptime_s": uptime_s,
+        "benched_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         **ingest,
+        **lifecycle,
     }
     if errors:
         full["errors"] = errors
@@ -220,6 +314,9 @@ def main() -> None:
         "queries": top10,
         "full": "BENCH_FULL.json",
         **ingest,
+        "lifecycle_sec": lifecycle.get("lifecycle_sec"),
+        "lifecycle_records_per_sec": lifecycle.get("lifecycle_records_per_sec"),
+        "load1": round(loads[0], 1),
     }
     if errors:
         summary["errors"] = {
