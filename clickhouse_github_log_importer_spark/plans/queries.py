@@ -2867,6 +2867,12 @@ def _funnel_chain_scan(spark, sf_dir, inclusive: bool = False):
         F.greatest(
             "_lC", "_C_in", F.when(F.col("_lK").isNotNull(), F.col("_S_in"))
         ).alias("_gC"),
+        # consumers that run a FURTHER segmented pass (sequenceMatch's
+        # qualified-click running max) reuse this slice id: the join
+        # above leaves the frame hash-partitioned on (_slice, user_id),
+        # so their slice-local window adds no exchange and no second
+        # quantile job
+        "_slice",
     )
 
 
@@ -4405,6 +4411,191 @@ def welch_ttest_values(spark, sf_dir):
     )
 
 
+@register(
+    "student_ttest_values",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS s,
+             SUM(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS ss
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    ),
+    w AS (
+      SELECT
+        (SELECT CAST(n AS DOUBLE) FROM m WHERE event_type = 'click')
+          AS na,
+        (SELECT CAST(s AS DOUBLE) FROM m WHERE event_type = 'click')
+          AS sa,
+        (SELECT CAST(ss AS DOUBLE) FROM m WHERE event_type = 'click')
+          AS ssa,
+        (SELECT CAST(n AS DOUBLE) FROM m WHERE event_type = 'view')
+          AS nb,
+        (SELECT CAST(s AS DOUBLE) FROM m WHERE event_type = 'view')
+          AS sb,
+        (SELECT CAST(ss AS DOUBLE) FROM m WHERE event_type = 'view')
+          AS ssb
+    ),
+    v AS (
+      SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+             ((ssa - sa * sa / na) + (ssb - sb * sb / nb))
+               / (na + nb - 2) AS sp2
+      FROM w
+    )
+    SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_view,
+           round((ma - mb) / sqrt(sp2 * (1 / na + 1 / nb)), 6) AS t_stat,
+           CAST(na + nb - 2 AS BIGINT) AS df
+    FROM v
+    """,
+    tags=("agg", "stats", "clickhouse-parity"),
+    doc="ClickHouse studentTTest analog: the pooled-variance (equal-"
+    "variance) two-sample t statistic for value-in-cents, click vs "
+    "view arms — the equal-variance sibling of welch_ttest_values, "
+    "from the SAME exact-moment reduction ((n, S) BIGINT + SS "
+    "decimal(38,0) per arm, one map-side-combined shuffle, merge-"
+    "order-proof), with df = na + nb - 2 exact and the closed-form "
+    "double expression identical in both engines.",
+)
+def student_ttest_values(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    y = F.round(F.col("value") * 100).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(y).cast("long").alias("s"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("ss"),
+    )
+    one = m.groupBy().pivot("event_type", ["click", "view"]).agg(
+        F.first("n").alias("n"), F.first("s").alias("s"),
+        F.first("ss").alias("ss"),
+    )
+    na, sa, ssa = (
+        F.col("click_n").cast("double"),
+        F.col("click_s").cast("double"),
+        F.col("click_ss").cast("double"),
+    )
+    nb, sb, ssb = (
+        F.col("view_n").cast("double"),
+        F.col("view_s").cast("double"),
+        F.col("view_ss").cast("double"),
+    )
+    ma, mb = sa / na, sb / nb
+    sp2 = ((ssa - sa * sa / na) + (ssb - sb * sb / nb)) / (na + nb - 2)
+    return one.select(
+        F.col("click_n").alias("n_click"),
+        F.col("view_n").alias("n_view"),
+        F.round(
+            (ma - mb) / F.sqrt(sp2 * (F.lit(1) / na + F.lit(1) / nb)), 6
+        ).alias("t_stat"),
+        (na + nb - 2).cast("long").alias("df"),
+    )
+
+
+@register(
+    "mann_whitney_u_values",
+    """
+    WITH h AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS na_v,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nb_v
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    ),
+    c AS (
+      SELECT v, na_v, nb_v, na_v + nb_v AS m_v,
+             SUM(na_v + nb_v) OVER (ORDER BY v) AS cum
+      FROM h
+    ),
+    m AS (
+      SELECT CAST(SUM(na_v) AS BIGINT) AS n_click,
+             CAST(SUM(nb_v) AS BIGINT) AS n_view,
+             SUM(CAST(na_v AS HUGEINT)
+                 * (2 * (cum - m_v) + m_v + 1)) AS r2,
+             SUM(CAST(m_v AS HUGEINT) * m_v * m_v - m_v) AS tie
+      FROM c
+    )
+    SELECT n_click, n_view,
+           round(CAST(r2 - CAST(n_click AS HUGEINT) * (n_click + 1)
+                      AS DOUBLE) / 2, 1) AS u_click,
+           round((CAST(r2 - CAST(n_click AS HUGEINT) * (n_click + 1)
+                       AS DOUBLE) / 2
+                  - CAST(n_click AS DOUBLE) * n_view / 2)
+                 / sqrt(CAST(n_click AS DOUBLE) * n_view / 12
+                        * ((CAST(n_click + n_view AS DOUBLE) + 1)
+                           - CAST(tie AS DOUBLE)
+                             / (CAST(n_click + n_view AS DOUBLE)
+                                * (CAST(n_click + n_view AS DOUBLE)
+                                   - 1)))), 6) AS z_score
+    FROM m
+    """,
+    tags=("agg", "stats", "clickhouse-parity", "segmented-scan"),
+    doc="ClickHouse mannWhitneyUTest analog: the rank-sum U statistic "
+    "(click arm) and its tie-corrected normal z-score for value-in-"
+    "cents, click vs view. The rank reduction is EXACT INTEGER "
+    "arithmetic over the VALUE HISTOGRAM, not per-row ranks: with "
+    "c_v = count of values below v and m_v the tie-group size, "
+    "2*R_click = sum na_v * (2*c_v + m_v + 1) and the tie term "
+    "sum(m^3 - m) accumulate as decimal(38,0)/HUGEINT (2n^2 and m^3 "
+    "wrap int64 at real scales), so the merge order cannot matter and "
+    "the state is bounded by the value DOMAIN like "
+    "quantile_state_rollup. The cumulative tie-group walk rides the "
+    "range-sliced prefix scan; the closed-form z (normal "
+    "approximation, the same asymptotic ClickHouse uses for large n) "
+    "is the identical double expression in both engines.",
+)
+def mann_whitney_u_values(spark, sf_dir):
+    from ..operators.ranking import prefix_sum
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    h = ev.groupBy(
+        F.round(F.col("value") * 100).cast("long").alias("v")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("na_v"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("nb_v"),
+    ).withColumn("m_v", F.col("na_v") + F.col("nb_v"))
+    cum = prefix_sum(h, [], ["v"], "m_v")
+    c_v = F.col("_prefix") - F.col("m_v")
+    m = cum.agg(
+        F.sum("na_v").cast("long").alias("n_click"),
+        F.sum("nb_v").cast("long").alias("n_view"),
+        F.sum(
+            F.col("na_v").cast("decimal(38,0)")
+            * (2 * c_v + F.col("m_v") + 1)
+        ).alias("r2"),
+        F.sum(
+            F.col("m_v").cast("decimal(38,0)") * F.col("m_v") * F.col("m_v")
+            - F.col("m_v")
+        ).alias("tie"),
+    )
+    nad = F.col("n_click").cast("double")
+    nd = (F.col("n_click") + F.col("n_view")).cast("double")
+    u = (
+        F.col("r2")
+        - F.col("n_click").cast("decimal(38,0)") * (F.col("n_click") + 1)
+    ).cast("double") / 2
+    mu = nad * F.col("n_view") / 2
+    sig = F.sqrt(
+        nad * F.col("n_view") / 12
+        * ((nd + 1) - F.col("tie").cast("double") / (nd * (nd - 1)))
+    )
+    return m.select(
+        "n_click",
+        "n_view",
+        F.round(u, 1).alias("u_click"),
+        F.round((u - mu) / sig, 6).alias("z_score"),
+    )
+
+
 _LTTB_OUT = 20
 _LTTB_B = _LTTB_OUT - 2
 
@@ -4785,8 +4976,6 @@ _SEQ_MATCH_T_US = 3600 * 1000000  # the (?t<3600) edge bound, in micros
     "scale).",
 )
 def sequence_match_pattern(spark, sf_dir):
-    from ..operators.ranking import composite_slice_key, running_max_sliced
-
     g = _funnel_chain_scan(spark, sf_dir)
     q = g.withColumn(
         "_qts",
@@ -4796,19 +4985,36 @@ def sequence_match_pattern(spark, sf_dir):
             F.col("_ts"),
         ),
     )
-    r = running_max_sliced(
-        q,
-        ["user_id"],
-        ["_ts", "_k"],
-        "_qts",
-        slice_col=composite_slice_key("user_id", "_ts"),
-        broadcast_offsets=False,
+    # running max of qualified-click ts, REUSING the chain scan's slice
+    # id: the scan's carry join left the frame hash-partitioned on
+    # (_slice, user_id), so this slice-local window needs no new
+    # exchange and no second quantile job — just its own tiny carry
+    w_loc = (
+        Window.partitionBy("_slice", "user_id")
+        .orderBy("_ts", "_k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    local = q.withColumn("_lq", F.max("_qts").over(w_loc))
+    carry = q.groupBy("_slice", "user_id").agg(
+        F.max("_qts").alias("_qout")
+    )
+    w_off = (
+        Window.partitionBy("user_id")
+        .orderBy("_slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = carry.select(
+        "_slice", "user_id", F.max("_qout").over(w_off).alias("_qin")
+    )
+    r = local.join(offs, ["_slice", "user_id"])
     # purchase rows (_k == -2 in strict mode) sort before equal-ts
-    # clicks, so _rmax at a purchase sees only strictly-earlier
-    # qualified clicks
+    # clicks, so the running max at a purchase sees only strictly-
+    # earlier qualified clicks
     matched = (
-        r.filter((F.col("_k") == -2) & F.col("_rmax").isNotNull())
+        r.filter(
+            (F.col("_k") == -2)
+            & F.greatest("_lq", "_qin").isNotNull()
+        )
         .select("user_id")
         .distinct()
         .agg(F.count("*").cast("long").alias("n_matched"))
