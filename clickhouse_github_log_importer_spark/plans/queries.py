@@ -1635,6 +1635,130 @@ def heavy_hitters_cms(spark, sf_dir):
     return heavy_hitter_audit(t(spark, sf_dir, "events"), "user_id")
 
 
+def _cms_rollup_oracle(top: int = 3) -> str:
+    from ..functions.hashing import md5_hash64_sql
+    from ..operators.cms import _CMS_SEED0, CMS_DEPTH, CMS_WIDTH
+
+    def pos(key: str) -> str:
+        h = md5_hash64_sql(
+            f"concat(CAST({_CMS_SEED0} + j.j AS VARCHAR), ':', "
+            f"CAST({key} AS VARCHAR))"
+        )
+        return f"{h} % {CMS_WIDTH}"
+
+    return f"""
+    WITH base AS (
+      SELECT epoch_us(ts) // 86400000000 AS day_id,
+             epoch_us(ts) // 3600000000 AS hour_id, user_id
+      FROM events
+    ),
+    per_kh AS (SELECT day_id, hour_id, user_id, COUNT(*) AS c
+               FROM base GROUP BY 1, 2, 3),
+    hourly AS (
+      SELECT day_id, hour_id, j.j AS row, {pos('user_id')} AS pos,
+             SUM(c) AS cell_count
+      FROM per_kh CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) AS j(j)
+      GROUP BY 1, 2, 3, 4
+    ),
+    day_grid AS (
+      SELECT day_id, row, pos, CAST(SUM(cell_count) AS BIGINT)
+               AS cell_count
+      FROM hourly GROUP BY 1, 2, 3
+    ),
+    per_kd AS (SELECT day_id, user_id, CAST(SUM(c) AS BIGINT)
+                 AS exact_count
+               FROM per_kh GROUP BY 1, 2),
+    probes AS (
+      SELECT day_id, user_id, exact_count
+      FROM (SELECT *, row_number() OVER (PARTITION BY day_id
+                      ORDER BY exact_count DESC, user_id ASC) AS rn
+            FROM per_kd)
+      WHERE rn <= {top}
+    ),
+    probecells AS (
+      SELECT p.day_id, p.user_id, p.exact_count, j.j AS row,
+             {pos('p.user_id')} AS pos
+      FROM probes p CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) AS j(j)
+    )
+    SELECT pc.day_id, pc.user_id, pc.exact_count,
+           MIN(g.cell_count) AS cms_estimate,
+           CAST(MIN(g.cell_count) - pc.exact_count AS BIGINT)
+             AS overestimate
+    FROM probecells pc JOIN day_grid g USING (day_id, row, pos)
+    GROUP BY 1, 2, 3
+    """
+
+
+@register(
+    "cms_state_rollup",
+    _cms_rollup_oracle(),
+    tags=("A-approx", "sketch", "rollup", "clickhouse-parity"),
+    doc="CMS -State/-Merge rollup, completing the mergeable-state trio "
+    "(uniq_state_rollup distincts, quantile_state_rollup percentiles, "
+    "this one frequencies): hourly count-min grids (depth 4 x width "
+    "512, md5 portable rows) merged CELL-WISE to day grids without "
+    "re-reading raw data — CMS merge is linear, so merge == direct "
+    "exactly (pytest-pinned) — then each day's top-3 exact heavy "
+    "hitters probed against the day grid built ONLY from its hour "
+    "states: (day, key, exact, estimate, overestimate >= 0). The "
+    "per-day probe ranking rides the range-sliced distributed ranking "
+    "(negated-count order), never one serial window task per day. "
+    "operators/cms.py.",
+)
+def cms_state_rollup(spark, sf_dir):
+    from ..operators.cms import CMS_DEPTH, cms_pos
+    from ..operators.ranking import ranked
+
+    ev = t(spark, sf_dir, "events").select(
+        F.expr("ts_us div 86400000000").alias("day_id"),
+        F.expr("ts_us div 3600000000").alias("hour_id"),
+        "user_id",
+    )
+    per_kh = ev.groupBy("day_id", "hour_id", "user_id").agg(
+        F.count("*").alias("c")
+    )
+    cells = F.posexplode(
+        F.array(*[cms_pos("user_id", j) for j in range(CMS_DEPTH)])
+    ).alias("row", "pos")
+    # hourly -State grids (sparse-represented)
+    hourly = (
+        per_kh.select("day_id", "hour_id", "c", cells)
+        .groupBy("day_id", "hour_id", "row", "pos")
+        .agg(F.sum("c").alias("cell_count"))
+    )
+    # -Merge: day grid from hour grids only (cell-wise add, exact)
+    day_grid = hourly.groupBy("day_id", "row", "pos").agg(
+        F.sum("cell_count").cast("long").alias("cell_count")
+    )
+    per_kd = per_kh.groupBy("day_id", "user_id").agg(
+        F.sum("c").cast("long").alias("exact_count")
+    )
+    probes = (
+        ranked(
+            per_kd.withColumn("_neg", -F.col("exact_count")),
+            ["day_id"],
+            ["_neg", "user_id"],
+        )
+        .filter(F.col("_rank") <= 3)
+        .select("day_id", "user_id", "exact_count")
+    )
+    pc = probes.select("day_id", "user_id", "exact_count", cells)
+    return (
+        pc.join(day_grid, ["day_id", "row", "pos"])
+        .groupBy("day_id", "user_id", "exact_count")
+        .agg(F.min("cell_count").alias("cms_estimate"))
+        .select(
+            "day_id",
+            "user_id",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )
+
+
 @register(
     "approx_distinct_users",
     """

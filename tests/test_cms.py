@@ -78,3 +78,50 @@ def test_cms_streaming_matches_batch(spark, tmp_path):
         tuple(r) for r in cms.cms_cells_streamable(spark.read.parquet(src), "user_id").collect()
     )
     assert streamed == batch
+
+
+def test_cms_rollup_merge_equals_direct(spark):
+    # the -Merge contract: the day grid summed from HOURLY grids must
+    # equal the grid built directly from the day's rows — CMS merge is
+    # linear (cell-wise add), so equality is exact, not approximate
+    from pyspark.sql import functions as F
+
+    ev = t(spark, SF, "events").select(
+        F.expr("ts_us div 86400000000").alias("day_id"),
+        F.expr("ts_us div 3600000000").alias("hour_id"),
+        "user_id",
+    )
+    per_kh = ev.groupBy("day_id", "hour_id", "user_id").agg(
+        F.count("*").alias("c")
+    )
+    cells = F.posexplode(
+        F.array(*[cms.cms_pos("user_id", j) for j in range(cms.CMS_DEPTH)])
+    ).alias("row", "pos")
+    hourly = (
+        per_kh.select("day_id", "hour_id", "c", cells)
+        .groupBy("day_id", "hour_id", "row", "pos")
+        .agg(F.sum("c").alias("cell_count"))
+    )
+    merged = sorted(
+        tuple(r)
+        for r in hourly.groupBy("day_id", "row", "pos")
+        .agg(F.sum("cell_count").cast("long").alias("cell_count"))
+        .collect()
+    )
+    per_kd = ev.groupBy("day_id", "user_id").agg(F.count("*").alias("c"))
+    direct = sorted(
+        tuple(r)
+        for r in per_kd.select("day_id", "c", cells)
+        .groupBy("day_id", "row", "pos")
+        .agg(F.sum("c").cast("long").alias("cell_count"))
+        .collect()
+    )
+    assert merged == direct
+
+
+def test_cms_rollup_overestimate_one_sided(spark):
+    from clickhouse_github_log_importer_spark.plans.queries import REGISTRY
+
+    rows = REGISTRY["cms_state_rollup"].spark(spark, SF).collect()
+    assert rows and all(r["overestimate"] >= 0 for r in rows)
+    assert all(r["cms_estimate"] >= r["exact_count"] for r in rows)
