@@ -4720,6 +4720,207 @@ def mann_whitney_u_values(spark, sf_dir):
     )
 
 
+@register(
+    "kolmogorov_smirnov_values",
+    """
+    WITH h AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS na_v,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nb_v
+      FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    ),
+    c AS (
+      SELECT v, SUM(na_v) OVER (ORDER BY v) AS ca,
+             SUM(na_v + nb_v) OVER (ORDER BY v) AS cm
+      FROM h
+    ),
+    tot AS (
+      SELECT CAST(SUM(na_v) AS BIGINT) AS na,
+             CAST(SUM(nb_v) AS BIGINT) AS nb
+      FROM h
+    ),
+    d AS (
+      SELECT na, nb,
+             MAX(abs(CAST(ca AS HUGEINT) * nb
+                     - CAST(cm - ca AS HUGEINT) * na)) AS dnum
+      FROM c CROSS JOIN tot GROUP BY 1, 2
+    )
+    SELECT na AS n_click, nb AS n_view,
+           round(CAST(dnum AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6)
+             AS d_stat,
+           round(sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                 * (CAST(dnum AS DOUBLE)
+                    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6)
+             AS ks_stat
+    FROM d
+    """,
+    tags=("agg", "stats", "clickhouse-parity", "segmented-scan"),
+    doc="ClickHouse kolmogorovSmirnovTest analog: the two-sample KS "
+    "distance D = max |ECDF_click - ECDF_view| and the scaled statistic "
+    "sqrt(na*nb/(na+nb))*D for value-in-cents. The ECDF gap is EXACT "
+    "INTEGER arithmetic over the value histogram — cross-multiplied "
+    "like the LTTB anchors: D's numerator is max |cumA*nb - cumB*na| "
+    "(decimal/HUGEINT: cum products reach n^2), with cumB derived as "
+    "cum(m) - cumA so ONE arm's prefix plus the total prefix suffice; "
+    "the max and both cumulatives ride the range-sliced prefix scan "
+    "over the domain-bounded histogram, never a global per-row sort, "
+    "and only the final one-row closed form touches doubles — the "
+    "identical expression in both engines. Completes the two-sample "
+    "family: welch/student (means), mannWhitney (ranks), KS "
+    "(distributions).",
+)
+def kolmogorov_smirnov_values(spark, sf_dir):
+    from ..operators.ranking import prefix_sum
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    h = ev.groupBy(
+        F.round(F.col("value") * 100).cast("long").alias("v")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("na_v"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("long")
+        .alias("nb_v"),
+    ).withColumn("m_v", F.col("na_v") + F.col("nb_v"))
+    ca = prefix_sum(h, [], ["v"], "na_v").withColumnRenamed("_prefix", "_ca")
+    c = prefix_sum(ca, [], ["v"], "m_v").withColumnRenamed("_prefix", "_cm")
+    tot = h.agg(
+        F.sum("na_v").cast("long").alias("na"),
+        F.sum("nb_v").cast("long").alias("nb"),
+    )
+    j = c.crossJoin(F.broadcast(tot))  # 1-row totals
+    d = j.groupBy("na", "nb").agg(
+        F.max(
+            F.abs(
+                F.col("_ca").cast("decimal(38,0)") * F.col("nb")
+                - (F.col("_cm") - F.col("_ca")).cast("decimal(38,0)")
+                * F.col("na")
+            )
+        ).alias("dnum")
+    )
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    dd = F.col("dnum").cast("double") / (nad * nbd)
+    return d.select(
+        F.col("na").alias("n_click"),
+        F.col("nb").alias("n_view"),
+        F.round(dd, 6).alias("d_stat"),
+        F.round(F.sqrt(nad * nbd / (nad + nbd)) * dd, 6).alias("ks_stat"),
+    )
+
+
+@register(
+    "cramers_v_type_band",
+    """
+    WITH cells AS (
+      SELECT event_type AS t,
+             (epoch_us(ts) // 3600000000 % 24) // 6 AS band,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT t, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    ct AS (SELECT band, CAST(SUM(o) AS BIGINT) AS c
+           FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT t) AS BIGINT) AS nr,
+                   CAST(COUNT(DISTINCT band) AS BIGINT) AS nc
+            FROM cells),
+    packed AS (
+      SELECT tot.n, tot.nr, tot.nc,
+             list(struct_pack(t := cells.t, band := cells.band,
+                              o := cells.o, r := rt.r, c := ct.c)
+                  ORDER BY cells.t, cells.band) AS arr
+      FROM cells JOIN rt USING (t) JOIN ct USING (band) CROSS JOIN tot
+      GROUP BY 1, 2, 3
+    ),
+    chi AS (
+      SELECT n, nr, nc,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(arr, x ->
+                   (CAST(x.o AS DOUBLE)
+                    - CAST(x.r AS DOUBLE) * x.c / CAST(n AS DOUBLE))
+                   * (CAST(x.o AS DOUBLE)
+                      - CAST(x.r AS DOUBLE) * x.c / CAST(n AS DOUBLE))
+                   / (CAST(x.r AS DOUBLE) * x.c / CAST(n AS DOUBLE)))),
+               (acc, x) -> acc + x) AS chi2
+      FROM packed
+    )
+    SELECT n, nr AS n_rows, nc AS n_cols,
+           round(chi2, 4) AS chi2,
+           round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                              * least(nr - 1, nc - 1))), 6) AS cramers_v
+    FROM chi
+    """,
+    tags=("agg", "stats", "clickhouse-parity"),
+    doc="ClickHouse cramersV analog: association between event type and "
+    "6-hour time-of-day band. The contingency table is ONE map-side-"
+    "combined shuffle to <= (types x bands) exact BIGINT cells; "
+    "marginals and n derive from the cells, never a second fact scan. "
+    "chi^2 sums <= 20 double terms — order-dependent in IEEE, so both "
+    "engines fold the IDENTICAL terms in the IDENTICAL (type, band) "
+    "sort order over a collected array (the same discipline as the "
+    "LTTB walk) instead of trusting an aggregate's merge order; "
+    "V = sqrt(chi2 / (n * min(r-1, c-1))) is the identical one-row "
+    "closed form.",
+)
+def cramers_v_type_band(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.expr("(ts_us div 3600000000 % 24) div 6").alias("band"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    rt = cells.groupBy("t").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("band").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct("t").cast("long").alias("nr"),
+        F.count_distinct("band").cast("long").alias("nc"),
+    )
+    packed = (
+        cells.join(F.broadcast(rt), "t")
+        .join(F.broadcast(ct), "band")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n", "nr", "nc")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("t"), F.col("band"), F.col("o"),
+                        F.col("r"), F.col("c"),
+                    )
+                )
+            ).alias("arr")
+        )
+    )
+    nd = F.col("n").cast("double")
+
+    def term(x):
+        e = x["r"].cast("double") * x["c"] / nd
+        d = x["o"].cast("double") - e
+        return d * d / e
+
+    chi2 = F.aggregate(
+        F.transform(F.col("arr"), term), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return packed.select(
+        "n",
+        F.col("nr").alias("n_rows"),
+        F.col("nc").alias("n_cols"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.sqrt(chi2 / (nd * F.least(F.col("nr") - 1, F.col("nc") - 1))),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
 _LTTB_OUT = 20
 _LTTB_B = _LTTB_OUT - 2
 
@@ -5526,6 +5727,616 @@ def conditional_aggregates_by_type(spark, sf_dir):
         .cast("long")
         .alias("weekend_cents"),
         F.min(F.when(wk, s)).getField("e").alias("cheapest_weekend_event"),
+    )
+
+
+@register(
+    "spearman_value_hour",
+    """
+    WITH joint AS (
+      SELECT epoch_us(ts) // 3600000000 % 24 AS h,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM events GROUP BY 1, 2
+    ),
+    hh AS (
+      SELECT h, 2 * (SUM(mh) OVER (ORDER BY h) - mh) + mh + 1 AS rx2
+      FROM (SELECT h, CAST(SUM(m) AS BIGINT) AS mh FROM joint GROUP BY 1)
+    ),
+    vv AS (
+      SELECT v, 2 * (SUM(mv) OVER (ORDER BY v) - mv) + mv + 1 AS ry2
+      FROM (SELECT v, CAST(SUM(m) AS BIGINT) AS mv FROM joint GROUP BY 1)
+    ),
+    s AS (
+      SELECT CAST(SUM(m) AS BIGINT) AS n,
+             SUM(CAST(m AS HUGEINT) * rx2) AS sx,
+             SUM(CAST(m AS HUGEINT) * ry2) AS sy,
+             SUM(CAST(m AS HUGEINT) * rx2 * rx2) AS sxx,
+             SUM(CAST(m AS HUGEINT) * ry2 * ry2) AS syy,
+             SUM(CAST(m AS HUGEINT) * rx2 * ry2) AS sxy
+      FROM joint JOIN hh USING (h) JOIN vv USING (v)
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS spearman_rho
+    FROM s
+    """,
+    tags=("agg", "stats", "clickhouse-parity", "segmented-scan"),
+    doc="ClickHouse rankCorr analog: Spearman rank correlation between "
+    "hour-of-day and value-in-cents, tie-aware (both variables are "
+    "heavily tied). Per-row ranks collapse to histograms: the joint "
+    "(hour, cents) contingency reduces map-side to <= 24 x |value "
+    "domain| cells; each variable's doubled average rank 2r = "
+    "2c + m + 1 (an exact integer) comes from its marginal "
+    "histogram's prefix scan (the value arm rides the range-sliced "
+    "prefix scan, never a global per-row sort); Spearman is then "
+    "Pearson over rank moments accumulated as EXACT decimal(38,0) "
+    "(per-cell m*(2rx)*(2ry) <= 4n^3 wraps int64 beyond ~1.6e6 rows "
+    "and stays in 38 digits to n ~ 2.9e12; the n*Sxy-scale closed "
+    "form would reach 4n^4, so it is evaluated in doubles — the "
+    "identical IEEE expression in both engines, merge-order-proof "
+    "because every input to it is exact).",
+)
+def spearman_value_hour(spark, sf_dir):
+    from ..operators.ranking import prefix_sum
+
+    ev = t(spark, sf_dir, "events")
+    joint = ev.groupBy(
+        (F.expr("ts_us div 3600000000") % 24).alias("h"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    ).agg(F.count("*").cast("long").alias("m"))
+    hh = joint.groupBy("h").agg(F.sum("m").cast("long").alias("mh"))
+    hh = prefix_sum(hh, [], ["h"], "mh").select(
+        "h",
+        (2 * (F.col("_prefix") - F.col("mh")) + F.col("mh") + 1).alias("rx2"),
+    )
+    vv = joint.groupBy("v").agg(F.sum("m").cast("long").alias("mv"))
+    vv = prefix_sum(vv, [], ["v"], "mv").select(
+        "v",
+        (2 * (F.col("_prefix") - F.col("mv")) + F.col("mv") + 1).alias("ry2"),
+    )
+    j = joint.join(F.broadcast(hh), "h").join(vv, "v")
+    md = F.col("m").cast("decimal(38,0)")
+    s = j.agg(
+        F.sum("m").cast("long").alias("n"),
+        F.sum(md * F.col("rx2")).alias("sx"),
+        F.sum(md * F.col("ry2")).alias("sy"),
+        F.sum(md * F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(md * F.col("ry2") * F.col("ry2")).alias("syy"),
+        F.sum(md * F.col("rx2") * F.col("ry2")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    rho = (nd * F.col("sxy").cast("double") - sxd * syd) / F.sqrt(
+        (nd * F.col("sxx").cast("double") - sxd * sxd)
+        * (nd * F.col("syy").cast("double") - syd * syd)
+    )
+    return s.select("n", F.round(rho, 6).alias("spearman_rho"))
+
+
+@register(
+    "categorical_association_suite",
+    """
+    WITH cells AS (
+      SELECT event_type AS t,
+             (epoch_us(ts) // 3600000000 % 24) // 6 AS band,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT t, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+    ct AS (SELECT band, CAST(SUM(o) AS BIGINT) AS c
+           FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT t) AS BIGINT) AS nr,
+                   CAST(COUNT(DISTINCT band) AS BIGINT) AS nc
+            FROM cells),
+    packed AS (
+      SELECT tot.n, tot.nr, tot.nc,
+             list(struct_pack(t := cells.t, band := cells.band,
+                              o := cells.o, r := rt.r, c := ct.c)
+                  ORDER BY cells.t, cells.band) AS arr
+      FROM cells JOIN rt USING (t) JOIN ct USING (band) CROSS JOIN tot
+      GROUP BY 1, 2, 3
+    ),
+    folded AS (
+      SELECT n, nr, nc,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(arr, x ->
+                   (CAST(x.o AS DOUBLE)
+                    - CAST(x.r AS DOUBLE) * x.c / CAST(n AS DOUBLE))
+                   * (CAST(x.o AS DOUBLE)
+                      - CAST(x.r AS DOUBLE) * x.c / CAST(n AS DOUBLE))
+                   / (CAST(x.r AS DOUBLE) * x.c / CAST(n AS DOUBLE)))),
+               (acc, x) -> acc + x) AS chi2,
+             0.0 - list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(arr, x ->
+                   (CAST(x.o AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(x.r AS DOUBLE) / CAST(n AS DOUBLE)))),
+               (acc, x) -> acc + x) AS hx,
+             0.0 - list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(arr, x ->
+                   (CAST(x.o AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(x.c AS DOUBLE) / CAST(n AS DOUBLE)))),
+               (acc, x) -> acc + x) AS hy,
+             0.0 - list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(arr, x ->
+                   (CAST(x.o AS DOUBLE) / CAST(n AS DOUBLE))
+                   * ln(CAST(x.o AS DOUBLE) / CAST(n AS DOUBLE)))),
+               (acc, x) -> acc + x) AS hxy
+      FROM packed
+    )
+    SELECT n, nr AS n_rows, nc AS n_cols,
+           round(sqrt(chi2 / (chi2 + CAST(n AS DOUBLE))), 6)
+             AS contingency_coeff,
+           round(sqrt(
+             greatest(CAST(0.0 AS DOUBLE),
+                      chi2 / CAST(n AS DOUBLE)
+                      - CAST((nr - 1) * (nc - 1) AS DOUBLE)
+                        / CAST(n - 1 AS DOUBLE))
+             / least(CAST(nr AS DOUBLE)
+                     - CAST((nr - 1) * (nr - 1) AS DOUBLE)
+                       / CAST(n - 1 AS DOUBLE) - 1,
+                     CAST(nc AS DOUBLE)
+                     - CAST((nc - 1) * (nc - 1) AS DOUBLE)
+                       / CAST(n - 1 AS DOUBLE) - 1)), 6)
+             AS cramers_v_bc,
+           round((hx + hy - hxy) / hx, 6) AS theils_u
+    FROM folded
+    """,
+    tags=("agg", "stats", "clickhouse-parity"),
+    doc="ClickHouse contingency / cramersVBiasCorrected / theilsU "
+    "analogs, all from the ONE exact-integer contingency table "
+    "cramers_v_type_band builds (event type x 6-hour band, one "
+    "map-side-combined shuffle). The entropy terms use the marginal-"
+    "through-cells identity sum_cells (o/n)ln(r/n) = sum_rows "
+    "(r/n)ln(r/n), so H(X), H(Y) and H(X,Y) are all pinned-order "
+    "folds over the SAME sorted cells array (the LTTB discipline: "
+    "IEEE sum order is part of the portable semantics); theilsU = "
+    "(H(X)+H(Y)-H(X,Y))/H(X) is the uncertainty coefficient "
+    "U(type|band), contingency = sqrt(chi2/(chi2+n)), and the "
+    "Bergsma bias correction subtracts (r-1)(c-1)/(n-1) from phi^2 "
+    "with the corrected-dimension denominator — each a one-row "
+    "closed form over exact inputs, identical in both engines.",
+)
+def categorical_association_suite(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.expr("(ts_us div 3600000000 % 24) div 6").alias("band"),
+    ).agg(F.count("*").cast("long").alias("o"))
+    rt = cells.groupBy("t").agg(F.sum("o").cast("long").alias("r"))
+    ct = cells.groupBy("band").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count_distinct("t").cast("long").alias("nr"),
+        F.count_distinct("band").cast("long").alias("nc"),
+    )
+    packed = (
+        cells.join(F.broadcast(rt), "t")
+        .join(F.broadcast(ct), "band")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n", "nr", "nc")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("t"), F.col("band"), F.col("o"),
+                        F.col("r"), F.col("c"),
+                    )
+                )
+            ).alias("arr")
+        )
+    )
+    nd = F.col("n").cast("double")
+
+    def fold(term):
+        return F.aggregate(
+            F.transform(F.col("arr"), term), F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def chi_term(x):
+        e = x["r"].cast("double") * x["c"] / nd
+        d = x["o"].cast("double") - e
+        return d * d / e
+
+    chi2 = fold(chi_term)
+    hx = F.lit(0.0) - fold(
+        lambda x: (x["o"].cast("double") / nd)
+        * F.log(x["r"].cast("double") / nd)
+    )
+    hy = F.lit(0.0) - fold(
+        lambda x: (x["o"].cast("double") / nd)
+        * F.log(x["c"].cast("double") / nd)
+    )
+    hxy = F.lit(0.0) - fold(
+        lambda x: (x["o"].cast("double") / nd)
+        * F.log(x["o"].cast("double") / nd)
+    )
+    n1d = (F.col("n") - 1).cast("double")
+    phi2c = F.greatest(
+        F.lit(0.0),
+        chi2 / nd
+        - ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("double") / n1d,
+    )
+    denom = F.least(
+        F.col("nr").cast("double")
+        - ((F.col("nr") - 1) * (F.col("nr") - 1)).cast("double") / n1d - 1,
+        F.col("nc").cast("double")
+        - ((F.col("nc") - 1) * (F.col("nc") - 1)).cast("double") / n1d - 1,
+    )
+    return packed.select(
+        "n",
+        F.col("nr").alias("n_rows"),
+        F.col("nc").alias("n_cols"),
+        F.round(F.sqrt(chi2 / (chi2 + nd)), 6).alias("contingency_coeff"),
+        F.round(F.sqrt(phi2c / denom), 6).alias("cramers_v_bc"),
+        F.round((hx + hy - hxy) / hx, 6).alias("theils_u"),
+    )
+
+
+@register(
+    "value_moments_by_type",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS s1,
+             SUM(CAST(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+               AS s2,
+             SUM(CAST(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS s3,
+             SUM(CAST(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+                 * (CAST(round(value * 100) AS BIGINT)
+                    * CAST(round(value * 100) AS BIGINT))) AS s4
+      FROM events GROUP BY 1
+    ),
+    a AS (
+      SELECT event_type, n,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             CAST(s2 AS DOUBLE) / n AS a2,
+             CAST(s3 AS DOUBLE) / n AS a3,
+             CAST(s4 AS DOUBLE) / n AS a4
+      FROM m
+    ),
+    c AS (
+      SELECT event_type, n, mean,
+             a2 - mean * mean AS m2,
+             a3 - 3 * mean * a2 + 2 * mean * mean * mean AS m3,
+             a4 - 4 * mean * a3 + 6 * mean * mean * a2
+                - 3 * mean * mean * mean * mean AS m4
+      FROM a
+    )
+    SELECT event_type, n,
+           round(mean, 4) AS mean_cents,
+           round(m2, 4) AS var_pop,
+           round(m3 / (m2 * sqrt(m2)), 6) AS skew_pop,
+           round(m4 / (m2 * m2), 6) AS kurt_pop
+    FROM c
+    """,
+    tags=("agg", "stats", "clickhouse-parity"),
+    doc="ClickHouse skewPop / kurtPop analog: population skewness "
+    "m3/m2^1.5 and (non-excess, ClickHouse-convention) kurtosis "
+    "m4/m2^2 of value-in-cents per event type, from EXACT raw power "
+    "sums S1..S4 in ONE map-side-combined shuffle. S1 stays BIGINT; "
+    "S2..S4 accumulate as decimal(38,0)/HUGEINT — cents<=~6e4 makes "
+    "the per-row 4th power ~1.3e19, which already exceeds int64 as a "
+    "SUM at 1 row and the per-row product must itself be computed in "
+    "decimal (long*long multiplication wraps silently in the JVM); "
+    "38 digits hold S4 to n ~ 7e18 rows. The central-moment closed "
+    "forms (m3 = a3 - 3*mean*a2 + 2*mean^3, ...) are evaluated as "
+    "the IDENTICAL double expression trees in both engines over "
+    "those exact sums, so the result is merge-order-proof.",
+)
+def value_moments_by_type(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    y = F.round(F.col("value") * 100).cast("long")
+    y2 = y * y  # <= ~3.6e9 for cents <= 6e4: safe as a per-row long
+    y2d = y2.cast("decimal(38,0)")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(y).cast("long").alias("s1"),
+        F.sum(y2d).alias("s2"),
+        F.sum(y2d * y).alias("s3"),
+        F.sum(y2d * y2).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    a2 = F.col("s2").cast("double") / nd
+    a3 = F.col("s3").cast("double") / nd
+    a4 = F.col("s4").cast("double") / nd
+    m2 = a2 - mean * mean
+    m3 = a3 - 3 * mean * a2 + 2 * mean * mean * mean
+    m4 = (
+        a4 - 4 * mean * a3 + 6 * mean * mean * a2
+        - 3 * mean * mean * mean * mean
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(mean, 4).alias("mean_cents"),
+        F.round(m2, 4).alias("var_pop"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skew_pop"),
+        F.round(m4 / (m2 * m2), 6).alias("kurt_pop"),
+    )
+
+
+@register(
+    "value_hour_regression",
+    """
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(epoch_us(ts) // 3600000000 % 24) AS BIGINT) AS sx,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sy,
+             CAST(SUM((epoch_us(ts) // 3600000000 % 24)
+                      * (epoch_us(ts) // 3600000000 % 24)) AS BIGINT)
+               AS sxx,
+             SUM(CAST((epoch_us(ts) // 3600000000 % 24) AS HUGEINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS sxy
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope_cents_per_hour,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE), 6) AS intercept_cents
+    FROM m
+    """,
+    tags=("agg", "stats", "clickhouse-parity"),
+    doc="ClickHouse simpleLinearRegression analog: per event type, the "
+    "least-squares slope and intercept of value-in-cents on "
+    "hour-of-day, from the same exact-moment reduction as "
+    "value_hour_correlation — (n, Sx, Sy, Sxx) BIGINT and Sxy "
+    "decimal(38,0) (hour*cents <= 1.4e6 per row; int64 wraps at "
+    "~6.5e12 rows, decimal holds to ~7e31) in one map-side-combined "
+    "shuffle, closed form slope=(n*Sxy-Sx*Sy)/(n*Sxx-Sx^2) and "
+    "intercept=(Sy-slope*Sx)/n evaluated as identical double "
+    "expressions in both engines.",
+)
+def value_hour_regression(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    x = F.expr("ts_us div 3600000000") % 24
+    y = F.round(F.col("value") * 100).cast("long")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x).cast("long").alias("sx"),
+        F.sum(y).cast("long").alias("sy"),
+        F.sum(x * x).cast("long").alias("sxx"),
+        F.sum(x.cast("decimal(38,0)") * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    slope = (nd * F.col("sxy").cast("double") - sxd * syd) / (
+        nd * F.col("sxx").cast("double") - sxd * sxd
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_cents_per_hour"),
+        F.round((syd - slope * sxd) / nd, 6).alias("intercept_cents"),
+    )
+
+
+@register(
+    "bitwise_user_masks",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(bit_and(user_id) AS BIGINT) AS users_bit_and,
+           CAST(bit_or(user_id) AS BIGINT) AS users_bit_or,
+           CAST(bit_xor(user_id) AS BIGINT) AS users_bit_xor
+    FROM events GROUP BY 1
+    """,
+    tags=("agg", "clickhouse-parity"),
+    doc="ClickHouse groupBitAnd / groupBitOr / groupBitXor analog over "
+    "user ids per event type, via Spark's native bit_and/bit_or/"
+    "bit_xor aggregates — bitwise ops are associative and "
+    "commutative, so the aggregation is one map-side-combined "
+    "shuffle with exact results under any merge order (the xor arm "
+    "is the classic distributed parity check).",
+)
+def bitwise_user_masks(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("bit_and(user_id)").cast("long").alias("users_bit_and"),
+        F.expr("bit_or(user_id)").cast("long").alias("users_bit_or"),
+        F.expr("bit_xor(user_id)").cast("long").alias("users_bit_xor"),
+    )
+
+
+@register(
+    "hour_entropy_by_type",
+    """
+    WITH cells AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 % 24 AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    packed AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+             list(struct_pack(h := h, c := c) ORDER BY h) AS arr
+      FROM cells GROUP BY 1
+    )
+    SELECT event_type, n,
+           round(0.0 - list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(arr, x ->
+                 (CAST(x.c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(x.c AS DOUBLE) / CAST(n AS DOUBLE)))),
+             (acc, x) -> acc + x), 6) AS entropy_nats,
+           round((0.0 - list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(arr, x ->
+                 (CAST(x.c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(x.c AS DOUBLE) / CAST(n AS DOUBLE)))),
+             (acc, x) -> acc + x)) / 0.6931471805599453, 6)
+             AS entropy_bits
+    FROM packed
+    """,
+    tags=("agg", "stats", "clickhouse-parity"),
+    doc="ClickHouse entropy() analog: Shannon entropy of each event "
+    "type's hour-of-day distribution. The fact stream reduces "
+    "map-side to <= 24 exact BIGINT cells per type; the <= 24 "
+    "p*ln(p) double terms fold in pinned h-order over a collected "
+    "array (IEEE sum order as part of the semantics, the "
+    "cramers/LTTB discipline), and the bits variant divides the "
+    "nats fold by the LITERAL double 0.6931471805599453 rather than "
+    "trusting both engines' log2/ln(2) to agree to the last ULP.",
+)
+def hour_entropy_by_type(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.expr("ts_us div 3600000000") % 24).alias("h")
+    ).agg(F.count("*").cast("long").alias("c"))
+    packed = cells.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.array_sort(F.collect_list(F.struct("h", "c"))).alias("arr"),
+    )
+    nd = F.col("n").cast("double")
+    nats = F.lit(0.0) - F.aggregate(
+        F.transform(
+            F.col("arr"),
+            lambda x: (x["c"].cast("double") / nd)
+            * F.log(x["c"].cast("double") / nd),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return packed.select(
+        "event_type",
+        "n",
+        F.round(nats, 6).alias("entropy_nats"),
+        F.round(nats / F.lit(0.6931471805599453), 6).alias("entropy_bits"),
+    )
+
+
+@register(
+    "hourly_autocorrelation",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour_id,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(hour_id) AS lo, max(hour_id) AS hi FROM c),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS hour_id FROM span),
+    g AS (SELECT grid.hour_id, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+          FROM grid LEFT JOIN c USING (hour_id)),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s1,
+                   SUM(CAST(x AS HUGEINT) * x) AS s2
+            FROM g),
+    p AS (SELECT CAST(b.hour_id - a.hour_id AS BIGINT) AS lag,
+                 SUM(CAST(a.x AS HUGEINT) * b.x) AS sxy,
+                 CAST(SUM(a.x) AS BIGINT) AS sh,
+                 CAST(SUM(b.x) AS BIGINT) AS st
+          FROM g a JOIN g b ON b.hour_id - a.hour_id BETWEEN 1 AND 3
+          GROUP BY 1)
+    SELECT lag, n AS n_hours,
+           round((CAST(sxy AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / n) * (sh + st)
+                  + (n - lag) * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
+                 / (CAST(s2 AS DOUBLE)
+                    - n * (CAST(s1 AS DOUBLE) / n)
+                      * (CAST(s1 AS DOUBLE) / n)), 6) AS acf
+    FROM p CROSS JOIN tot ORDER BY lag
+    """,
+    tags=("agg", "stats", "timeseries", "clickhouse-parity"),
+    doc="Autocorrelation of the gap-filled global hourly event-count "
+    "series at lags 1..3 (the seasonality probe ClickHouse users "
+    "build from neighbor self-joins or runningDifference). The fact "
+    "stream reduces map-side to the TIME-bounded hourly histogram "
+    "(calendar hours, never data volume — a decade is ~9e4 points), "
+    "which zero-fills like gap_filled_hourly_counts and packs into "
+    "ONE sorted array row; each lag's cross-moment sum_t x_t*x_{t+k} "
+    "is a JVM zip_with/aggregate fold over array slices in exact "
+    "decimal(38,0) (hourly counts can reach ~1e9 at 100 TB scale, "
+    "so per-term products ~1e18 overflow a summed int64 "
+    "immediately), and the standard ACF closed form r_k = (Sxy - "
+    "mean*(Sh+St) + (n-k)*mean^2) / (S2 - n*mean^2) is the "
+    "identical double expression in both engines.",
+)
+def hourly_autocorrelation(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy(F.expr("ts_us div 3600000000").alias("hour_id")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    grid = c.agg(
+        F.min("hour_id").alias("lo"), F.max("hour_id").alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("hour_id"))
+    g = grid.join(c, "hour_id", "left").select(
+        "hour_id", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    packed = g.agg(
+        F.array_sort(F.collect_list(F.struct("hour_id", "x"))).alias("s"),
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("s2"),
+    )
+    arr = F.transform(F.col("s"), lambda r: r["x"])
+    nd = F.col("n").cast("double")
+    xbar = F.col("s1").cast("double") / F.col("n")
+
+    def acf_at(k):
+        nk = (F.col("n") - k).cast("int")
+        head = F.slice(arr, F.lit(1), nk)
+        tail = F.slice(arr, F.lit(k + 1), nk)
+        sxy = F.aggregate(
+            F.zip_with(
+                head, tail, lambda a, b: a.cast("decimal(38,0)") * b
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, v: (acc + v).cast("decimal(38,0)"),
+        )
+        sh = F.aggregate(
+            head, F.lit(0).cast("long"), lambda acc, v: acc + v
+        )
+        st = F.aggregate(
+            tail, F.lit(0).cast("long"), lambda acc, v: acc + v
+        )
+        num = (
+            sxy.cast("double")
+            - xbar * (sh + st)
+            + (F.col("n") - k) * xbar * xbar
+        )
+        den = F.col("s2").cast("double") - F.col("n") * xbar * xbar
+        return F.struct(
+            F.lit(k).cast("long").alias("lag"),
+            F.col("n").alias("n_hours"),
+            F.round(num / den, 6).alias("acf"),
+        )
+
+    return (
+        packed.select(
+            F.explode(F.array(acf_at(1), acf_at(2), acf_at(3))).alias("z")
+        )
+        .select("z.lag", "z.n_hours", "z.acf")
+        .orderBy("lag")
     )
 
 
