@@ -6340,6 +6340,243 @@ def hourly_autocorrelation(spark, sf_dir):
     )
 
 
+@register(
+    "hourly_outliers_tukey",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour_id,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(hour_id) AS lo, max(hour_id) AS hi FROM c),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS hour_id FROM span),
+    g AS (SELECT grid.hour_id, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+          FROM grid LEFT JOIN c USING (hour_id)),
+    q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, list(x ORDER BY x) AS arr
+          FROM g),
+    b AS (SELECT arr[CAST((n - 1) // 4 AS INT) + 1] AS q1,
+                 arr[CAST(3 * (n - 1) // 4 AS INT) + 1] AS q3
+          FROM q)
+    SELECT hour_id, x AS n_events, q1, q3,
+           CASE WHEN 2 * x < 2 * q1 - 3 * (q3 - q1) THEN 'low'
+                ELSE 'high' END AS side
+    FROM g CROSS JOIN b
+    WHERE 2 * x < 2 * q1 - 3 * (q3 - q1)
+       OR 2 * x > 2 * q3 + 3 * (q3 - q1)
+    """,
+    tags=("agg", "stats", "timeseries", "clickhouse-parity"),
+    doc="ClickHouse seriesOutliersDetectTukey analog over the gap-filled "
+    "global hourly count series: hours whose count falls outside the "
+    "Tukey fences [Q1 - 1.5*IQR, Q3 + 1.5*IQR]. EVERYTHING is exact "
+    "integer arithmetic — the quartiles are lower-quantile picks at "
+    "integer indices (n-1)//4 and 3(n-1)//4 of the sorted calendar-"
+    "bounded series, and the fences clear the 1.5 denominator by "
+    "doubling both sides (2x < 2*Q1 - 3*IQR), so no float ever enters "
+    "the comparison and the two engines cannot disagree on a boundary "
+    "hour. One map-side-combined shuffle to the time-bounded "
+    "histogram; the one-row fence bounds broadcast back over it.",
+)
+def hourly_outliers_tukey(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy(F.expr("ts_us div 3600000000").alias("hour_id")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    grid = c.agg(
+        F.min("hour_id").alias("lo"), F.max("hour_id").alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("hour_id"))
+    g = grid.join(c, "hour_id", "left").select(
+        "hour_id", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    b = g.agg(
+        F.count("*").cast("long").alias("n"),
+        F.array_sort(F.collect_list("x")).alias("arr"),
+    ).select(
+        F.element_at(
+            "arr", (F.expr("(n - 1) div 4") + 1).cast("int")
+        ).alias("q1"),
+        F.element_at(
+            "arr", (F.expr("3 * (n - 1) div 4") + 1).cast("int")
+        ).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    low = 2 * F.col("x") < 2 * F.col("q1") - 3 * iqr
+    high = 2 * F.col("x") > 2 * F.col("q3") + 3 * iqr
+    return (
+        g.crossJoin(F.broadcast(b))
+        .filter(low | high)
+        .select(
+            "hour_id",
+            F.col("x").alias("n_events"),
+            "q1",
+            "q3",
+            F.when(low, F.lit("low")).otherwise(F.lit("high")).alias("side"),
+        )
+    )
+
+
+@register(
+    "hourly_period_strength",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour_id,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(hour_id) AS lo, max(hour_id) AS hi FROM c),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS hour_id FROM span),
+    g AS (SELECT grid.hour_id - span.lo AS tt,
+                 CAST(coalesce(c.x, 0) AS BIGINT) AS x
+          FROM grid LEFT JOIN c USING (hour_id) CROSS JOIN span),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s1,
+                   SUM(CAST(x AS HUGEINT) * x) AS s2
+            FROM g),
+    cand AS (SELECT unnest([6, 12, 24, 168]) AS p),
+    ph AS (SELECT cand.p, g.tt % cand.p AS phase,
+                  CAST(COUNT(*) AS BIGINT) AS nph,
+                  CAST(SUM(g.x) AS BIGINT) AS sph
+           FROM g CROSS JOIN cand GROUP BY 1, 2),
+    packed AS (
+      SELECT p, list(struct_pack(phase := phase, nph := nph, sph := sph)
+                     ORDER BY phase) AS arr
+      FROM ph GROUP BY 1
+    ),
+    f AS (
+      SELECT p,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(arr, x ->
+                   CAST(x.sph AS DOUBLE) * CAST(x.sph AS DOUBLE)
+                   / x.nph)),
+               (acc, x) -> acc + x) AS ssb_raw
+      FROM packed
+    ),
+    s AS (
+      SELECT p,
+             round((ssb_raw
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                   / (CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n),
+                   6) AS strength
+      FROM f CROSS JOIN tot
+    )
+    SELECT CAST(p AS BIGINT) AS period_hours, strength,
+           strength = (SELECT max(strength) FROM s) AS is_peak
+    FROM s
+    """,
+    tags=("agg", "stats", "timeseries", "clickhouse-parity"),
+    doc="ClickHouse seriesPeriodDetectFFT analog, trig-free: for each "
+    "candidate period p in {6, 12, 24, 168} hours, the fraction of the "
+    "gap-filled hourly count series' variance explained by grouping "
+    "hours into their phase t mod p (the one-way-ANOVA 'seasonal "
+    "strength' sum_ph S_ph^2/n_ph identity) — the period with the "
+    "highest strength is the detected seasonality. No FFT and no "
+    "cos/sin means no cross-engine libm trig risk: per-phase (n, S) "
+    "stay exact BIGINT (<= 168 cells per candidate, one map-side-"
+    "combined shuffle over the calendar-bounded series), the <= 168 "
+    "S^2/n double terms fold in pinned phase order (the LTTB/cramers "
+    "discipline), and the strength closed form is the identical "
+    "double expression in both engines. Peak flag compares the "
+    "already-rounded strengths, never raw doubles.",
+)
+def hourly_period_strength(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy(F.expr("ts_us div 3600000000").alias("hour_id")).agg(
+        F.count("*").cast("long").alias("x")
+    )
+    span = c.agg(F.min("hour_id").alias("lo"), F.max("hour_id").alias("hi"))
+    grid = span.select(
+        "lo", F.explode(F.sequence("lo", "hi")).alias("hour_id")
+    )
+    g = grid.join(c, "hour_id", "left").select(
+        (F.col("hour_id") - F.col("lo")).alias("tt"),
+        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+    )
+    tot = g.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("s2"),
+    )
+    cand = spark.createDataFrame([(6,), (12,), (24,), (168,)], "p int")
+    ph = g.crossJoin(F.broadcast(cand)).groupBy(
+        "p", (F.col("tt") % F.col("p")).alias("phase")
+    ).agg(
+        F.count("*").cast("long").alias("nph"),
+        F.sum("x").cast("long").alias("sph"),
+    )
+    packed = ph.groupBy("p").agg(
+        F.array_sort(
+            F.collect_list(F.struct("phase", "nph", "sph"))
+        ).alias("arr")
+    )
+    ssb_raw = F.aggregate(
+        F.transform(
+            F.col("arr"),
+            lambda x: x["sph"].cast("double") * x["sph"].cast("double")
+            / x["nph"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    s1d = F.col("s1").cast("double")
+    corr_term = s1d * s1d / F.col("n")
+    strength = F.round(
+        (ssb_raw - corr_term)
+        / (F.col("s2").cast("double") - corr_term),
+        6,
+    )
+    s = packed.crossJoin(F.broadcast(tot)).select(
+        F.col("p").cast("long").alias("period_hours"),
+        strength.alias("strength"),
+    )
+    mx = s.agg(F.max("strength").alias("mxs"))
+    return s.crossJoin(F.broadcast(mx)).select(
+        "period_hours",
+        "strength",
+        (F.col("strength") == F.col("mxs")).alias("is_peak"),
+    )
+
+
+@register(
+    "user_sessions_native",
+    None,  # oracle assigned below: shares user_sessions' SQL verbatim
+    tags=("window", "sessions", "streaming", "builtin"),
+    doc="The BUILT-IN sibling of user_sessions: Spark's native "
+    "session_window(ts, '30 minutes') gap-merge aggregation, the "
+    "operator you'd reach for first on a cluster (and the one that "
+    "runs unchanged on a streaming frame with a watermark — the "
+    "state-store path the applyInPandasWithState sessionizer hand-"
+    "rolls). Boundary semantics verified against the oracle's rule: "
+    "session_window merges at delta == gap exactly (inclusive), i.e. "
+    "a new session starts iff the gap EXCEEDS 30 min, bit-identical "
+    "to the islands-and-gaps batch sessionizer; same oracle SQL as "
+    "user_sessions. Scale note: the merging-sessions aggregation "
+    "co-locates each user's rows, so a mega-user lands on one task — "
+    "operators.sessions.sessionize (the registry headline) is the "
+    "skew-sliced form; this entry pins the built-in's parity.",
+)
+def user_sessions_native(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .drop("w")
+    )
+
+
+# user_sessions_native shares user_sessions' oracle verbatim (same
+# output contract; only the Spark plan differs).
+REGISTRY["user_sessions_native"].oracle = REGISTRY["user_sessions"].oracle
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401

@@ -63,6 +63,11 @@ EVENT_QUERIES = [
     "user_moving_sum_arrays",
     "weighted_median_price",
     "max_concurrent_intervals",
+    # r6: the built-in session_window sibling DELIBERATELY co-locates
+    # each user's rows; its ratio here, next to the flat sliced
+    # user_sessions, is the measured argument for why the segmented
+    # sessionizer is the registry headline
+    "user_sessions_native",
 ]
 DOC_QUERIES = ["source_capped_sample", "sequence_packing_plan"]
 
