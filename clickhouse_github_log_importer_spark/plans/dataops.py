@@ -2701,3 +2701,84 @@ def token_fertility_by_lang(spark, sf_dir):
             F.sum("n_tok") / F.count("*").cast("double"), 4
         ).alias("tokens_per_doc"),
     )
+
+
+@register(
+    "tfidf_doc_keywords",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+             CAST(tf.tf AS DOUBLE)
+             * ln((CAST(nn.n AS DOUBLE) + 1.0)
+                  / (CAST(dft.df AS DOUBLE) + 1.0)) AS score
+      FROM tf JOIN dft USING (term) CROSS JOIN nn
+    )
+    SELECT doc_id, term, tf, df, round(score, 6) AS tfidf, rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+    tags=("text", "retrieval"),
+    doc="Per-document keyword extraction: top-3 terms by smooth TF-IDF "
+    "(tf * ln((N+1)/(df+1))). Term frequencies and document "
+    "frequencies are two map-side-combined shuffles over the token "
+    "stream (tf keyed by (doc, term), df derived from the tf frame — "
+    "the raw tokens are never re-shuffled); the corpus size joins as "
+    "a broadcast 1-row aggregate. Ranking orders on the RAW double "
+    "score (identical IEEE expression both engines — exact-int "
+    "inputs, one ln, one multiply) with the term as tiebreak, so the "
+    "cut is deterministic. Per-doc top-3 is a row_number window "
+    "partitioned by doc_id: per-key state is bounded by a document's "
+    "vocabulary, which the corpus contract bounds by doc length, "
+    "never by corpus size.",
+)
+def tfidf_doc_keywords(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dft = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    nn = docs.agg(F.count("*").cast("long").alias("n"))
+    scored = (
+        tf.join(dft, "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.log(
+                    (F.col("n").cast("double") + F.lit(1.0))
+                    / (F.col("df").cast("double") + F.lit(1.0))
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round("score", 6).alias("tfidf"), "rnk",
+        )
+    )

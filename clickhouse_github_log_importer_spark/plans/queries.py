@@ -6577,6 +6577,70 @@ def user_sessions_native(spark, sf_dir):
 REGISTRY["user_sessions_native"].oracle = REGISTRY["user_sessions"].oracle
 
 
+@register(
+    "sequence_next_node",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      FROM events
+    ),
+    fc AS (
+      SELECT user_id, ts_us AS t0, event_id AS e0
+      FROM (
+        SELECT user_id, ts_us, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS rn
+        FROM e WHERE event_type = 'click'
+      ) WHERE rn = 1
+    ),
+    nxt AS (
+      SELECT e.user_id, e.event_type,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts_us, e.event_id) AS rn
+      FROM e JOIN fc USING (user_id)
+      WHERE e.ts_us > fc.t0
+         OR (e.ts_us = fc.t0 AND e.event_id > fc.e0)
+    )
+    SELECT event_type AS next_event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM nxt WHERE rn = 1 GROUP BY 1
+    """,
+    tags=("agg", "funnel", "clickhouse-parity"),
+    doc="ClickHouse sequenceNextNode(forward, head) analog: for every "
+    "user, the event type that immediately follows their FIRST "
+    "'click', distributed as how-many-users-went-where. No per-user "
+    "window on the Spark side: the first click is a struct-min "
+    "aggregate on the unique (ts_us, event_id) key, joined back "
+    "(one user-keyed shuffle), and the successor is a second "
+    "struct-min over the strictly-later events — both map-side-"
+    "combined, so a mega-user collapses to one partial row per task "
+    "instead of serializing a timeline. The oracle computes the "
+    "same thing with explicit rank-1 windows.",
+)
+def sequence_next_node(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts_us", "event_id")).alias("f0"))
+    )
+    after = ev.join(fc, "user_id").filter(
+        (F.col("ts_us") > F.col("f0.ts_us"))
+        | (
+            (F.col("ts_us") == F.col("f0.ts_us"))
+            & (F.col("event_id") > F.col("f0.event_id"))
+        )
+    )
+    nxt = after.groupBy("user_id").agg(
+        F.min(F.struct("ts_us", "event_id", "event_type")).alias("nx")
+    )
+    return nxt.groupBy(
+        F.col("nx.event_type").alias("next_event_type")
+    ).agg(F.count("*").cast("long").alias("n_users"))
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401
