@@ -6577,6 +6577,206 @@ def user_sessions_native(spark, sf_dir):
 REGISTRY["user_sessions_native"].oracle = REGISTRY["user_sessions"].oracle
 
 
+def _det3(a, b, c, d, e, f, g, h, i):
+    """3x3 determinant with a FIXED expression shape.
+
+    Works for both engines' operand types (Spark Columns or SQL text via
+    the format helper below); the shape — a*(e*i - f*h) - b*(d*i - f*g)
+    + c*(d*h - e*g) — is part of the portable semantics: both engines
+    evaluate the IDENTICAL IEEE double tree over exact-integer inputs.
+    """
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def _det3_sql(m):
+    a, b, c, d, e, f, g, h, i = m
+    return (
+        f"({a} * ({e} * {i} - {f} * {h}) "
+        f"- {b} * ({d} * {i} - {f} * {g}) "
+        f"+ {c} * ({d} * {h} - {e} * {g}))"
+    )
+
+
+def _multi_regression_oracle():
+    det = _det3_sql(
+        ["nd", "s1", "s2", "s1", "s11", "s12", "s2", "s12", "s22"]
+    )
+    det0 = _det3_sql(
+        ["sy", "s1", "s2", "sy1", "s11", "s12", "sy2", "s12", "s22"]
+    )
+    det1 = _det3_sql(
+        ["nd", "sy", "s2", "s1", "sy1", "s12", "s2", "sy2", "s22"]
+    )
+    det2 = _det3_sql(
+        ["nd", "s1", "sy", "s1", "s11", "sy1", "s2", "s12", "sy2"]
+    )
+    return f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(epoch_us(ts) // 3600000000 % 24) AS BIGINT) AS i1,
+             CAST(SUM(epoch_us(ts) // 86400000000 % 7) AS BIGINT) AS i2,
+             CAST(SUM((epoch_us(ts) // 3600000000 % 24)
+                      * (epoch_us(ts) // 3600000000 % 24)) AS BIGINT)
+               AS i11,
+             CAST(SUM((epoch_us(ts) // 3600000000 % 24)
+                      * (epoch_us(ts) // 86400000000 % 7)) AS BIGINT)
+               AS i12,
+             CAST(SUM((epoch_us(ts) // 86400000000 % 7)
+                      * (epoch_us(ts) // 86400000000 % 7)) AS BIGINT)
+               AS i22,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS iy,
+             SUM(CAST((epoch_us(ts) // 3600000000 % 24) AS HUGEINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS iy1,
+             SUM(CAST((epoch_us(ts) // 86400000000 % 7) AS HUGEINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS iy2,
+             SUM(CAST(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+               AS iyy
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(i1 AS DOUBLE) AS s1, CAST(i2 AS DOUBLE) AS s2,
+             CAST(i11 AS DOUBLE) AS s11, CAST(i12 AS DOUBLE) AS s12,
+             CAST(i22 AS DOUBLE) AS s22,
+             CAST(iy AS DOUBLE) AS sy, CAST(iy1 AS DOUBLE) AS sy1,
+             CAST(iy2 AS DOUBLE) AS sy2, CAST(iyy AS DOUBLE) AS syy
+      FROM m
+    ),
+    b AS (
+      SELECT event_type, n, sy, sy1, sy2, syy, nd,
+             {det0} / {det} AS b0,
+             {det1} / {det} AS b1,
+             {det2} / {det} AS b2
+      FROM d
+    )
+    SELECT event_type, n,
+           round(b0, 4) AS intercept_cents,
+           round(b1, 6) AS hour_coef,
+           round(b2, 6) AS dow_coef,
+           round(1.0 - (syy - b0 * sy - b1 * sy1 - b2 * sy2)
+                       / (syy - sy * sy / nd), 6) AS r2
+    FROM b
+    """
+
+
+@register(
+    "value_multiple_regression",
+    _multi_regression_oracle(),
+    tags=("agg", "stats", "clickhouse-parity"),
+    doc="ClickHouse stochasticLinearRegression analog, but DETERMINISTIC: "
+    "exact normal-equation OLS of value-in-cents on (hour-of-day, "
+    "day-of-week) per event type. SGD's result depends on row order — "
+    "useless for a reproducible distributed engine — so instead the "
+    "3x3 Gram matrix X'X and X'y reduce as EXACT sums in ONE "
+    "map-side-combined shuffle (feature products <= 529 stay BIGINT "
+    "to ~1.7e16 rows; cents cross-terms and the y^2 moment accumulate "
+    "decimal(38,0)/HUGEINT), and the solve is Cramer's rule with a "
+    "FIXED 3x3 determinant expression shape — generated from the "
+    "same term list for both engines, so the only floating-point in "
+    "the whole query is an identical IEEE tree over exact integers. "
+    "R^2 comes free from the same moments (SSE = y'y - b'X'y). "
+    "Weekday numbering is epoch-day % 7 (engine-neutral), hour is "
+    "epoch-hour % 24.",
+)
+def value_multiple_regression(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    x1 = F.expr("ts_us div 3600000000") % 24
+    x2 = F.expr("ts_us div 86400000000") % 7
+    y = F.round(F.col("value") * 100).cast("long")
+    yd = y.cast("decimal(38,0)")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(x1).cast("long").alias("i1"),
+        F.sum(x2).cast("long").alias("i2"),
+        F.sum(x1 * x1).cast("long").alias("i11"),
+        F.sum(x1 * x2).cast("long").alias("i12"),
+        F.sum(x2 * x2).cast("long").alias("i22"),
+        F.sum(y).cast("long").alias("iy"),
+        F.sum(x1.cast("decimal(38,0)") * y).alias("iy1"),
+        F.sum(x2.cast("decimal(38,0)") * y).alias("iy2"),
+        F.sum(yd * y).alias("iyy"),
+    )
+    nd = F.col("n").cast("double")
+    s1, s2 = F.col("i1").cast("double"), F.col("i2").cast("double")
+    s11, s12 = F.col("i11").cast("double"), F.col("i12").cast("double")
+    s22 = F.col("i22").cast("double")
+    sy = F.col("iy").cast("double")
+    sy1, sy2 = F.col("iy1").cast("double"), F.col("iy2").cast("double")
+    syy = F.col("iyy").cast("double")
+    det = _det3(nd, s1, s2, s1, s11, s12, s2, s12, s22)
+    b0 = _det3(sy, s1, s2, sy1, s11, s12, sy2, s12, s22) / det
+    b1 = _det3(nd, sy, s2, s1, sy1, s12, s2, sy2, s22) / det
+    b2 = _det3(nd, s1, sy, s1, s11, sy1, s2, s12, sy2) / det
+    r2 = F.lit(1.0) - (syy - b0 * sy - b1 * sy1 - b2 * sy2) / (
+        syy - sy * sy / nd
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.round(b0, 4).alias("intercept_cents"),
+        F.round(b1, 6).alias("hour_coef"),
+        F.round(b2, 6).alias("dow_coef"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+@register(
+    "grouping_sets_volume",
+    """
+    SELECT coalesce(r_name, '(all)') AS region,
+           coalesce(n_name, '(all)') AS nation,
+           CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT)
+             AS grouping_id,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS acctbal_cents
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (n_name), ())
+    """,
+    tags=("A2", "rollup"),
+    doc="Explicit GROUPING SETS — the general form behind the ROLLUP and "
+    "CUBE entries: (region, nation), (region), (nation), and grand "
+    "total in ONE pass with GROUPING() disambiguating coalesced "
+    "NULLs from real values. Spark expands grouping sets into a "
+    "single Expand + hash aggregate (rows x 4 before map-side "
+    "combine), never four scans; the dimension joins broadcast.",
+)
+def grouping_sets_volume(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    j = c.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    g = j.groupingSets(
+        [["r_name", "n_name"], ["r_name"], ["n_name"], []],
+        "r_name",
+        "n_name",
+    ).agg(
+        (
+            F.grouping("r_name").cast("long") * 2
+            + F.grouping("n_name").cast("long")
+        ).alias("grouping_id"),
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long"))
+        .cast("long")
+        .alias("acctbal_cents"),
+    )
+    return g.select(
+        F.coalesce("r_name", F.lit("(all)")).alias("region"),
+        F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+        "grouping_id",
+        "n_customers",
+        "acctbal_cents",
+    )
+
+
 @register(
     "sequence_next_node",
     """

@@ -258,6 +258,25 @@ def test_bitwise_masks_match_reduce(spark, stats_sf):
         assert row.users_bit_xor == functools.reduce(operator.xor, ids)
 
 
+def test_multiple_regression_matches_lstsq(spark, stats_sf):
+    sf_dir, df = stats_sf
+    out = _run(spark, "value_multiple_regression", sf_dir).set_index(
+        "event_type"
+    )
+    dow = (df.ts_us // 86_400_000_000) % 7
+    for t_, g in df.assign(dow=dow).groupby("t"):
+        X = np.column_stack([np.ones(len(g)), g.h, g.dow])
+        y = g.cents.to_numpy(dtype=float)
+        b, *_ = np.linalg.lstsq(X, y, rcond=None)
+        pred = X @ b
+        r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+        row = out.loc[t_]
+        assert row.intercept_cents == pytest.approx(b[0], abs=2e-3)
+        assert row.hour_coef == pytest.approx(b[1], abs=2e-5)
+        assert row.dow_coef == pytest.approx(b[2], abs=2e-5)
+        assert row.r2 == pytest.approx(r2, abs=2e-6)
+
+
 def test_sequence_next_node_matches_pandas(spark, stats_sf):
     sf_dir, df = stats_sf
     out = _run(spark, "sequence_next_node", sf_dir).set_index(
