@@ -5783,13 +5783,20 @@ def conditional_aggregates_by_type(spark, sf_dir):
     "because every input to it is exact).",
 )
 def spearman_value_hour(spark, sf_dir):
+    from ..operators.cache import persist_in, rotating_scope
     from ..operators.ranking import prefix_sum
 
     ev = t(spark, sf_dir, "events")
-    joint = ev.groupBy(
-        (F.expr("ts_us div 3600000000") % 24).alias("h"),
-        F.round(F.col("value") * 100).cast("long").alias("v"),
-    ).agg(F.count("*").cast("long").alias("m"))
+    # the joint histogram feeds three branches (both marginals + the
+    # moment pass): persist the <= 24 x |value domain| cells so the
+    # fact scan+shuffle runs once, not per branch
+    joint = persist_in(
+        rotating_scope("spearman_value_hour"),
+        ev.groupBy(
+            (F.expr("ts_us div 3600000000") % 24).alias("h"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        ).agg(F.count("*").cast("long").alias("m")),
+    )
     hh = joint.groupBy("h").agg(F.sum("m").cast("long").alias("mh"))
     hh = prefix_sum(hh, [], ["h"], "mh").select(
         "h",
@@ -6282,15 +6289,8 @@ def hour_entropy_by_type(spark, sf_dir):
     "identical double expression in both engines.",
 )
 def hourly_autocorrelation(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    c = ev.groupBy(F.expr("ts_us div 3600000000").alias("hour_id")).agg(
-        F.count("*").cast("long").alias("x")
-    )
-    grid = c.agg(
-        F.min("hour_id").alias("lo"), F.max("hour_id").alias("hi")
-    ).select(F.explode(F.sequence("lo", "hi")).alias("hour_id"))
-    g = grid.join(c, "hour_id", "left").select(
-        "hour_id", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    g = _hourly_series(spark, sf_dir, "hourly_autocorrelation").select(
+        "hour_id", "x"
     )
     packed = g.agg(
         F.array_sort(F.collect_list(F.struct("hour_id", "x"))).alias("s"),
@@ -6340,6 +6340,34 @@ def hourly_autocorrelation(spark, sf_dir):
     )
 
 
+def _hourly_series(spark, sf_dir, key):
+    """Gap-filled global hourly count series (hour_id, lo, x).
+
+    The fact stream reduces map-side ONCE into the calendar-bounded
+    histogram, which persists under ``rotating_scope(key)`` — every
+    consumer branch (span, zero-fill join, totals, phase folds) reads
+    the ~1e4-row cached relation instead of re-scanning raw events per
+    reference (the un-persisted form re-ran the full scan+shuffle 4-8x
+    per query; at 100 TB that is 4-8 full passes)."""
+    from ..operators.cache import persist_in, rotating_scope
+
+    ev = t(spark, sf_dir, "events")
+    c = persist_in(
+        rotating_scope(key),
+        ev.groupBy(F.expr("ts_us div 3600000000").alias("hour_id")).agg(
+            F.count("*").cast("long").alias("x")
+        ),
+    )
+    grid = c.agg(
+        F.min("hour_id").alias("lo"), F.max("hour_id").alias("hi")
+    ).select("lo", F.explode(F.sequence("lo", "hi")).alias("hour_id"))
+    return grid.join(c, "hour_id", "left").select(
+        "hour_id",
+        "lo",
+        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+    )
+
+
 @register(
     "hourly_outliers_tukey",
     """
@@ -6377,15 +6405,8 @@ def hourly_autocorrelation(spark, sf_dir):
     "histogram; the one-row fence bounds broadcast back over it.",
 )
 def hourly_outliers_tukey(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    c = ev.groupBy(F.expr("ts_us div 3600000000").alias("hour_id")).agg(
-        F.count("*").cast("long").alias("x")
-    )
-    grid = c.agg(
-        F.min("hour_id").alias("lo"), F.max("hour_id").alias("hi")
-    ).select(F.explode(F.sequence("lo", "hi")).alias("hour_id"))
-    g = grid.join(c, "hour_id", "left").select(
-        "hour_id", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    g = _hourly_series(spark, sf_dir, "hourly_outliers_tukey").select(
+        "hour_id", "x"
     )
     b = g.agg(
         F.count("*").cast("long").alias("n"),
@@ -6480,17 +6501,8 @@ def hourly_outliers_tukey(spark, sf_dir):
     "already-rounded strengths, never raw doubles.",
 )
 def hourly_period_strength(spark, sf_dir):
-    ev = t(spark, sf_dir, "events")
-    c = ev.groupBy(F.expr("ts_us div 3600000000").alias("hour_id")).agg(
-        F.count("*").cast("long").alias("x")
-    )
-    span = c.agg(F.min("hour_id").alias("lo"), F.max("hour_id").alias("hi"))
-    grid = span.select(
-        "lo", F.explode(F.sequence("lo", "hi")).alias("hour_id")
-    )
-    g = grid.join(c, "hour_id", "left").select(
-        (F.col("hour_id") - F.col("lo")).alias("tt"),
-        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+    g = _hourly_series(spark, sf_dir, "hourly_period_strength").select(
+        (F.col("hour_id") - F.col("lo")).alias("tt"), "x"
     )
     tot = g.agg(
         F.count("*").cast("long").alias("n"),

@@ -663,3 +663,76 @@ def test_sequence_match_sliced_chain(spark, sf_smoke):
     assert "sortmergejoin" not in low
     assert "hashpartitioning(_slice" in low.replace(" ", "")
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_multiple_regression_single_shuffle(spark, sf_smoke):
+    # (r6) exact normal-equation OLS: every Gram/moment sum reduces in
+    # ONE map-side-combined shuffle on event_type; the Cramer solve is
+    # a projection — no join, no window, no Python anywhere
+    p = tree(explain(spark, "value_multiple_regression", sf_smoke))
+    assert p.count("Scan parquet") == 1
+    assert "Join" not in p and "Window" not in p
+    assert p.count("Exchange") <= 2
+    full = explain(spark, "value_multiple_regression", sf_smoke)
+    assert "ArrowEvalPython" not in full and "BatchEvalPython" not in full
+
+
+def test_spearman_rank_joins_broadcast(spark, sf_smoke):
+    # (r6) both rank maps (24-row hour marginal; domain-bounded value
+    # marginal) must join the joint histogram as broadcasts — the fact
+    # stream shuffles exactly once into the joint cells, and nothing
+    # row-scaled ever sort-merges or goes cartesian
+    p = explain(spark, "spearman_value_hour", sf_smoke)
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_grouping_sets_one_expand_all_broadcast(spark, sf_smoke):
+    # (r6) GROUPING SETS = ONE Expand + one aggregation exchange, never
+    # four scans; both dimension joins broadcast
+    p = tree(explain(spark, "grouping_sets_volume", sf_smoke))
+    assert p.count("Expand") == 1
+    assert p.count("Scan parquet") == 3  # customer + nation + region, once
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_session_window_native_partial_agg(spark, sf_smoke):
+    # (r6) the built-in session_window path: Spark's MergingSessions
+    # with a PARTIAL HashAggregate before the user exchange (map-side
+    # session pre-merge), one scan, no Python
+    p = tree(explain(spark, "user_sessions_native", sf_smoke))
+    assert "MergingSessions" in p
+    assert p.count("Scan parquet") == 1
+    assert p.count("Exchange") == 1
+    full = explain(spark, "user_sessions_native", sf_smoke)
+    assert "ArrowEvalPython" not in full and "BatchEvalPython" not in full
+
+
+def test_sequence_next_node_broadcast_no_window(spark, sf_smoke):
+    # (r6) both chain hops are struct-min AGGREGATES (map-side
+    # combined), never per-user windows, and the first-click table
+    # joins back as a broadcast — no row-scaled sort-merge join
+    p = tree(explain(spark, "sequence_next_node", sf_smoke))
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_series_stats_reduce_before_pack(spark, sf_smoke):
+    # (r6) the calendar-bounded series family: the fact stream must
+    # reduce map-side to the hourly histogram ONCE — the histogram
+    # persists and every consumer branch (span, zero-fill, totals,
+    # phase folds) reads the cached relation (InMemoryTableScan),
+    # never a second raw scan+shuffle. No Python, no cartesian.
+    for name in (
+        "hourly_autocorrelation",
+        "hourly_outliers_tukey",
+        "hourly_period_strength",
+    ):
+        p = explain(spark, name, sf_smoke)
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
+        assert "InMemoryTableScan" in tree(p), name
