@@ -78,7 +78,12 @@ def quantiles_from_state(
     idx = (n-1)*num // den (0-based rank, integer arithmetic); the
     quantile is the smallest value whose cumulative count reaches
     idx + 1. Emits ``n_events`` + one BIGINT column per level (raw
-    value units — callers scale/round for presentation)."""
+    value units — callers scale/round for presentation).
+
+    ``state`` is consumed by three branches (prefix scan x2 + totals);
+    the static plan prints its derivation per branch, but AQE's runtime
+    exchange reuse collapses the identical upstream exchanges — see
+    ``ranking.prefix_sum``'s double-execution note."""
     levels = levels or DEFAULT_LEVELS
     cum = prefix_sum(
         state, list(keys), [value_col], cnt_col, broadcast_offsets=True

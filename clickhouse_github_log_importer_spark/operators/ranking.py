@@ -175,6 +175,18 @@ def prefix_sum(
     running sum when each slice holds a CONTIGUOUS ordered range of its
     stratum. (Hash slices would interleave stratum rows and the offsets
     would be meaningless.)
+
+    Double-execution note (r6, measured): the two passes (slice-local
+    window; per-slice totals) both reference ``local``, so the STATIC
+    plan prints the upstream subtree twice — but because ``sums``
+    derives from ``local`` (not from ``sliced``), both branches contain
+    the IDENTICAL window Exchange, and AQE's runtime exchange reuse
+    collapses them: the executed plan shows ``ReusedExchange`` and the
+    upstream scan+shuffle runs ONCE (pinned by
+    ``tests/test_plans.py::test_prefix_scan_runtime_exchange_reuse``).
+    Persisting the input instead was tried and REVERTED: on the x10/x30
+    probes a cache materialization barrier + memory-store write made
+    consumers 1.4-2x slower than letting reuse do the work.
     """
     n_slices = n_slices or df.sparkSession.sparkContext.defaultParallelism
     sliced = df.withColumn(

@@ -4993,6 +4993,9 @@ def lttb_downsample_hourly(spark, sf_dir):
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("y")
     )
     w = Window.orderBy("x")
+    # the numbered point series feeds several branches (count, bucket
+    # walk, first/last anchors); all share the histogram aggregation's
+    # Exchange, which AQE runtime reuse executes once
     pts = series.select(F.row_number().over(w).alias("i"), "x", "y")
     nn = pts.agg(F.count("*").cast("long").alias("n"))
     ptsn = pts.crossJoin(F.broadcast(nn))
@@ -5783,20 +5786,16 @@ def conditional_aggregates_by_type(spark, sf_dir):
     "because every input to it is exact).",
 )
 def spearman_value_hour(spark, sf_dir):
-    from ..operators.cache import persist_in, rotating_scope
     from ..operators.ranking import prefix_sum
 
     ev = t(spark, sf_dir, "events")
     # the joint histogram feeds three branches (both marginals + the
-    # moment pass): persist the <= 24 x |value domain| cells so the
-    # fact scan+shuffle runs once, not per branch
-    joint = persist_in(
-        rotating_scope("spearman_value_hour"),
-        ev.groupBy(
-            (F.expr("ts_us div 3600000000") % 24).alias("h"),
-            F.round(F.col("value") * 100).cast("long").alias("v"),
-        ).agg(F.count("*").cast("long").alias("m")),
-    )
+    # moment pass); they share its aggregation Exchange, which AQE's
+    # runtime exchange reuse executes once (see _hourly_series note)
+    joint = ev.groupBy(
+        (F.expr("ts_us div 3600000000") % 24).alias("h"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    ).agg(F.count("*").cast("long").alias("m"))
     hh = joint.groupBy("h").agg(F.sum("m").cast("long").alias("mh"))
     hh = prefix_sum(hh, [], ["h"], "mh").select(
         "h",
@@ -6343,20 +6342,20 @@ def hourly_autocorrelation(spark, sf_dir):
 def _hourly_series(spark, sf_dir, key):
     """Gap-filled global hourly count series (hour_id, lo, x).
 
-    The fact stream reduces map-side ONCE into the calendar-bounded
-    histogram, which persists under ``rotating_scope(key)`` — every
-    consumer branch (span, zero-fill join, totals, phase folds) reads
-    the ~1e4-row cached relation instead of re-scanning raw events per
-    reference (the un-persisted form re-ran the full scan+shuffle 4-8x
-    per query; at 100 TB that is 4-8 full passes)."""
-    from ..operators.cache import persist_in, rotating_scope
-
+    Every consumer branch (span, zero-fill join, totals, phase folds)
+    references the histogram aggregation, so the STATIC plan prints the
+    raw scan+shuffle once per branch — but the branches share the
+    IDENTICAL aggregation Exchange, and AQE's runtime exchange reuse
+    collapses them (``ReusedExchange`` in the executed plan; pinned by
+    ``test_series_stats_runtime_exchange_reuse``). Persisting here was
+    tried and REVERTED: the materialization barrier + memory-store
+    write measured 1.4-2x SLOWER than runtime reuse at x30 (same
+    finding as ``ranking.prefix_sum``'s double-execution note). ``key``
+    names the consumer for future per-query tuning."""
+    del key  # consumer label; kept for call-site self-documentation
     ev = t(spark, sf_dir, "events")
-    c = persist_in(
-        rotating_scope(key),
-        ev.groupBy(F.expr("ts_us div 3600000000").alias("hour_id")).agg(
-            F.count("*").cast("long").alias("x")
-        ),
+    c = ev.groupBy(F.expr("ts_us div 3600000000").alias("hour_id")).agg(
+        F.count("*").cast("long").alias("x")
     )
     grid = c.agg(
         F.min("hour_id").alias("lo"), F.max("hour_id").alias("hi")

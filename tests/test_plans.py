@@ -650,7 +650,8 @@ def test_quantile_state_sliced_histogram(spark, sf_smoke):
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     # main cum subtree + prefix-scan carry subtree + totals subtree each
     # show the (column-pruned, map-side-combined) histogram build in the
-    # static plan; exchange reuse dedupes them at runtime
+    # static plan; runtime exchange reuse dedupes them (gated below in
+    # test_prefix_scan_runtime_exchange_reuse)
     assert tree(p).count("Scan parquet") <= 3
 
 
@@ -722,11 +723,10 @@ def test_sequence_next_node_broadcast_no_window(spark, sf_smoke):
 
 
 def test_series_stats_reduce_before_pack(spark, sf_smoke):
-    # (r6) the calendar-bounded series family: the fact stream must
-    # reduce map-side to the hourly histogram ONCE — the histogram
-    # persists and every consumer branch (span, zero-fill, totals,
-    # phase folds) reads the cached relation (InMemoryTableScan),
-    # never a second raw scan+shuffle. No Python, no cartesian.
+    # (r6) the calendar-bounded series family: the fact stream reduces
+    # map-side to the hourly histogram; consumer branches re-print the
+    # scan statically but share its Exchange (runtime reuse gated
+    # below). No Python, no cartesian.
     for name in (
         "hourly_autocorrelation",
         "hourly_outliers_tukey",
@@ -735,4 +735,43 @@ def test_series_stats_reduce_before_pack(spark, sf_smoke):
         p = explain(spark, name, sf_smoke)
         assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, name
         assert "CartesianProduct" not in p, name
-        assert "InMemoryTableScan" in tree(p), name
+
+
+def _executed(spark, name: str, sf_dir: str) -> str:
+    df = REGISTRY[name].spark(spark, sf_dir)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_series_stats_runtime_exchange_reuse(spark, sf_smoke):
+    # (r6, measured) the static plan prints the histogram scan+shuffle
+    # once per consumer branch — the property that makes that safe at
+    # 100 TB is AQE's RUNTIME exchange reuse collapsing the identical
+    # aggregation exchanges to one execution. Persisting instead was
+    # 1.4-2x slower at x30 (materialization barrier + store write), so
+    # the contract is pinned here on the executed plan, not on a cache.
+    # hourly_autocorrelation is exempt: it consumes the zero-filled
+    # series ONCE, so its only repetition is the span-bounds pass vs
+    # the main pass (column-pruned differently, hence not reusable) —
+    # the same two-pass cost every bounds_df scan in the repo accepts.
+    for name in (
+        "hourly_outliers_tukey",
+        "hourly_period_strength",
+        "spearman_value_hour",
+    ):
+        assert "ReusedExchange" in _executed(spark, name, sf_smoke), name
+
+
+def test_prefix_scan_runtime_exchange_reuse(spark, sf_smoke):
+    # (r6, measured) prefix_sum's two passes both derive from the same
+    # slice-local window, so their upstream exchange is identical and
+    # runs ONCE at runtime — the reason the histogram build in
+    # weighted-median / MWU / KS / the quantile rollup is not a
+    # double (or quadruple) scan despite the static plan's repetition
+    for name in (
+        "weighted_median_price",
+        "mann_whitney_u_values",
+        "kolmogorov_smirnov_values",
+        "quantile_state_rollup",
+    ):
+        assert "ReusedExchange" in _executed(spark, name, sf_smoke), name
