@@ -2782,3 +2782,115 @@ def tfidf_doc_keywords(spark, sf_dir):
             F.round("score", 6).alias("tfidf"), "rnk",
         )
     )
+
+
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MWL_LO = 3.0
+_GOPHER_MWL_HI = 10.0
+_GOPHER_STOP_FRAC = 0.06
+_GOPHER_DISTINCT_FRAC = 0.3
+
+
+def _gopher_oracle() -> str:
+    feats = f"""
+      SELECT len(words) AS nw,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(words) AS mwl,
+             CAST(len(list_filter(words,
+                    w -> list_contains({_STOP_ARR}, w))) AS DOUBLE)
+               / len(words) AS stop_frac,
+             CAST(len(list_distinct(words)) AS DOUBLE)
+               / len(words) AS distinct_frac
+      FROM (SELECT text, {_WORDS} AS words FROM documents)
+    """
+    rules = {
+        "min_words": f"nw >= {_GOPHER_MIN_WORDS}",
+        "max_words": f"nw <= {_GOPHER_MAX_WORDS}",
+        "mean_word_len": f"mwl >= {_GOPHER_MWL_LO} AND mwl <= {_GOPHER_MWL_HI}",
+        "stopword_frac": f"stop_frac >= {_GOPHER_STOP_FRAC}",
+        "distinct_frac": f"distinct_frac >= {_GOPHER_DISTINCT_FRAC}",
+    }
+    rules["all_rules"] = " AND ".join(f"({c})" for c in rules.values())
+    arms = " UNION ALL ".join(
+        f"SELECT '{name}' AS rule, CASE WHEN {cond} THEN 1 ELSE 0 END AS ok"
+        " FROM f"
+        for name, cond in rules.items()
+    )
+    return f"""
+    WITH f AS ({feats})
+    SELECT rule,
+           CAST(sum(ok) AS BIGINT) AS n_pass,
+           CAST(count(*) - sum(ok) AS BIGINT) AS n_fail,
+           round(CAST(sum(ok) AS DOUBLE) / count(*), 4) AS pass_rate
+    FROM ({arms}) GROUP BY rule
+    """
+
+
+@register(
+    "gopher_rules_report",
+    _gopher_oracle(),
+    tags=("text", "quality", "pipeline"),
+    doc="Gopher-style rule battery audit (Rae et al. 2021 table A1 "
+    "shape): per-rule pass/fail counts and pass rate over the corpus — "
+    "word-count bounds, mean-word-length band, stopword-fraction "
+    "floor, distinct-word-fraction floor (the repetition rule), plus "
+    "the conjunction row ('all_rules' = the corpus keep rate). "
+    "Complements text_quality (per-doc features) with the corpus-level "
+    "filter-audit view a curation pipeline tracks per snapshot. One "
+    "projection computes every feature, one explode fans each doc to "
+    "its 6 rule verdicts (constant fan-out), one map-side-combined "
+    "aggregation — no joins, no windows, linear and skew-free.",
+)
+def gopher_rules_report(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    stop_arr = F.array(*[F.lit(s) for s in TA.EN_STOPWORDS])
+    nw = F.size(words).cast("double")
+    feats = docs.select(
+        F.size(words).alias("nw"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            .cast("double")
+            / nw
+        ).alias("mwl"),
+        (
+            F.size(
+                F.filter(words, lambda w: F.array_contains(stop_arr, w))
+            ).cast("double")
+            / nw
+        ).alias("stop_frac"),
+        (F.size(F.array_distinct(words)).cast("double") / nw).alias(
+            "distinct_frac"
+        ),
+    )
+    checks = {
+        "min_words": F.col("nw") >= _GOPHER_MIN_WORDS,
+        "max_words": F.col("nw") <= _GOPHER_MAX_WORDS,
+        "mean_word_len": (F.col("mwl") >= _GOPHER_MWL_LO)
+        & (F.col("mwl") <= _GOPHER_MWL_HI),
+        "stopword_frac": F.col("stop_frac") >= _GOPHER_STOP_FRAC,
+        "distinct_frac": F.col("distinct_frac") >= _GOPHER_DISTINCT_FRAC,
+    }
+    checks["all_rules"] = F.lit(True)
+    for name, cond in list(checks.items())[:-1]:
+        checks["all_rules"] = checks["all_rules"] & cond
+    verdicts = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                cond.cast("int").alias("ok"),
+            )
+            for name, cond in checks.items()
+        ]
+    )
+    ex = feats.select(F.explode(verdicts).alias("r")).select(
+        "r.rule", "r.ok"
+    )
+    return ex.groupBy("rule").agg(
+        F.sum("ok").cast("long").alias("n_pass"),
+        (F.count("*") - F.sum("ok")).cast("long").alias("n_fail"),
+        F.round(
+            F.sum("ok").cast("double") / F.count("*"), 4
+        ).alias("pass_rate"),
+    )

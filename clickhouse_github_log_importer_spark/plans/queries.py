@@ -6852,6 +6852,349 @@ def sequence_next_node(spark, sf_dir):
     ).agg(F.count("*").cast("long").alias("n_users"))
 
 
+@register(
+    "window_funnel_strict_order",
+    f"""
+    WITH r AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rk
+      FROM events
+    ),
+    s AS (SELECT user_id, rk, ts_us AS t1 FROM r
+          WHERE event_type = 'signup'),
+    pr AS (
+      SELECT s.user_id, s.rk, s.t1
+      FROM s JOIN r c ON c.user_id = s.user_id AND c.rk = s.rk + 1
+      WHERE c.event_type = 'click'
+        AND c.ts_us <= s.t1 + {_FUNNEL_WINDOW_US}
+    ),
+    tr AS (
+      SELECT pr.user_id
+      FROM pr JOIN r p ON p.user_id = pr.user_id AND p.rk = pr.rk + 2
+      WHERE p.event_type = 'purchase'
+        AND p.ts_us <= pr.t1 + {_FUNNEL_WINDOW_US}
+    ),
+    lv AS (
+      SELECT user_id, max(level) AS funnel_level FROM (
+        SELECT user_id, 1 AS level FROM s
+        UNION ALL SELECT user_id, 2 FROM pr
+        UNION ALL SELECT user_id, 3 FROM tr
+      ) GROUP BY user_id
+    )
+    SELECT funnel_level, count(*) AS n_users FROM lv GROUP BY 1
+    """,
+    tags=("J1", "funnel", "clickhouse-parity"),
+    doc="ClickHouse windowFunnel(24h, 'strict_order') analog, completing "
+    "the mode family (default = window_funnel_levels, inclusive-tie = "
+    "window_funnel_levels_inclusive): in strict_order ANY intervening "
+    "event breaks the chain, so a user reaches level k iff the k steps "
+    "occupy CONSECUTIVE positions in their full event sequence (all "
+    "types, not just the funnel's), inside the window anchored at the "
+    "chain's signup. Contiguity reduces to rank adjacency: per-user "
+    "sequence ranks come from the RANGE-SLICED two-pass ranker "
+    "(operators.ranking.ranked, composite (user, ts) slices — a "
+    "mega-user's timeline never sorts on one task, same machinery as "
+    "_funnel_chain_scan), then two equi-joins on (user_id, rank+1) / "
+    "(user_id, rank+2) find adjacent signup->click and ->purchase. "
+    "Rank keys are unique per user, so the join keys are uniform by "
+    "construction — a mega-user spreads across hash partitions instead "
+    "of hot-spotting one. Tie order at equal timestamps is pinned by "
+    "the unique event_id in BOTH engines (ClickHouse declares "
+    "same-timestamp order undefined; we make it deterministic).",
+)
+def window_funnel_strict_order(spark, sf_dir):
+    from ..operators.ranking import composite_slice_key, ranked
+
+    W = _FUNNEL_WINDOW_US
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    r = ranked(
+        ev,
+        ["user_id"],
+        ["ts_us", "event_id"],
+        slice_col=composite_slice_key("user_id", "ts_us"),
+        broadcast_offsets=False,
+    )
+    s = r.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("_u"),
+        F.col("_rank").alias("_r1"),
+        F.col("ts_us").alias("_t1"),
+    )
+    # equi-join keys materialized as columns (rank+1 / rank+2), so the
+    # adjacency lookups are plain hash joins on unique-per-user keys
+    c = r.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("_uc"),
+        F.col("_rank").alias("_rc"),
+        F.col("ts_us").alias("_t2"),
+    )
+    p = r.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_up"),
+        F.col("_rank").alias("_rp"),
+        F.col("ts_us").alias("_t3"),
+    )
+    pairs = (
+        s.join(
+            c,
+            (F.col("_u") == F.col("_uc"))
+            & (F.col("_rc") == F.col("_r1") + 1),
+        )
+        .filter(F.col("_t2") <= F.col("_t1") + W)
+        .select("_u", "_r1", "_t1")
+    )
+    triples = pairs.join(
+        p,
+        (F.col("_u") == F.col("_up")) & (F.col("_rp") == F.col("_r1") + 2),
+    ).filter(F.col("_t3") <= F.col("_t1") + W)
+    levels = (
+        s.select(F.col("_u").alias("user_id"), F.lit(1).alias("level"))
+        .unionByName(
+            pairs.select(F.col("_u").alias("user_id"), F.lit(2).alias("level"))
+        )
+        .unionByName(
+            triples.select(
+                F.col("_u").alias("user_id"), F.lit(3).alias("level")
+            )
+        )
+    )
+    return (
+        levels.groupBy("user_id")
+        .agg(F.max("level").alias("funnel_level"))
+        .groupBy("funnel_level")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_SPARKBAR_GLYPHS = ("·", "▁", "▂", "▃", "▄", "▅", "▆", "▇", "█")
+_SPARKBAR_BUCKETS = 24
+
+
+def _sparkbar_glyph_sql(idx: str) -> str:
+    arr = "[" + ", ".join(f"'{g}'" for g in _SPARKBAR_GLYPHS) + "]"
+    return f"{arr}[{idx} + 1]"
+
+
+@register(
+    "hourly_sparkbar_by_type",
+    f"""
+    WITH h AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+             CAST(count(*) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    sp AS (SELECT min(h) AS lo, max(h) AS hi FROM h),
+    bt AS (
+      SELECT event_type,
+             least({_SPARKBAR_BUCKETS - 1},
+                   ((h.h - sp.lo) * {_SPARKBAR_BUCKETS})
+                     // (sp.hi - sp.lo + 1)) AS b,
+             CAST(sum(v) AS BIGINT) AS v
+      FROM h, sp GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT ty.event_type, g.b
+      FROM (SELECT DISTINCT event_type FROM bt) ty
+      CROSS JOIN (SELECT unnest(range({_SPARKBAR_BUCKETS})) AS b) g
+    ),
+    filled AS (
+      SELECT grid.event_type, grid.b, coalesce(bt.v, 0) AS v
+      FROM grid LEFT JOIN bt
+        ON bt.event_type = grid.event_type AND bt.b = grid.b
+    ),
+    mx AS (
+      SELECT event_type, max(v) AS vmax FROM filled GROUP BY 1
+    )
+    SELECT f.event_type,
+           CAST(sum(f.v) AS BIGINT) AS n_events,
+           string_agg(
+             {_sparkbar_glyph_sql(
+                 "(CASE WHEN f.v = 0 THEN 0 "
+                 "ELSE 1 + ((f.v * 8 - 1) // mx.vmax) END)")},
+             '' ORDER BY f.b) AS bar
+    FROM filled f JOIN mx ON mx.event_type = f.event_type
+    GROUP BY f.event_type
+    """,
+    tags=("agg", "clickhouse-parity"),
+    doc="ClickHouse sparkbar(24) analog: per event type, the hourly "
+    "activity series bucketed into 24 equal time bins over the global "
+    "span and rendered as one unicode bar string (8 block glyphs + a "
+    "dot for empty). Every step is INTEGER arithmetic (bucket index = "
+    "(h-lo)*N div span, glyph level = 1 + (v*8-1) div vmax) so the "
+    "string is bit-identical across engines — no float bucketing. "
+    "Cost shape: the raw stream reduces map-side to the (type, hour) "
+    "histogram; everything after (bucket fold, dense 24-cell grid via "
+    "map lookup, vmax, glyph render) is ONE linear chain over type x "
+    "24 cells — no dense-grid self-join, no separate vmax branch, one "
+    "parquet scan in the static plan.",
+)
+def hourly_sparkbar_by_type(spark, sf_dir):
+    N = _SPARKBAR_BUCKETS
+    ev = t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.expr("ts_us div 3600000000").alias("h")
+    ).agg(F.count("*").cast("long").alias("v"))
+    sp = h.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    bt = (
+        h.crossJoin(F.broadcast(sp))
+        .groupBy(
+            "event_type",
+            # integer div end-to-end: double division + cast can round a
+            # near-integer quotient up and shift the bucket
+            F.expr(
+                f"least(CAST({N - 1} AS BIGINT), "
+                f"((h - lo) * {N}) div (hi - lo + 1))"
+            ).alias("b"),
+        )
+        .agg(F.sum("v").cast("long").alias("v"))
+    )
+    # one linear chain from here: the per-type bucket map, dense grid,
+    # vmax and glyph render all derive from ONE per-type row — no
+    # dense-grid self-join, no separate vmax branch, nothing for the
+    # static plan to print twice
+    per = bt.groupBy("event_type").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("b", "v")))
+        ).alias("_m"),
+        F.sum("v").cast("long").alias("n_events"),
+    )
+    dense = per.select(
+        "event_type",
+        "n_events",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N - 1)),
+                lambda b: F.coalesce(
+                    F.element_at(F.col("_m"), b.cast("long")),
+                    F.lit(0).cast("long"),
+                ),
+            )
+        ).alias("b", "v"),
+    )
+    glyphs = F.array(*[F.lit(g) for g in _SPARKBAR_GLYPHS])
+    cells = dense.withColumn(
+        "vmax", F.max("v").over(Window.partitionBy("event_type"))
+    ).select(
+        "event_type",
+        "n_events",
+        "b",
+        F.element_at(
+            glyphs,
+            (
+                F.when(F.col("v") == 0, F.lit(0).cast("long")).otherwise(
+                    F.lit(1) + F.expr("(v * 8 - 1) div vmax")
+                )
+                + 1
+            ).cast("int"),
+        ).alias("g"),
+    )
+    return (
+        cells.groupBy("event_type", "n_events")
+        .agg(F.array_sort(F.collect_list(F.struct("b", "g"))).alias("_a"))
+        .select(
+            "event_type",
+            "n_events",
+            F.concat_ws(
+                "", F.transform(F.col("_a"), lambda s: s["g"])
+            ).alias("bar"),
+        )
+    )
+
+
+@register(
+    "daily_value_array_ops",
+    """
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, v,
+             CAST(sum(v) OVER (PARTITION BY event_type ORDER BY day)
+                  AS BIGINT) AS cs,
+             CAST(coalesce(v - lag(v) OVER (PARTITION BY event_type
+                                            ORDER BY day), 0) AS BIGINT)
+               AS df
+      FROM d
+    ),
+    a AS (
+      SELECT event_type,
+             array_to_string(list(CAST(day AS VARCHAR) ORDER BY day), '|')
+               AS days,
+             array_to_string(list(CAST(v AS VARCHAR) ORDER BY day), '|')
+               AS value_cents,
+             array_to_string(list(CAST(cs AS VARCHAR) ORDER BY day), '|')
+               AS cum_cents,
+             array_to_string(list(CAST(df AS VARCHAR) ORDER BY day), '|')
+               AS delta_cents
+      FROM w GROUP BY event_type
+    ),
+    u AS (
+      SELECT event_type,
+             array_to_string(list(CAST(dow AS VARCHAR) ORDER BY dow), '|')
+               AS uniq_dows
+      FROM (SELECT DISTINCT event_type, day % 7 AS dow FROM d)
+      GROUP BY event_type
+    )
+    SELECT a.*, u.uniq_dows FROM a JOIN u USING (event_type)
+    """,
+    tags=("A-array", "clickhouse-parity"),
+    doc="ClickHouse array-combinator battery over the per-type daily "
+    "value series: groupArray (the ordered series), arrayCumSum, "
+    "arrayDifference (ClickHouse convention: first element 0), and "
+    "groupUniqArray (distinct day-of-week residues, sorted) — "
+    "serialized pipe-joined for engine-portable hashing. The "
+    "collect_list is CALENDAR-BOUNDED (one element per type x day), "
+    "so the array build never scales with raw rows; cumsum/difference "
+    "are O(days^2)/O(days) expression folds over <=O(100) elements, "
+    "deliberately array-side to exercise the combinators rather than "
+    "re-windowing. All values exact integer cents — bit-identical "
+    "across engines.",
+)
+def daily_value_array_ops(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.expr("ts_us div 86400000000").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    per = d.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "v"))).alias("_a"),
+        F.array_sort(F.collect_set(F.col("day") % 7)).alias("_dows"),
+    )
+    days = F.transform(F.col("_a"), lambda s: s["day"])
+    vals = F.transform(F.col("_a"), lambda s: s["v"])
+    cum = F.transform(
+        vals,
+        lambda x, i: F.aggregate(
+            F.slice(vals, F.lit(1), i + 1),
+            F.lit(0).cast("long"),
+            lambda acc, y: acc + y,
+        ),
+    )
+    diff = F.transform(
+        vals,
+        lambda x, i: F.when(i == 0, F.lit(0).cast("long")).otherwise(
+            x - F.element_at(vals, i)
+        ),
+    )
+
+    def joined(arr):
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), "|")
+
+    return per.select(
+        "event_type",
+        joined(days).alias("days"),
+        joined(vals).alias("value_cents"),
+        joined(cum).alias("cum_cents"),
+        joined(diff).alias("delta_cents"),
+        joined(F.col("_dows")).alias("uniq_dows"),
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401

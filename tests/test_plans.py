@@ -775,3 +775,60 @@ def test_prefix_scan_runtime_exchange_reuse(spark, sf_smoke):
         "quantile_state_rollup",
     ):
         assert "ReusedExchange" in _executed(spark, name, sf_smoke), name
+
+
+def test_strict_order_funnel_sliced_rank_joins(spark, sf_smoke):
+    # (r6) strict_order windowFunnel: per-user sequence ranks must come
+    # from the range-sliced two-pass ranker (every Window keyed by the
+    # slice column — a mega-user's timeline never sorts on one task),
+    # and adjacency must be hash equi-joins on (user, rank) — unique
+    # keys, uniform by construction — never a cartesian or a
+    # whole-user-partition window.
+    p = explain(spark, "window_funnel_strict_order", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    low = p.lower().replace(" ", "")
+    assert "hashpartitioning(_slice" in low
+    # no window partitioned by user alone (the mega-user hazard)
+    assert "partitionby(user_id)" not in low.replace("_", "_")
+
+
+def test_sparkbar_reduces_before_render(spark, sf_smoke):
+    # (r6) sparkbar: the raw stream must collapse map-side to the
+    # (type, hour) histogram, and everything after (bucket fold, dense
+    # grid, vmax, glyph render) must be ONE linear chain over type x 24
+    # cells — a single parquet scan in the static plan, no dense-grid
+    # self-join, no separate vmax branch. The span bounds ride a 1-row
+    # broadcast (BroadcastNestedLoop, never CartesianProduct).
+    p = explain(spark, "hourly_sparkbar_by_type", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    # 2 static scans = the accepted bounds_df two-pass: the span
+    # (min/max hour) branch prunes to a narrower scan schema than the
+    # histogram branch, so its exchange is legitimately different (no
+    # runtime reuse) — but it is a column-pruned min/max pass, the same
+    # cost class as every other bounds_df scan in the repo
+    assert tree(p).count("Scan parquet") <= 2
+
+
+def test_daily_array_ops_calendar_bounded(spark, sf_smoke):
+    # (r6) array-combinator battery: the collect_list input is the
+    # (type, day) rollup — calendar-bounded — never raw rows, and the
+    # cumsum/difference folds are JVM expression trees, not Python.
+    p = explain(spark, "daily_value_array_ops", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Join" not in tree(p)
+    assert tree(p).count("Scan parquet") == 1
+    # map-side partial_count/sum before the day-keyed exchange
+    assert "partial" in p.lower()
+
+
+def test_gopher_rules_single_pass_no_joins(spark, sf_smoke):
+    # (r6) rule battery: one projection -> constant fan-out explode ->
+    # one map-side-combined aggregation; no joins, no windows, no
+    # Python in the feature expressions.
+    p = explain(spark, "gopher_rules_report", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Join" not in tree(p)
+    assert "Window" not in tree(p)
+    assert tree(p).count("Scan parquet") == 1
