@@ -173,3 +173,37 @@ def bitmap_pair_overlap(
         .cast("long")
         .alias("n_or"),
     )
+
+
+def merge_bitmaps(bm: DataFrame, out_key) -> DataFrame:
+    """-Merge step of the bitmap -State family: OR sub-bitmaps of the
+    same (merged key, bucket) into one container and re-popcount.
+
+    ``out_key`` is a Column mapping the state's ``key`` to the coarser
+    rollup key (e.g. hour -> day). Lossless by construction — a bitmap
+    OR is the exact union — so merged popcounts equal a direct distinct
+    count over the finer states' inputs (the pytest-pinned
+    merge == direct contract shared with uniq/quantile/CMS states).
+    One keyed shuffle over container rows (state-bounded, never raw
+    ids); the OR fold is one Arrow batch per merged container.
+    """
+
+    def orfold(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        acc = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
+        for buf in pdf["bitmap"].iloc[1:]:
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "bucket": [int(pdf["bucket"].iloc[0])],
+                "bitmap": [acc.tobytes()],
+                "n": [int(np.unpackbits(acc).sum())],
+            }
+        )
+
+    re_keyed = bm.withColumn("key", out_key.cast("string"))
+    return re_keyed.groupBy("key", "bucket").applyInPandas(
+        orfold, _BITMAP_SCHEMA
+    )

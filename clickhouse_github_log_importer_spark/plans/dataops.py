@@ -2894,3 +2894,59 @@ def gopher_rules_report(spark, sf_dir):
             F.sum("ok").cast("double") / F.count("*"), 4
         ).alias("pass_rate"),
     )
+
+
+@register(
+    "source_overlap_matrix",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT source,
+             {md5_hash64_sql('s')} AS h
+      FROM (
+        SELECT source, unnest({_shingles_sql(4)}) AS s
+        FROM (SELECT source, {_WORDS} AS words FROM documents)
+      )
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS shared_shingles
+    FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "pipeline"),
+    doc="Cross-source contamination matrix: for every source pair, the "
+    "number of distinct word-4-gram shingle hashes they share — the "
+    "'who copies from whom' view a curation pipeline uses to decide "
+    "dedup ordering and source trust (doc-level exact dedup misses "
+    "partial copying; this is the span-level signal aggregated to "
+    "source granularity). Scale shape: shingles reduce to DISTINCT "
+    "(hash, source) FIRST (map-side-combined, output bounded by "
+    "vocabulary x sources, not by corpus rows), and the self-join is "
+    "a hash equi-join on uniform md5 keys with per-hash fan-out "
+    "bounded by the source count (<= |sources|^2 rows per hash, "
+    "independent of how many docs contain the shingle) — never a "
+    "doc-pair expansion.",
+)
+def source_overlap_matrix(spark, sf_dir):
+    from ..functions.hashing import md5_hash64
+    from ..operators.dedup_text import shingles_of
+
+    docs = t(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source",
+            F.explode(F.array_distinct(shingles_of("text", 4))).alias("s"),
+        )
+        .select("source", md5_hash64("s").alias("h"))
+        .distinct()
+    )
+    a = sh.select(F.col("source").alias("source_a"), "h")
+    b = sh.select(F.col("source").alias("source_b"), F.col("h").alias("hb"))
+    return (
+        a.join(
+            b,
+            (F.col("h") == F.col("hb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("shared_shingles"))
+    )

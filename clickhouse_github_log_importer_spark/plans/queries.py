@@ -7195,6 +7195,261 @@ def daily_value_array_ops(spark, sf_dir):
     )
 
 
+_EQUIDEPTH_BUCKETS = 8
+
+
+@register(
+    "value_equidepth_histogram",
+    f"""
+    WITH h AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS m
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT v, m, sum(m) OVER (ORDER BY v) AS cum,
+             sum(m) OVER () AS n
+      FROM h
+    )
+    SELECT CAST(((cum - m) * {_EQUIDEPTH_BUCKETS}) // n AS BIGINT)
+             AS bucket,
+           CAST(min(v) AS BIGINT) AS lo_cents,
+           CAST(max(v) AS BIGINT) AS hi_cents,
+           CAST(sum(m) AS BIGINT) AS n_events
+    FROM c GROUP BY 1
+    """,
+    tags=("A2", "histogram", "clickhouse-parity"),
+    doc="ClickHouse adaptive histogram() analog with DETERMINISTIC "
+    "semantics: exact equi-depth buckets instead of the stream-order-"
+    "dependent adaptive merge (whose bin edges ClickHouse itself "
+    "documents as non-deterministic — unsuitable for an oracle-checked "
+    "engine). A value's bucket is floor(rank_before * B / n), all "
+    "integer arithmetic over the exact (value -> count) histogram, so "
+    "ties stay in one bucket and edges are reproducible under any "
+    "merge order. The cumulative pass rides the range-sliced "
+    "distributed prefix scan (operators.ranking.prefix_sum) over the "
+    "VALUE-DOMAIN-bounded histogram — the raw stream reduces map-side "
+    "first, the window input never scales with rows (the "
+    "weighted_median_price machinery, generalized to full bucket "
+    "output: per-bucket lo/hi edges + depth).",
+)
+def value_equidepth_histogram(spark, sf_dir):
+    from ..operators.ranking import prefix_sum
+
+    B = _EQUIDEPTH_BUCKETS
+    ev = t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.round(F.col("value") * 100).cast("long").alias("v")
+    ).agg(F.count("*").cast("long").alias("m"))
+    cum = prefix_sum(h, [], ["v"], "m")
+    n = h.agg(F.sum("m").cast("long").alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr(f"((_prefix - m) * {B}) div n").alias("bucket")
+        )
+        .agg(
+            F.min("v").alias("lo_cents"),
+            F.max("v").alias("hi_cents"),
+            F.sum("m").cast("long").alias("n_events"),
+        )
+    )
+
+
+_IV_LABEL_CENTS = 5000  # label = event value >= 50.00
+
+
+@register(
+    "categorical_information_value",
+    f"""
+    WITH g AS (
+      SELECT (epoch_us(ts) // 3600000000 % 24) // 6 AS band,
+             CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT)
+                             >= {_IV_LABEL_CENTS}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+             CAST(sum(CASE WHEN CAST(round(value * 100) AS BIGINT)
+                             >= {_IV_LABEL_CENTS}
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_bad
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_good) AS BIGINT) AS gt,
+             CAST(sum(n_bad) AS BIGINT) AS bt
+      FROM g
+    )
+    SELECT band, n_good, n_bad,
+           round(ln((CAST(n_good AS DOUBLE) * bt)
+                    / (CAST(n_bad AS DOUBLE) * gt)), 6) AS woe,
+           round((CAST(n_good AS DOUBLE) / gt
+                  - CAST(n_bad AS DOUBLE) / bt)
+                 * ln((CAST(n_good AS DOUBLE) * bt)
+                      / (CAST(n_bad AS DOUBLE) * gt)), 6) AS iv_term
+    FROM g, tot
+    """,
+    tags=("agg", "stats", "clickhouse-parity"),
+    doc="ClickHouse categoricalInformationValue analog: weight of "
+    "evidence ln((good_i/G)/(bad_i/B)) and the IV contribution "
+    "(good_i/G - bad_i/B) * WoE per category (6-hour band; binary "
+    "label = value >= 50.00) — the feature-screening statistic. "
+    "Counts are exact integers from ONE map-side-combined pass; the "
+    "ratio is evaluated as the IDENTICAL double expression tree in "
+    "both engines (double*long products, no long*long overflow at any "
+    "scale), same determinism contract as categorical_association_"
+    "suite. Totals ride a broadcast 1-row aggregate.",
+)
+def categorical_information_value(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    lab = (F.round(F.col("value") * 100).cast("long") >= _IV_LABEL_CENTS).cast(
+        "int"
+    )
+    g = ev.groupBy(
+        F.expr("(ts_us div 3600000000 % 24) div 6").alias("band")
+    ).agg(
+        F.sum(lab).cast("long").alias("n_good"),
+        F.sum(1 - lab).cast("long").alias("n_bad"),
+    )
+    tot = g.agg(
+        F.sum("n_good").cast("long").alias("gt"),
+        F.sum("n_bad").cast("long").alias("bt"),
+    )
+    ratio = (F.col("n_good").cast("double") * F.col("bt")) / (
+        F.col("n_bad").cast("double") * F.col("gt")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            "n_good",
+            "n_bad",
+            F.round(F.log(ratio), 6).alias("woe"),
+            F.round(
+                (
+                    F.col("n_good").cast("double") / F.col("gt")
+                    - F.col("n_bad").cast("double") / F.col("bt")
+                )
+                * F.log(ratio),
+                6,
+            ).alias("iv_term"),
+        )
+    )
+
+
+@register(
+    "bitmap_state_rollup",
+    """
+    SELECT epoch_us(ts) // 86400000000 AS day_id,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS uniq_users
+    FROM events GROUP BY 1
+    """,
+    tags=("A-state", "bitmap", "clickhouse-parity"),
+    doc="groupBitmapState/groupBitmapMerge rollup (the bitmap MV "
+    "shape): hourly packed-bitmap containers (operators/bitmaps.py, "
+    "roaring-style 8192-id sub-bitmaps) OR-merged to day level without "
+    "re-reading raw ids — completing the mergeable-state QUARTET with "
+    "uniq_state_rollup (KMV), quantile_state_rollup (value histogram) "
+    "and cms_state_rollup (count-min grid). A bitmap OR is the exact "
+    "union, so the merged day popcounts EQUAL a direct "
+    "count(DISTINCT) — the oracle is the direct form, making the "
+    "merge==direct contract itself the correctness check (plus the "
+    "pytest pin). Scale shape: raw rows reduce to distinct (hour, "
+    "bucket, offset) map-side; the merge shuffles only container rows "
+    "(state-bounded, ~1 KiB each, a billion-id day is ~122k "
+    "independent containers) and each OR fold is one Arrow batch.",
+)
+def bitmap_state_rollup(spark, sf_dir):
+    from ..operators.bitmaps import audience_bitmaps, merge_bitmaps
+
+    ev = t(spark, sf_dir, "events")
+    hourly = audience_bitmaps(
+        ev.select(
+            F.expr("ts_us div 3600000000").alias("hour_id"), "user_id"
+        ),
+        "hour_id",
+        "user_id",
+    )
+    day = merge_bitmaps(hourly, F.expr("CAST(key AS BIGINT) div 24"))
+    return day.groupBy(
+        F.col("key").cast("long").alias("day_id")
+    ).agg(F.sum("n").cast("long").alias("uniq_users"))
+
+
+_TOPK_HOUR_M = 8  # hourly state width
+_TOPK_DAY_K = 5  # day-level emitted top-K
+
+
+@register(
+    "topk_state_rollup",
+    f"""
+    WITH hc AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour_id, user_id,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    hr AS (
+      SELECT hour_id, user_id, c,
+             row_number() OVER (PARTITION BY hour_id
+                                ORDER BY c DESC, user_id) AS rk
+      FROM hc
+    ),
+    st AS (SELECT * FROM hr WHERE rk <= {_TOPK_HOUR_M}),
+    dm AS (
+      SELECT hour_id // 24 AS day_id, user_id,
+             CAST(sum(c) AS BIGINT) AS est_cnt
+      FROM st GROUP BY 1, 2
+    ),
+    dr AS (
+      SELECT day_id, user_id, est_cnt,
+             CAST(row_number() OVER (PARTITION BY day_id
+                                     ORDER BY est_cnt DESC, user_id)
+                  AS BIGINT) AS rk
+      FROM dm
+    )
+    SELECT day_id, user_id, est_cnt, rk FROM dr WHERE rk <= {_TOPK_DAY_K}
+    """,
+    tags=("A-state", "topk", "clickhouse-parity"),
+    doc="ClickHouse topKState/topKMerge rollup (SpaceSaving-flavored): "
+    f"hourly states keep the top-{_TOPK_HOUR_M} users by count "
+    "(DETERMINISTIC truncation: count desc, user asc — ClickHouse's "
+    "own topK merge order is unspecified; we pin it so the oracle can "
+    "mirror the algorithm bit-for-bit), day-level merge sums surviving "
+    f"counts per user and emits the top-{_TOPK_DAY_K} — a lower-bound "
+    "estimate whose error is bounded by the dropped per-hour tail "
+    "mass, the standard mergeable heavy-hitter MV shape (exact "
+    "sibling: cms_state_rollup's audited probe). BOTH ranking passes "
+    "ride the range-sliced two-pass ranker on composite (key, -count) "
+    "slices — an hour with 10^8 active users never sorts on one task.",
+)
+def topk_state_rollup(spark, sf_dir):
+    from ..operators.ranking import composite_slice_key, ranked
+
+    ev = t(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        F.expr("ts_us div 3600000000").alias("hour_id"), "user_id"
+    ).agg(F.count("*").cast("long").alias("c"))
+    r1 = ranked(
+        hc.withColumn("_neg", -F.col("c")),
+        ["hour_id"],
+        ["_neg", "user_id"],
+        slice_col=composite_slice_key("hour_id", "_neg"),
+        broadcast_offsets=False,
+    )
+    st = r1.filter(F.col("_rank") <= _TOPK_HOUR_M)
+    dm = st.groupBy(
+        F.expr("hour_id div 24").alias("day_id"), "user_id"
+    ).agg(F.sum("c").cast("long").alias("est_cnt"))
+    r2 = ranked(
+        dm.withColumn("_neg", -F.col("est_cnt")),
+        ["day_id"],
+        ["_neg", "user_id"],
+        slice_col=composite_slice_key("day_id", "_neg"),
+        broadcast_offsets=False,
+    )
+    return (
+        r2.filter(F.col("_rank") <= _TOPK_DAY_K)
+        .select("day_id", "user_id", "est_cnt", F.col("_rank").alias("rk"))
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401

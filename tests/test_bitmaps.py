@@ -108,3 +108,43 @@ def test_bitmap_algebra_fuzz(spark):
         assert r["n_a"] == len(a) and r["n_b"] == len(b)
         assert r["n_and"] == len(a & b), (r["type_a"], r["type_b"])
         assert r["n_or"] == len(a | b)
+
+
+def test_merge_bitmaps_rollup_equals_direct(spark):
+    # -Merge contract for merge_bitmaps: OR-merging hourly container
+    # states to a coarser key == building containers directly from the
+    # union of the hours' ids (merge == direct), and popcounts equal
+    # exact python set cardinalities. Hours 0/1 roll to day 0,
+    # hour 24 rolls to day 1; overlapping ids must count once.
+    from clickhouse_github_log_importer_spark.operators.bitmaps import (
+        merge_bitmaps,
+    )
+
+    rows = (
+        [(0, i) for i in range(0, 60)]
+        + [(1, i) for i in range(40, 90)]  # overlaps hour 0
+        + [(1, (3 << BUCKET_BITS) + 5)]  # a far container
+        + [(24, i) for i in range(10)]  # next day
+    )
+    df = spark.createDataFrame(rows, "hour long, id long")
+    hourly = audience_bitmaps(df, "hour", "id")
+    day = merge_bitmaps(
+        hourly, F.expr("CAST(key AS BIGINT) div 24")
+    )
+    got = {
+        (r["key"], r["bucket"]): (r["bitmap"], r["n"])
+        for r in day.collect()
+    }
+    direct = audience_bitmaps(
+        df.withColumn("hour", F.expr("hour div 24")), "hour", "id"
+    )
+    want = {
+        (r["key"], r["bucket"]): (r["bitmap"], r["n"])
+        for r in direct.collect()
+    }
+    assert got == want
+    day_tot = {
+        k: sum(n for (kk, _), (_, n) in got.items() if kk == k)
+        for k in ("0", "1")
+    }
+    assert day_tot == {"0": 91, "1": 10}

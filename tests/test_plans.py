@@ -80,9 +80,10 @@ DECLARED_ARROW = (
     "multimodal_",
     "ann_",
     # chunked packed-bitmap containers: the per-(key, bucket) packbits fold
-    # and the byte-AND popcount are Arrow-batched numpy by design
-    # (operators/bitmaps.py)
+    # and the byte-AND popcount / OR-merge are Arrow-batched numpy by
+    # design (operators/bitmaps.py)
     "bitmap_audience_overlap",
+    "bitmap_state_rollup",
     "simhash_signatures",
     "embedding_near_dup_pairs",
     "cross_modal_near_dups",
@@ -832,3 +833,72 @@ def test_gopher_rules_single_pass_no_joins(spark, sf_smoke):
     assert "Join" not in tree(p)
     assert "Window" not in tree(p)
     assert tree(p).count("Scan parquet") == 1
+
+
+def test_equidepth_sliced_prefix_over_histogram(spark, sf_smoke):
+    # (r6) equi-depth histogram: the cumulative pass must ride the
+    # range-sliced prefix scan over the value-domain-bounded histogram
+    # (never a global single-partition window over raw rows), and the
+    # raw stream must reduce map-side first.
+    p = explain(spark, "value_equidepth_histogram", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    low = p.lower().replace(" ", "")
+    assert "hashpartitioning(_slice" in low
+    assert "ReusedExchange" in _executed(
+        spark, "value_equidepth_histogram", sf_smoke
+    )
+
+
+def test_information_value_single_pass(spark, sf_smoke):
+    # (r6) IV/WoE: exact counts in ONE map-side-combined pass, totals a
+    # 1-row broadcast; no windows, no Python.
+    p = explain(spark, "categorical_information_value", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" not in tree(p)
+    assert "partial" in p.lower()
+
+
+def test_source_overlap_distinct_before_join(spark, sf_smoke):
+    # (r6) contamination matrix: shingles must reduce to DISTINCT
+    # (hash, source) BEFORE the self-join (vocabulary-bounded join
+    # input, never raw doc-shingle rows), and the join must be a hash
+    # equi-join on the md5 key — no cartesian, no Python.
+    p = explain(spark, "source_overlap_matrix", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    t_ = tree(p)
+    # a hash EQUI-join on the md5 key (broadcast at smoke scale, shuffle
+    # at corpus scale — either is key-partitioned, never nested-loop
+    # over raw rows)
+    assert any(
+        k in t_ for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert "BroadcastNestedLoopJoin" not in t_
+    # distinct-before-join: each side's Generate (shingle explode) is
+    # separated from the Join by the distinct's HashAggregate pair
+    assert t_.count("HashAggregate") >= 4 and "Generate" in t_
+
+
+def test_bitmap_rollup_merges_state_not_ids(spark, sf_smoke):
+    # (r6) bitmap -State/-Merge: raw rows reduce to distinct (hour,
+    # bucket, offset) map-side; the day merge shuffles CONTAINER rows
+    # (state-bounded), and the only Python are the two Arrow container
+    # folds — never row-at-a-time.
+    p = explain(spark, "bitmap_state_rollup", sf_smoke)
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert tree(p).count("FlatMapGroupsInPandas") == 2  # build + OR-merge
+    assert tree(p).count("Scan parquet") == 1
+
+
+def test_topk_rollup_sliced_rankers(spark, sf_smoke):
+    # (r6) topK -State/-Merge: both ranking passes (hourly truncation,
+    # day emission) must ride the range-sliced ranker — slice-keyed
+    # window exchanges, never a whole-hour/day sort on one task.
+    p = explain(spark, "topk_state_rollup", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    low = p.lower().replace(" ", "")
+    assert low.count("hashpartitioning(_slice") >= 2
