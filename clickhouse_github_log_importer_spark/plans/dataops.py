@@ -2920,33 +2920,46 @@ def gopher_rules_report(spark, sf_dir):
     "partial copying; this is the span-level signal aggregated to "
     "source granularity). Scale shape: shingles reduce to DISTINCT "
     "(hash, source) FIRST (map-side-combined, output bounded by "
-    "vocabulary x sources, not by corpus rows), and the self-join is "
-    "a hash equi-join on uniform md5 keys with per-hash fan-out "
-    "bounded by the source count (<= |sources|^2 rows per hash, "
-    "independent of how many docs contain the shingle) — never a "
-    "doc-pair expansion.",
+    "vocabulary x sources, not by corpus rows), then NO JOIN AT ALL: "
+    "one groupBy(hash) collects the source set (bounded by the SOURCE "
+    "CARDINALITY by construction — a shingle in a million docs still "
+    "folds to <= |sources| elements) and the a<b pairs explode in-row "
+    "from the sorted set. The oracle states the same relation as a "
+    "self-join; the join-free form halves the shingle-scan work (the "
+    "joined form re-executed the explode+md5 subtree per side when AQE "
+    "broadcast one side — measured 10.3 s -> the rewrite at sf0.1) and "
+    "removes the only shuffle wider than the hash table.",
 )
 def source_overlap_matrix(spark, sf_dir):
     from ..functions.hashing import md5_hash64
     from ..operators.dedup_text import shingles_of
 
     docs = t(spark, sf_dir, "documents")
-    sh = (
-        docs.select(
-            "source",
-            F.explode(F.array_distinct(shingles_of("text", 4))).alias("s"),
-        )
-        .select("source", md5_hash64("s").alias("h"))
-        .distinct()
+    sh = docs.select(
+        "source",
+        F.explode(F.array_distinct(shingles_of("text", 4))).alias("s"),
+    ).select("source", md5_hash64("s").alias("h"))
+    src_sets = sh.groupBy("h").agg(
+        F.array_sort(F.collect_set("source")).alias("_ss")
     )
-    a = sh.select(F.col("source").alias("source_a"), "h")
-    b = sh.select(F.col("source").alias("source_b"), F.col("h").alias("hb"))
-    return (
-        a.join(
-            b,
-            (F.col("h") == F.col("hb"))
-            & (F.col("source_a") < F.col("source_b")),
+    a = F.col("_ss")
+    pairs = F.flatten(
+        F.transform(
+            a,
+            lambda x, i: F.transform(
+                F.slice(a, i + 2, F.size(a)),
+                lambda y: F.struct(
+                    x.alias("source_a"), y.alias("source_b")
+                ),
+            ),
         )
-        .groupBy("source_a", "source_b")
+    )
+    return (
+        src_sets.filter(F.size("_ss") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
         .agg(F.count("*").cast("long").alias("shared_shingles"))
     )

@@ -774,6 +774,13 @@ def test_prefix_scan_runtime_exchange_reuse(spark, sf_smoke):
         "mann_whitney_u_values",
         "kolmogorov_smirnov_values",
         "quantile_state_rollup",
+        # strict_order funnel: the signup/click/purchase branches all
+        # filter the SAME ranked() output, so the ranker's slice-window
+        # exchange is identical across them and executes once
+        "window_funnel_strict_order",
+        # equi-depth histogram: prefix_sum's two passes over the value
+        # histogram share its aggregation exchange
+        "value_equidepth_histogram",
     ):
         assert "ReusedExchange" in _executed(spark, name, sf_smoke), name
 
@@ -860,25 +867,19 @@ def test_information_value_single_pass(spark, sf_smoke):
     assert "partial" in p.lower()
 
 
-def test_source_overlap_distinct_before_join(spark, sf_smoke):
-    # (r6) contamination matrix: shingles must reduce to DISTINCT
-    # (hash, source) BEFORE the self-join (vocabulary-bounded join
-    # input, never raw doc-shingle rows), and the join must be a hash
-    # equi-join on the md5 key — no cartesian, no Python.
+def test_source_overlap_join_free(spark, sf_smoke):
+    # (r6) contamination matrix: shingles reduce to the per-hash source
+    # SET (bounded by source cardinality) and the a<b pairs explode
+    # in-row — NO join anywhere (the self-join form re-executed the
+    # explode+md5 subtree per side under AQE broadcast; measured 2x),
+    # no Python, one parquet scan.
     p = explain(spark, "source_overlap_matrix", sf_smoke)
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
-    assert "CartesianProduct" not in p
     t_ = tree(p)
-    # a hash EQUI-join on the md5 key (broadcast at smoke scale, shuffle
-    # at corpus scale — either is key-partitioned, never nested-loop
-    # over raw rows)
-    assert any(
-        k in t_ for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
-    )
-    assert "BroadcastNestedLoopJoin" not in t_
-    # distinct-before-join: each side's Generate (shingle explode) is
-    # separated from the Join by the distinct's HashAggregate pair
-    assert t_.count("HashAggregate") >= 4 and "Generate" in t_
+    assert "Join" not in t_
+    assert tree(p).count("Scan parquet") == 1
+    # shingle explode + pair explode
+    assert t_.count("Generate") == 2
 
 
 def test_bitmap_rollup_merges_state_not_ids(spark, sf_smoke):

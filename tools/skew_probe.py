@@ -68,8 +68,19 @@ EVENT_QUERIES = [
     # user_sessions, is the measured argument for why the segmented
     # sessionizer is the registry headline
     "user_sessions_native",
+    # r6 late additions: rank-adjacency funnel (sliced ranker + uniform
+    # (user, rank) joins must shrug off the mega-user) and the topK MV
+    # (hourly truncation bounds the merge regardless of user skew)
+    "window_funnel_strict_order",
+    "topk_state_rollup",
 ]
-DOC_QUERIES = ["source_capped_sample", "sequence_packing_plan"]
+DOC_QUERIES = [
+    "source_capped_sample",
+    "sequence_packing_plan",
+    # r6: distinct (shingle-hash, source) before the self-join — the
+    # mega-source must not reintroduce a doc-pair expansion
+    "source_overlap_matrix",
+]
 
 
 def build_skew(spark):
