@@ -2963,3 +2963,87 @@ def source_overlap_matrix(spark, sf_dir):
         )
         .agg(F.count("*").cast("long").alias("shared_shingles"))
     )
+
+
+def _lang_confusion_oracle() -> str:
+    langs = sorted(TA.LANG_MARKERS)
+    score_cols = []
+    for lang, markers in sorted(TA.LANG_MARKERS.items()):
+        arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        score_cols.append(
+            f"len(list_filter(words, w -> list_contains({arr}, w)))"
+            f" AS score_{lang}"
+        )
+    pred = "'unknown'"
+    for lang in reversed(langs):
+        conds = [f"score_{lang} > 0"]
+        for other in langs:
+            if other != lang:
+                op = ">=" if other > lang else ">"
+                conds.append(f"score_{lang} {op} score_{other}")
+        pred = f"CASE WHEN {' AND '.join(conds)} THEN '{lang}' ELSE {pred} END"
+    return f"""
+    WITH p AS (
+      SELECT lang, {pred} AS pred_lang
+      FROM (
+        SELECT lang, {', '.join(score_cols)}
+        FROM (SELECT lang, {_WORDS} AS words FROM documents)
+      )
+    ),
+    m AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+          FROM p GROUP BY 1, 2),
+    tt AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS nt FROM m GROUP BY 1)
+    SELECT m.lang, m.pred_lang, m.n_docs,
+           round(CAST(m.n_docs AS DOUBLE) / tt.nt, 4) AS frac
+    FROM m JOIN tt USING (lang)
+    """
+
+
+@register(
+    "lang_id_confusion",
+    _lang_confusion_oracle(),
+    tags=("text", "quality", "pipeline"),
+    doc="Language-ID confusion matrix: predicted vs TRUE language (the "
+    "documents table carries ground-truth `lang`), with per-true-"
+    "language row fractions — the classifier-drift audit a curation "
+    "pipeline runs when the heuristic language ID gates training-data "
+    "routing (mis-ID silently starves a language's token budget; "
+    "token_fertility_by_lang is the downstream alarm, this is the "
+    "upstream cause). One projection computes the marker scores + "
+    "argmax (same expression family as lang_id / corpus_quality_"
+    "summary), one map-side-combined aggregation to the |langs|^2 "
+    "matrix, per-language totals broadcast back.",
+)
+def lang_id_confusion(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    scores = TA.lang_scores("text")
+    langs = sorted(scores)
+    scored = docs.select(
+        "lang", *[c.alias(f"score_{lang}") for lang, c in scores.items()]
+    )
+    pred = F.lit("unknown")
+    for lang in reversed(langs):
+        cond = (F.col(f"score_{lang}") > 0) & F.lit(True)
+        for other in langs:
+            if other != lang:
+                op = (
+                    F.col(f"score_{lang}") >= F.col(f"score_{other}")
+                    if other > lang
+                    else F.col(f"score_{lang}") > F.col(f"score_{other}")
+                )
+                cond = cond & op
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    m = (
+        scored.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    tt = m.groupBy("lang").agg(F.sum("n_docs").cast("long").alias("nt"))
+    return m.join(F.broadcast(tt), "lang").select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("nt"), 4).alias(
+            "frac"
+        ),
+    )

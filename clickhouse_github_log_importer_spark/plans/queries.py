@@ -7450,6 +7450,90 @@ def topk_state_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "hourly_series_decomposition",
+    """
+    WITH c AS (
+      SELECT epoch_us(ts) // 3600000000 AS hour_id,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    span AS (SELECT min(hour_id) AS lo, max(hour_id) AS hi FROM c),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS hour_id FROM span),
+    g AS (SELECT grid.hour_id, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+          FROM grid LEFT JOIN c USING (hour_id)),
+    d AS (
+      SELECT hour_id, x,
+             CAST(sum(x) OVER (ORDER BY hour_id
+                               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                  AS BIGINT) AS tsum,
+             count(*) OVER (ORDER BY hour_id
+                            ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+               AS cnt
+      FROM g
+    ),
+    f AS (
+      SELECT hour_id, x, tsum,
+             CAST(x * 25 - tsum AS BIGINT) AS detr,
+             hour_id % 24 AS hod
+      FROM d WHERE cnt = 25
+    ),
+    se AS (
+      SELECT hod, CAST(sum(detr) AS BIGINT) AS snum,
+             CAST(count(*) AS BIGINT) AS n
+      FROM f GROUP BY 1
+    )
+    SELECT f.hour_id, f.x AS n_events,
+           round(tsum / 25.0, 4) AS trend,
+           round(snum / (25.0 * n), 4) AS seasonal,
+           round(detr / 25.0 - snum / (25.0 * n), 4) AS resid
+    FROM f JOIN se USING (hod)
+    """,
+    tags=("temporal", "stats", "clickhouse-parity"),
+    doc="ClickHouse seriesDecomposeSTL analog with DETERMINISTIC "
+    "semantics (STL's loess is float-iterative and engine-specific; "
+    "this is the classical additive decomposition the same monitoring "
+    "use-case needs): trend = centered 25-hour moving average over the "
+    "gap-filled hourly series, seasonal = per-hour-of-day mean of the "
+    "detrended values, residual = the rest. The detrended value is "
+    "kept SCALED BY 25 (x*25 - trend_sum) so every aggregate stays "
+    "exact integer; the only doubles are the three final divisions, "
+    "identical expression trees in both engines. Scale shape: the "
+    "series family's contract — raw rows reduce map-side to the "
+    "calendar-bounded histogram, every window/join after runs on "
+    "O(hours) rows (bounded by TIME, not data volume), the seasonal "
+    "table is 24 rows broadcast back.",
+)
+def hourly_series_decomposition(spark, sf_dir):
+    s = _hourly_series(spark, sf_dir, "hourly_series_decomposition").drop(
+        "lo"
+    )
+    w = Window.orderBy("hour_id").rowsBetween(-12, 12)
+    d = s.withColumn("tsum", F.sum("x").over(w).cast("long")).withColumn(
+        "_cnt", F.count("*").over(w)
+    )
+    f = d.filter(F.col("_cnt") == 25).select(
+        "hour_id",
+        "x",
+        "tsum",
+        (F.col("x") * 25 - F.col("tsum")).cast("long").alias("detr"),
+        (F.col("hour_id") % 24).alias("hod"),
+    )
+    se = f.groupBy("hod").agg(
+        F.sum("detr").cast("long").alias("snum"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return f.join(F.broadcast(se), "hod").select(
+        "hour_id",
+        F.col("x").alias("n_events"),
+        F.round(F.col("tsum") / 25.0, 4).alias("trend"),
+        F.round(F.col("snum") / (25.0 * F.col("n")), 4).alias("seasonal"),
+        F.round(
+            F.col("detr") / 25.0 - F.col("snum") / (25.0 * F.col("n")), 4
+        ).alias("resid"),
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401

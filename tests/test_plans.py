@@ -903,3 +903,26 @@ def test_topk_rollup_sliced_rankers(spark, sf_smoke):
     assert "CartesianProduct" not in p
     low = p.lower().replace(" ", "")
     assert low.count("hashpartitioning(_slice") >= 2
+
+
+def test_series_decomposition_calendar_bounded(spark, sf_smoke):
+    # (r6) STL-style decomposition: raw rows reduce map-side to the
+    # calendar-bounded histogram; the moving-average window and the
+    # seasonal join run on O(hours) rows; the 24-row seasonal table
+    # broadcasts. No Python, no cartesian.
+    p = explain(spark, "hourly_series_decomposition", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in tree(p)
+    assert "partial" in p.lower()
+
+
+def test_lang_confusion_single_projection(spark, sf_smoke):
+    # (r6) the confusion matrix: scores + argmax are ONE projection
+    # (no per-language scans), one map-side-combined aggregation to
+    # the |langs|^2 matrix, totals broadcast back. No Python.
+    p = explain(spark, "lang_id_confusion", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert tree(p).count("Scan parquet") <= 2
+    assert "BroadcastHashJoin" in tree(p)
