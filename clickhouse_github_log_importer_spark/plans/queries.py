@@ -2873,7 +2873,9 @@ def retention_cohorts(spark, sf_dir):
     )
 
 
-def _funnel_chain_scan(spark, sf_dir, inclusive: bool = False):
+def _funnel_chain_scan(
+    spark, sf_dir, inclusive: bool = False, emit_min_signup: bool = False
+):
     """The shared RANGE-SLICED signup->click->purchase chain scan.
 
     ``inclusive=True`` flips the equal-timestamp sort so predecessors
@@ -2952,16 +2954,23 @@ def _funnel_chain_scan(spark, sf_dir, inclusive: bool = False):
         )
         .withColumn("_lK", F.max("_clk").over(w_loc))
     )
+    if emit_min_signup:
+        # running EARLIEST signup — the other associative extreme, used
+        # by minimum-gap edges ((?t>T)): same window, min instead of max
+        local = local.withColumn("_lSmin", F.min("_sig").over(w_loc))
     # carry table, one row per (slice, user): compose (S, C) across
     # slices — a click in slice s chains with the best signup carried
     # into s, so each slice's C contribution is max(local C, carried S
     # if the slice has any click); both runs are windows over the tiny
     # table ordered by slice
-    summ = local.groupBy("_slice", "user_id").agg(
+    summ_aggs = [
         F.max("_sig").alias("_S_out"),
         F.max(F.when(F.col("_k") == -1, F.col("_lS"))).alias("_C_loc"),
         F.max("_clk").alias("_has_clk"),
-    )
+    ]
+    if emit_min_signup:
+        summ_aggs.append(F.min("_sig").alias("_Smin_out"))
+    summ = local.groupBy("_slice", "user_id").agg(*summ_aggs)
     w_off = (
         Window.partitionBy("user_id")
         .orderBy("_slice")
@@ -2974,19 +2983,22 @@ def _funnel_chain_scan(spark, sf_dir, inclusive: bool = False):
             F.when(F.col("_has_clk").isNotNull(), F.col("_S_in")),
         ),
     )
-    offsets = carry.select(
-        "_slice",
-        "user_id",
-        "_S_in",
+    off_cols = [
+        F.col("_slice"),
+        F.col("user_id"),
+        F.col("_S_in"),
         F.max("_C_contrib").over(w_off).alias("_C_in"),
-    )
+    ]
+    if emit_min_signup:
+        off_cols.append(F.min("_Smin_out").over(w_off).alias("_Smin_in"))
+    offsets = carry.select(*off_cols)
     # no broadcast hint: the carry is O(distinct users) rows — AQE
     # broadcasts when it measures small, shuffle-joins at user scale
     g = local.join(offsets, ["_slice", "user_id"])
-    return g.select(
-        "user_id",
-        "_ts",
-        "_k",
+    out_cols = [
+        F.col("user_id"),
+        F.col("_ts"),
+        F.col("_k"),
         F.greatest("_lS", "_S_in").alias("_gS"),
         F.greatest(
             "_lC", "_C_in", F.when(F.col("_lK").isNotNull(), F.col("_S_in"))
@@ -2996,8 +3008,13 @@ def _funnel_chain_scan(spark, sf_dir, inclusive: bool = False):
         # above leaves the frame hash-partitioned on (_slice, user_id),
         # so their slice-local window adds no exchange and no second
         # quantile job
-        "_slice",
-    )
+        F.col("_slice"),
+    ]
+    if emit_min_signup:
+        # least() skips nulls (like greatest), so a slice with no local
+        # signup correctly inherits the carried-in minimum
+        out_cols.append(F.least("_lSmin", "_Smin_in").alias("_gSmin"))
+    return g.select(*out_cols)
 
 
 @register(
@@ -7532,6 +7549,201 @@ def hourly_series_decomposition(spark, sf_dir):
             F.col("detr") / 25.0 - F.col("snum") / (25.0 * F.col("n")), 4
         ).alias("resid"),
     )
+
+
+@register(
+    "feature_corr_matrix",
+    """
+    WITH f AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             epoch_us(ts) // 3600000000 % 24 AS h,
+             epoch_us(ts) // 86400000000 % 7 AS d
+      FROM events
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(h) AS BIGINT) AS sh,
+             CAST(sum(d) AS BIGINT) AS sd,
+             sum(CAST(v AS HUGEINT) * v) AS svv,
+             sum(CAST(h AS HUGEINT) * h) AS shh,
+             sum(CAST(d AS HUGEINT) * d) AS sdd,
+             sum(CAST(v AS HUGEINT) * h) AS svh,
+             sum(CAST(v AS HUGEINT) * d) AS svd,
+             sum(CAST(h AS HUGEINT) * d) AS shd
+      FROM f
+    )
+    SELECT p.feat_a, p.feat_b,
+           round(
+             (CAST(n AS DOUBLE) * p.sab - CAST(p.sa AS DOUBLE) * p.sb)
+             / sqrt((CAST(n AS DOUBLE) * p.saa
+                       - CAST(p.sa AS DOUBLE) * p.sa)
+                    * (CAST(n AS DOUBLE) * p.sbb
+                       - CAST(p.sb AS DOUBLE) * p.sb)), 6) AS corr
+    FROM m, LATERAL (
+      SELECT unnest([
+        {'feat_a': 'hour', 'feat_b': 'value',
+         'sa': CAST(sh AS DOUBLE), 'sb': CAST(sv AS DOUBLE),
+         'saa': CAST(shh AS DOUBLE), 'sbb': CAST(svv AS DOUBLE),
+         'sab': CAST(svh AS DOUBLE)},
+        {'feat_a': 'dow', 'feat_b': 'value',
+         'sa': CAST(sd AS DOUBLE), 'sb': CAST(sv AS DOUBLE),
+         'saa': CAST(sdd AS DOUBLE), 'sbb': CAST(svv AS DOUBLE),
+         'sab': CAST(svd AS DOUBLE)},
+        {'feat_a': 'dow', 'feat_b': 'hour',
+         'sa': CAST(sd AS DOUBLE), 'sb': CAST(sh AS DOUBLE),
+         'saa': CAST(sdd AS DOUBLE), 'sbb': CAST(shh AS DOUBLE),
+         'sab': CAST(shd AS DOUBLE)}
+      ], recursive := true)
+    ) p
+    """,
+    tags=("agg", "stats", "clickhouse-parity"),
+    doc="ClickHouse corrMatrix analog: the pairwise Pearson matrix over "
+    "k derived features (value cents, hour-of-day, day-of-week) from "
+    "ONE map-side-combined pass computing all k + k(k+1)/2 exact "
+    "moments — the multi-feature generalization of "
+    "value_hour_correlation. Squared/cross sums accumulate as "
+    "decimal(38,0)/HUGEINT (the advisor-flagged long*long overflow "
+    "class: cents^2 ~2.4e9/row exceeds int64 as a sum near 4e9 rows; "
+    "38 digits hold it to ~4e28). The correlation closed form is "
+    "evaluated as the IDENTICAL double expression both engines over "
+    "those exact sums — merge-order-proof like value_moments_by_type. "
+    "Output unpivots to (feat_a, feat_b, corr) rows via a constant "
+    "3-element explode over the 1-row moment aggregate.",
+)
+def feature_corr_matrix(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    f = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.expr("ts_us div 3600000000 % 24").alias("h"),
+        F.expr("ts_us div 86400000000 % 7").alias("d"),
+    )
+    dec = "decimal(38,0)"
+    m = f.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum("h").cast("long").alias("sh"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum(F.col("v").cast(dec) * F.col("v")).alias("svv"),
+        F.sum(F.col("h").cast(dec) * F.col("h")).alias("shh"),
+        F.sum(F.col("d").cast(dec) * F.col("d")).alias("sdd"),
+        F.sum(F.col("v").cast(dec) * F.col("h")).alias("svh"),
+        F.sum(F.col("v").cast(dec) * F.col("d")).alias("svd"),
+        F.sum(F.col("h").cast(dec) * F.col("d")).alias("shd"),
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("feat_a"),
+                F.lit(b).alias("feat_b"),
+                F.col(sa).cast("double").alias("sa"),
+                F.col(sb).cast("double").alias("sb"),
+                F.col(saa).cast("double").alias("saa"),
+                F.col(sbb).cast("double").alias("sbb"),
+                F.col(sab).cast("double").alias("sab"),
+            )
+            for a, b, sa, sb, saa, sbb, sab in (
+                ("hour", "value", "sh", "sv", "shh", "svv", "svh"),
+                ("dow", "value", "sd", "sv", "sdd", "svv", "svd"),
+                ("dow", "hour", "sd", "sh", "sdd", "shh", "shd"),
+            )
+        ]
+    )
+    nd = F.col("n").cast("double")
+    ex = m.select("n", F.explode(pairs).alias("p")).select("n", "p.*")
+    corr = (nd * F.col("sab") - F.col("sa") * F.col("sb")) / F.sqrt(
+        (nd * F.col("saa") - F.col("sa") * F.col("sa"))
+        * (nd * F.col("sbb") - F.col("sb") * F.col("sb"))
+    )
+    return ex.select(
+        "feat_a", "feat_b", F.round(corr, 6).alias("corr")
+    )
+
+
+_SEQ_MIN_GAP_US = 3600 * 1000000  # (?t>3600): at least one hour later
+
+
+@register(
+    "sequence_match_min_gap",
+    f"""
+    WITH s AS (SELECT user_id, epoch_us(ts) AS ti FROM events
+               WHERE event_type = 'signup'),
+    c AS (SELECT user_id, epoch_us(ts) AS ti FROM events
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(ts) AS ti FROM events
+          WHERE event_type = 'purchase'),
+    qc AS (
+      SELECT DISTINCT c.user_id, c.ti
+      FROM c JOIN s ON s.user_id = c.user_id
+       AND s.ti < c.ti AND c.ti - s.ti > {_SEQ_MIN_GAP_US}
+    ),
+    m AS (SELECT DISTINCT p.user_id
+          FROM p JOIN qc ON qc.user_id = p.user_id AND qc.ti < p.ti)
+    SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_matched,
+           CAST((SELECT COUNT(DISTINCT user_id) FROM s) AS BIGINT)
+             AS n_signup_users
+    """,
+    tags=("funnel", "sequence", "clickhouse-parity", "segmented-scan"),
+    doc="ClickHouse sequenceMatch('(?1)(?t>3600)(?2)(?3)') parity — the "
+    "MINIMUM-gap edge, the dual of sequence_match_pattern's (?t<3600): "
+    "users whose click comes at least one hour after SOME signup, then "
+    "a purchase strictly after that click (the slow-burn re-engagement "
+    "shape). Where an upper-bounded edge needs the LATEST predecessor "
+    "(closest = easiest to satisfy), a lower-bounded edge needs the "
+    "EARLIEST: a click qualifies iff ts - (FIRST signup strictly "
+    "before it) > T. Running min is the same associative extreme as "
+    "running max, so the shared RANGE-SLICED chain scan emits _gSmin "
+    "beside _gS (emit_min_signup flag — one more window column on the "
+    "existing sort, one more carry column, zero new exchanges), and "
+    "the purchase stage is the identical segmented running max over "
+    "qualified-click timestamps. Skew story unchanged: a mega-user's "
+    "timeline spreads across composite (user, ts) slices.",
+)
+def sequence_match_min_gap(spark, sf_dir):
+    g = _funnel_chain_scan(spark, sf_dir, emit_min_signup=True)
+    q = g.withColumn(
+        "_qts",
+        F.when(
+            (F.col("_k") == -1)
+            & (F.col("_ts") - F.col("_gSmin") > F.lit(_SEQ_MIN_GAP_US)),
+            F.col("_ts"),
+        ),
+    )
+    w_loc = (
+        Window.partitionBy("_slice", "user_id")
+        .orderBy("_ts", "_k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = q.withColumn("_lq", F.max("_qts").over(w_loc))
+    carry = q.groupBy("_slice", "user_id").agg(
+        F.max("_qts").alias("_qout")
+    )
+    w_off = (
+        Window.partitionBy("user_id")
+        .orderBy("_slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = carry.select(
+        "_slice", "user_id", F.max("_qout").over(w_off).alias("_qin")
+    )
+    r = local.join(offs, ["_slice", "user_id"])
+    matched = (
+        r.filter(
+            (F.col("_k") == -2)
+            & F.greatest("_lq", "_qin").isNotNull()
+        )
+        .select("user_id")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_matched"))
+    )
+    signups = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id")
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_signup_users"))
+    )
+    return matched.crossJoin(signups)
 
 
 # Training-data pipeline queries register themselves on import (uses the

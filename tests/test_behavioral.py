@@ -255,3 +255,40 @@ def test_sequence_match_edge_semantics(spark, tmp_path):
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     odf = con.execute(REGISTRY["sequence_match_pattern"].oracle).fetchdf()
     assert (int(odf.n_matched[0]), int(odf.n_signup_users[0])) == (2, 5)
+
+
+def test_sequence_match_min_gap_edge_semantics(spark, tmp_path):
+    # sequenceMatch('(?1)(?t>3600)(?2)(?3)') pinning, T = 3600 s —
+    # the MINIMUM-gap edge needs the EARLIEST signup, the dual of the
+    # upper-bounded edge's latest-predecessor rule:
+    #  u1: signup(0) click(T+1) purchase(T+2)   -> matched (gap > T)
+    #  u2: signup(0) click(T) purchase(T+1)     -> NOT matched (gap == T)
+    #  u3: signup(0) signup(T) click(T+10)
+    #      purchase(T+20)                       -> matched via the FIRST
+    #      signup (gap T+10 > T) even though the LATEST signup is only
+    #      10 us before the click — the case a latest-signup fold (_gS)
+    #      gets wrong
+    #  u4: signup(T) click(T+10) purchase(T+20) -> NOT matched (only
+    #      signup is 10 us before the click)
+    #  u5: click(T+1) purchase(T+2)             -> no signup: excluded
+    T = 3600 * 1000000
+    rows = [
+        (1, 0, 1, "signup"), (2, T + 1, 1, "click"),
+        (3, T + 2, 1, "purchase"),
+        (4, 0, 2, "signup"), (5, T, 2, "click"), (6, T + 1, 2, "purchase"),
+        (7, 0, 3, "signup"), (8, T, 3, "signup"), (9, T + 10, 3, "click"),
+        (10, T + 20, 3, "purchase"),
+        (11, T, 4, "signup"), (12, T + 10, 4, "click"),
+        (13, T + 20, 4, "purchase"),
+        (14, T + 1, 5, "click"), (15, T + 2, 5, "purchase"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    row = REGISTRY["sequence_match_min_gap"].spark(spark, sf).first()
+    assert (row["n_matched"], row["n_signup_users"]) == (2, 4)
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    odf = con.execute(REGISTRY["sequence_match_min_gap"].oracle).fetchdf()
+    assert (int(odf.n_matched[0]), int(odf.n_signup_users[0])) == (2, 4)

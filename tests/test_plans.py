@@ -660,11 +660,12 @@ def test_sequence_match_sliced_chain(spark, sf_smoke):
     # (r6) sequenceMatch must ride the sliced chain scan + sliced running
     # max: no per-user serial window, no events x events self-join; the
     # only nested-loop join is the final two-1-row-aggregates cross
-    p = explain(spark, "sequence_match_pattern", sf_smoke)
-    low = p.lower()
-    assert "sortmergejoin" not in low
-    assert "hashpartitioning(_slice" in low.replace(" ", "")
-    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    for name in ("sequence_match_pattern", "sequence_match_min_gap"):
+        p = explain(spark, name, sf_smoke)
+        low = p.lower()
+        assert "sortmergejoin" not in low, name
+        assert "hashpartitioning(_slice" in low.replace(" ", ""), name
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, name
 
 
 def test_multiple_regression_single_shuffle(spark, sf_smoke):
@@ -926,3 +927,15 @@ def test_lang_confusion_single_projection(spark, sf_smoke):
     assert "CartesianProduct" not in p
     assert tree(p).count("Scan parquet") <= 2
     assert "BroadcastHashJoin" in tree(p)
+
+
+def test_corr_matrix_single_pass_all_moments(spark, sf_smoke):
+    # (r6) corrMatrix: all k + k(k+1)/2 moments in ONE map-side-combined
+    # aggregation over one scan; the matrix unpivot is a constant
+    # 3-element explode on the 1-row aggregate. No joins, no windows.
+    p = explain(spark, "feature_corr_matrix", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "Join" not in tree(p)
+    assert "Window" not in tree(p)
+    assert tree(p).count("Scan parquet") == 1
+    assert "partial" in p.lower()

@@ -73,6 +73,7 @@ EVENT_QUERIES = [
     # (hourly truncation bounds the merge regardless of user skew)
     "window_funnel_strict_order",
     "topk_state_rollup",
+    "sequence_match_min_gap",
 ]
 DOC_QUERIES = [
     "source_capped_sample",
