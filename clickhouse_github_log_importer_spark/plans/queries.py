@@ -7746,6 +7746,168 @@ def sequence_match_min_gap(spark, sf_dir):
     return matched.crossJoin(signups)
 
 
+@register(
+    "score_auc",
+    """
+    WITH h AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS np_v,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+                  AS BIGINT) AS nn_v
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT v, np_v, nn_v, np_v + nn_v AS m_v,
+             SUM(np_v + nn_v) OVER (ORDER BY v) AS cum
+      FROM h
+    ),
+    m AS (
+      SELECT CAST(SUM(np_v) AS BIGINT) AS n_pos,
+             CAST(SUM(nn_v) AS BIGINT) AS n_neg,
+             SUM(CAST(np_v AS HUGEINT)
+                 * (2 * (cum - m_v) + m_v + 1)) AS r2
+      FROM c
+    )
+    SELECT n_pos, n_neg,
+           round(CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)
+                      AS DOUBLE) / 2
+                 / (CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc,
+           round(CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)
+                      AS DOUBLE)
+                 / (CAST(n_pos AS DOUBLE) * n_neg) - 1, 6) AS gini
+    FROM m
+    """,
+    tags=("agg", "stats", "clickhouse-parity", "ml-eval", "segmented-scan"),
+    doc="ClickHouse arrayAUC analog, distributed: ROC AUC of the value "
+    "score predicting the purchase label, via the rank identity "
+    "AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg) with MIDRANKS "
+    "for ties — the exact probabilistic AUC (P(score_pos > score_neg) "
+    "+ P(equal)/2), plus the ML Gini (2*AUC - 1). Same machinery as "
+    "mann_whitney_u_values (AUC IS a scaled U statistic): the rank "
+    "reduction is exact integer arithmetic over the VALUE HISTOGRAM — "
+    "2*R_pos = sum np_v*(2*c_v + m_v + 1) accumulating as "
+    "decimal(38,0)/HUGEINT — never per-row ranks, so the state is "
+    "bounded by the value domain and merge order cannot matter. The "
+    "cumulative walk rides the range-sliced prefix scan; only the two "
+    "final divisions are doubles, identical expressions both engines. "
+    "The model-quality gate a training pipeline runs on every scorer "
+    "(quality classifiers, dedup scorers, DSIR weights).",
+)
+def score_auc(spark, sf_dir):
+    from ..operators.ranking import prefix_sum
+
+    ev = t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.round(F.col("value") * 100).cast("long").alias("v")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("np_v"),
+        F.sum(F.when(F.col("event_type") == "purchase", 0).otherwise(1))
+        .cast("long")
+        .alias("nn_v"),
+    ).withColumn("m_v", F.col("np_v") + F.col("nn_v"))
+    cum = prefix_sum(h, [], ["v"], "m_v")
+    c_v = F.col("_prefix") - F.col("m_v")
+    m = cum.agg(
+        F.sum("np_v").cast("long").alias("n_pos"),
+        F.sum("nn_v").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("np_v").cast("decimal(38,0)")
+            * (2 * c_v + F.col("m_v") + 1)
+        ).alias("r2"),
+    )
+    two_u = (
+        F.col("r2")
+        - F.col("n_pos").cast("decimal(38,0)") * (F.col("n_pos") + 1)
+    ).cast("double")
+    denom = F.col("n_pos").cast("double") * F.col("n_neg")
+    return m.select(
+        "n_pos",
+        "n_neg",
+        F.round(two_u / 2 / denom, 6).alias("auc"),
+        F.round(two_u / denom - 1, 6).alias("gini"),
+    )
+
+
+_CALIBRATION_BUCKETS = 10
+
+
+@register(
+    "score_calibration_curve",
+    f"""
+    WITH h AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS np_v,
+             CAST(count(*) AS BIGINT) AS m_v
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT v, np_v, m_v,
+             SUM(m_v) OVER (ORDER BY v) AS cum,
+             SUM(m_v) OVER () AS n
+      FROM h
+    )
+    SELECT CAST(((cum - m_v) * {_CALIBRATION_BUCKETS}) // n AS BIGINT)
+             AS bucket,
+           CAST(SUM(m_v) AS BIGINT) AS n_events,
+           CAST(SUM(np_v) AS BIGINT) AS n_pos,
+           round(CAST(SUM(np_v) AS DOUBLE) / SUM(m_v), 4) AS pos_rate,
+           round(CAST(SUM(CAST(v AS HUGEINT) * m_v) AS DOUBLE)
+                 / SUM(m_v), 2) AS mean_score_cents
+    FROM c GROUP BY 1
+    """,
+    tags=("agg", "stats", "ml-eval", "segmented-scan"),
+    doc="Reliability diagram (calibration curve) for the value score "
+    "against the purchase label: exact equi-depth score deciles "
+    "(the value_equidepth_histogram bucketing — integer rank "
+    "arithmetic, ties stay together) with per-decile event count, "
+    "positive count, empirical positive rate, and mean score. A "
+    "well-calibrated scorer shows pos_rate monotone in the decile — "
+    "the companion audit to score_auc (AUC measures ranking, "
+    "calibration measures probability faithfulness; a pipeline "
+    "gating on score thresholds needs both). Same scale shape: "
+    "value-domain-bounded histogram, range-sliced prefix scan, "
+    "score-weighted sums as decimal(38,0)/HUGEINT.",
+)
+def score_calibration_curve(spark, sf_dir):
+    from ..operators.ranking import prefix_sum
+
+    B = _CALIBRATION_BUCKETS
+    ev = t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.round(F.col("value") * 100).cast("long").alias("v")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("np_v"),
+        F.count("*").cast("long").alias("m_v"),
+    )
+    cum = prefix_sum(h, [], ["v"], "m_v")
+    n = h.agg(F.sum("m_v").cast("long").alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy(
+            F.expr(f"((_prefix - m_v) * {B}) div n").alias("bucket")
+        )
+        .agg(
+            F.sum("m_v").cast("long").alias("n_events"),
+            F.sum("np_v").cast("long").alias("n_pos"),
+            F.round(
+                F.sum("np_v").cast("double") / F.sum("m_v"), 4
+            ).alias("pos_rate"),
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,0)") * F.col("m_v"))
+                .cast("double")
+                / F.sum("m_v"),
+                2,
+            ).alias("mean_score_cents"),
+        )
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401

@@ -939,3 +939,17 @@ def test_corr_matrix_single_pass_all_moments(spark, sf_smoke):
     assert "Window" not in tree(p)
     assert tree(p).count("Scan parquet") == 1
     assert "partial" in p.lower()
+
+
+def test_auc_calibration_histogram_reduction(spark, sf_smoke):
+    # (r6) AUC / calibration: rank reductions over the value-domain-
+    # bounded histogram on the range-sliced prefix scan — never per-row
+    # ranks, no Python, runtime exchange reuse across prefix_sum's two
+    # passes (same family as weighted_median / MWU / KS).
+    for name in ("score_auc", "score_calibration_curve"):
+        p = explain(spark, name, sf_smoke)
+        assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p, name
+        assert "CartesianProduct" not in p, name
+        low = p.lower().replace(" ", "")
+        assert "hashpartitioning(_slice" in low, name
+        assert "ReusedExchange" in _executed(spark, name, sf_smoke), name

@@ -292,3 +292,46 @@ def test_sequence_next_node_matches_pandas(spark, stats_sf):
         nxt = rows.t.iloc[clicks[0] + 1]
         want[nxt] = want.get(nxt, 0) + 1
     assert dict(out) == want
+
+
+def test_auc_matches_per_row_ranks(spark, stats_sf):
+    # score_auc's histogram-rank reduction vs the textbook midrank
+    # formula on raw rows (the same identity sklearn's roc_auc_score
+    # implements): AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg)
+    # with average ranks for ties. Gini = 2*AUC - 1.
+    sf_dir, df = stats_sf
+    out = _run(spark, "score_auc", sf_dir)
+    y = (df.t == "purchase").to_numpy()
+    r = pd.Series(df.cents).rank(method="average").to_numpy()
+    n_pos, n_neg = int(y.sum()), int((~y).sum())
+    want = (r[y].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert (int(out.n_pos.iloc[0]), int(out.n_neg.iloc[0])) == (n_pos, n_neg)
+    assert out.auc.iloc[0] == pytest.approx(want, abs=2e-6)
+    assert out.gini.iloc[0] == pytest.approx(2 * want - 1, abs=4e-6)
+
+
+def test_calibration_depths_and_rates(spark, stats_sf):
+    # equi-depth contract on the calibration curve: bucket depths are
+    # within one tie-group of N/B, totals conserve, and per-bucket
+    # rates/means match a brute-force per-row recomputation over the
+    # same integer-rank bucket assignment
+    sf_dir, df = stats_sf
+    out = _run(spark, "score_calibration_curve", sf_dir).set_index("bucket")
+    assert int(out.n_events.sum()) == N
+    assert int(out.n_pos.sum()) == int((df.t == "purchase").sum())
+    d = pd.DataFrame({"v": df.cents, "pos": (df.t == "purchase")})
+    g = d.groupby("v").agg(m=("v", "size"), np=("pos", "sum")).sort_index()
+    g["before"] = g.m.cumsum() - g.m
+    g["bucket"] = (g.before * 10) // N
+    want = g.groupby("bucket").agg(
+        n=("m", "sum"), npos=("np", "sum"),
+        sv=("m", lambda s: (s.index.to_numpy() * s.to_numpy()).sum()),
+    )
+    for b, row in want.iterrows():
+        o = out.loc[b]
+        assert int(o.n_events) == int(row.n)
+        assert int(o.n_pos) == int(row.npos)
+        assert o.pos_rate == pytest.approx(row.npos / row.n, abs=1e-4)
+        assert o.mean_score_cents == pytest.approx(
+            row.sv / row.n, abs=5e-3
+        )
