@@ -2844,7 +2844,7 @@ def _gopher_oracle() -> str:
 )
 def gopher_rules_report(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    words = F.filter(F.split("text", " "), lambda x: x != "")
+    words = DT.words_of("text")  # the one tokenization rule (_WORDS twin)
     stop_arr = F.array(*[F.lit(s) for s in TA.EN_STOPWORDS])
     nw = F.size(words).cast("double")
     feats = docs.select(
@@ -3016,25 +3016,12 @@ def _lang_confusion_oracle() -> str:
 )
 def lang_id_confusion(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    scores = TA.lang_scores("text")
-    langs = sorted(scores)
-    scored = docs.select(
-        "lang", *[c.alias(f"score_{lang}") for lang, c in scores.items()]
-    )
-    pred = F.lit("unknown")
-    for lang in reversed(langs):
-        cond = (F.col(f"score_{lang}") > 0) & F.lit(True)
-        for other in langs:
-            if other != lang:
-                op = (
-                    F.col(f"score_{lang}") >= F.col(f"score_{other}")
-                    if other > lang
-                    else F.col(f"score_{lang}") > F.col(f"score_{other}")
-                )
-                cond = cond & op
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    # TA.lang_id owns the argmax/tie-break rule (alphabetically-first
+    # wins) in exactly one place; passing the TRUE label as the id
+    # column gives the (lang, scores..., pred_lang) projection directly
+    scored = TA.lang_id(docs, text_col="text", id_col="lang")
     m = (
-        scored.select("lang", pred.alias("pred_lang"))
+        scored.select("lang", "pred_lang")
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )

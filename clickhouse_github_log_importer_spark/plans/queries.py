@@ -5322,18 +5322,30 @@ _SEQ_MATCH_T_US = 3600 * 1000000  # the (?t<3600) edge bound, in micros
 )
 def sequence_match_pattern(spark, sf_dir):
     g = _funnel_chain_scan(spark, sf_dir)
-    q = g.withColumn(
-        "_qts",
-        F.when(
-            (F.col("_k") == -1)
-            & (F.col("_ts") - F.col("_gS") < F.lit(_SEQ_MATCH_T_US)),
-            F.col("_ts"),
-        ),
+    qts = F.when(
+        (F.col("_k") == -1)
+        & (F.col("_ts") - F.col("_gS") < F.lit(_SEQ_MATCH_T_US)),
+        F.col("_ts"),
     )
-    # running max of qualified-click ts, REUSING the chain scan's slice
-    # id: the scan's carry join left the frame hash-partitioned on
-    # (_slice, user_id), so this slice-local window needs no new
-    # exchange and no second quantile job — just its own tiny carry
+    return _qualified_click_purchase_match(spark, sf_dir, g, qts)
+
+
+def _qualified_click_purchase_match(spark, sf_dir, g, qts):
+    """Shared second segmented pass of the sequenceMatch family: given
+    the chain scan ``g`` and a qualified-click timestamp column ``qts``
+    (null when the click fails its edge constraint), count users with a
+    purchase strictly after SOME qualified click, beside the distinct
+    signup-user denominator.
+
+    Running max of qualified-click ts REUSES the chain scan's slice id:
+    the scan's carry join left the frame hash-partitioned on (_slice,
+    user_id), so the slice-local window needs no new exchange and no
+    second quantile job — just its own tiny carry. Purchase rows
+    (_k == -2 in strict mode) sort before equal-ts clicks, so the
+    running max at a purchase sees only strictly-earlier qualified
+    clicks — the same-timestamp invariant is encoded HERE, once, for
+    every edge-constraint variant ((?t<T), (?t>T))."""
+    q = g.withColumn("_qts", qts)
     w_loc = (
         Window.partitionBy("_slice", "user_id")
         .orderBy("_ts", "_k")
@@ -5352,9 +5364,6 @@ def sequence_match_pattern(spark, sf_dir):
         "_slice", "user_id", F.max("_qout").over(w_off).alias("_qin")
     )
     r = local.join(offs, ["_slice", "user_id"])
-    # purchase rows (_k == -2 in strict mode) sort before equal-ts
-    # clicks, so the running max at a purchase sees only strictly-
-    # earlier qualified clicks
     matched = (
         r.filter(
             (F.col("_k") == -2)
@@ -7295,12 +7304,16 @@ _IV_LABEL_CENTS = 5000  # label = event value >= 50.00
       FROM g
     )
     SELECT band, n_good, n_bad,
-           round(ln((CAST(n_good AS DOUBLE) * bt)
-                    / (CAST(n_bad AS DOUBLE) * gt)), 6) AS woe,
-           round((CAST(n_good AS DOUBLE) / gt
-                  - CAST(n_bad AS DOUBLE) / bt)
-                 * ln((CAST(n_good AS DOUBLE) * bt)
-                      / (CAST(n_bad AS DOUBLE) * gt)), 6) AS iv_term
+           CASE WHEN n_good = 0 OR n_bad = 0 THEN NULL
+                ELSE round(ln((CAST(n_good AS DOUBLE) * bt)
+                              / (CAST(n_bad AS DOUBLE) * gt)), 6)
+           END AS woe,
+           CASE WHEN n_good = 0 OR n_bad = 0 THEN NULL
+                ELSE round((CAST(n_good AS DOUBLE) / gt
+                            - CAST(n_bad AS DOUBLE) / bt)
+                           * ln((CAST(n_good AS DOUBLE) * bt)
+                                / (CAST(n_bad AS DOUBLE) * gt)), 6)
+           END AS iv_term
     FROM g, tot
     """,
     tags=("agg", "stats", "clickhouse-parity"),
@@ -7332,20 +7345,28 @@ def categorical_information_value(spark, sf_dir):
     ratio = (F.col("n_good").cast("double") * F.col("bt")) / (
         F.col("n_bad").cast("double") * F.col("gt")
     )
+    # degenerate bands (no positives / no negatives) have undefined WoE:
+    # emit NULL in BOTH engines (DuckDB ln(0) raises OutOfRange rather
+    # than returning -inf, so an unguarded oracle would crash, not
+    # mismatch)
+    ok = (F.col("n_good") > 0) & (F.col("n_bad") > 0)
     return (
         g.crossJoin(F.broadcast(tot))
         .select(
             "band",
             "n_good",
             "n_bad",
-            F.round(F.log(ratio), 6).alias("woe"),
-            F.round(
-                (
-                    F.col("n_good").cast("double") / F.col("gt")
-                    - F.col("n_bad").cast("double") / F.col("bt")
-                )
-                * F.log(ratio),
-                6,
+            F.when(ok, F.round(F.log(ratio), 6)).alias("woe"),
+            F.when(
+                ok,
+                F.round(
+                    (
+                        F.col("n_good").cast("double") / F.col("gt")
+                        - F.col("n_bad").cast("double") / F.col("bt")
+                    )
+                    * F.log(ratio),
+                    6,
+                ),
             ).alias("iv_term"),
         )
     )
@@ -7701,49 +7722,12 @@ _SEQ_MIN_GAP_US = 3600 * 1000000  # (?t>3600): at least one hour later
 )
 def sequence_match_min_gap(spark, sf_dir):
     g = _funnel_chain_scan(spark, sf_dir, emit_min_signup=True)
-    q = g.withColumn(
-        "_qts",
-        F.when(
-            (F.col("_k") == -1)
-            & (F.col("_ts") - F.col("_gSmin") > F.lit(_SEQ_MIN_GAP_US)),
-            F.col("_ts"),
-        ),
+    qts = F.when(
+        (F.col("_k") == -1)
+        & (F.col("_ts") - F.col("_gSmin") > F.lit(_SEQ_MIN_GAP_US)),
+        F.col("_ts"),
     )
-    w_loc = (
-        Window.partitionBy("_slice", "user_id")
-        .orderBy("_ts", "_k")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = q.withColumn("_lq", F.max("_qts").over(w_loc))
-    carry = q.groupBy("_slice", "user_id").agg(
-        F.max("_qts").alias("_qout")
-    )
-    w_off = (
-        Window.partitionBy("user_id")
-        .orderBy("_slice")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = carry.select(
-        "_slice", "user_id", F.max("_qout").over(w_off).alias("_qin")
-    )
-    r = local.join(offs, ["_slice", "user_id"])
-    matched = (
-        r.filter(
-            (F.col("_k") == -2)
-            & F.greatest("_lq", "_qin").isNotNull()
-        )
-        .select("user_id")
-        .distinct()
-        .agg(F.count("*").cast("long").alias("n_matched"))
-    )
-    signups = (
-        t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "signup")
-        .select("user_id")
-        .distinct()
-        .agg(F.count("*").cast("long").alias("n_signup_users"))
-    )
-    return matched.crossJoin(signups)
+    return _qualified_click_purchase_match(spark, sf_dir, g, qts)
 
 
 @register(

@@ -292,3 +292,43 @@ def test_sequence_match_min_gap_edge_semantics(spark, tmp_path):
     con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
     odf = con.execute(REGISTRY["sequence_match_min_gap"].oracle).fetchdf()
     assert (int(odf.n_matched[0]), int(odf.n_signup_users[0])) == (2, 4)
+
+
+def test_information_value_degenerate_band_is_null(spark, tmp_path):
+    # a band with zero positives (or zero negatives) has undefined WoE:
+    # BOTH engines must emit NULL — DuckDB ln(0) raises OutOfRange
+    # rather than returning -inf, so an unguarded oracle would crash
+    # the parity harness instead of mismatching. Band = hour-of-day
+    # div 6; label = value >= 50.00.
+    H = 3600 * 1000000
+    rows = [
+        # band 0 (hours 0-5): positives and negatives -> defined WoE
+        (1, 0 * H, 1, "click", 100.0), (2, 1 * H, 1, "view", 1.0),
+        # band 1 (hours 6-11): only negatives -> NULL WoE
+        (3, 6 * H, 2, "click", 1.0), (4, 7 * H, 2, "view", 2.0),
+        # band 2 (hours 12-17): only positives -> NULL WoE
+        (5, 12 * H, 3, "click", 99.0), (6, 13 * H, 3, "view", 88.0),
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = {
+        r["band"]: (r["woe"], r["iv_term"])
+        for r in REGISTRY["categorical_information_value"]
+        .spark(spark, sf)
+        .collect()
+    }
+    assert out[1] == (None, None) and out[2] == (None, None)
+    assert out[0][0] is not None
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    odf = (
+        con.execute(REGISTRY["categorical_information_value"].oracle)
+        .fetchdf()
+        .set_index("band")
+    )
+    import math
+
+    assert math.isnan(odf.loc[1].woe) and math.isnan(odf.loc[2].woe)
+    assert not math.isnan(odf.loc[0].woe)

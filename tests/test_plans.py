@@ -798,8 +798,20 @@ def test_strict_order_funnel_sliced_rank_joins(spark, sf_smoke):
     assert "CartesianProduct" not in p
     low = p.lower().replace(" ", "")
     assert "hashpartitioning(_slice" in low
-    # no window partitioned by user alone (the mega-user hazard)
-    assert "partitionby(user_id)" not in low.replace("_", "_")
+    # the mega-user hazard is a row_number window over the RAW stream
+    # keyed by user alone: every windowspecdefinition that orders by the
+    # raw (ts_us, event_id) pair must lead with the slice column (the
+    # carry/offset windows order by _slice over the tiny per-slice
+    # table, so they are keyed differently and excluded by the order
+    # key). Measured backstop: SKEW_PROBE ratio 0.98 on a 50%-of-log
+    # user.
+    import re
+
+    raw_windows = [
+        m.group(1)
+        for m in re.finditer(r"windowspecdefinition\((\w+)#[^)]*ts_us#", p)
+    ]
+    assert raw_windows and all(c == "_slice" for c in raw_windows), raw_windows
 
 
 def test_sparkbar_reduces_before_render(spark, sf_smoke):

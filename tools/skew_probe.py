@@ -78,8 +78,9 @@ EVENT_QUERIES = [
 DOC_QUERIES = [
     "source_capped_sample",
     "sequence_packing_plan",
-    # r6: distinct (shingle-hash, source) before the self-join — the
-    # mega-source must not reintroduce a doc-pair expansion
+    # r6: join-free — distinct (shingle-hash, source) reduction, then
+    # per-hash source sets with in-row pair explode; the mega-source
+    # must not reintroduce a doc-pair expansion anywhere
     "source_overlap_matrix",
 ]
 
