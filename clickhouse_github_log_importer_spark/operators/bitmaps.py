@@ -191,6 +191,18 @@ def merge_bitmaps(bm: DataFrame, out_key) -> DataFrame:
     def orfold(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        want = _BUCKET_SIZE // 8
+        for buf in pdf["bitmap"]:
+            if len(buf) != want:
+                # corrupt persisted state: fail with the domain contract,
+                # not an opaque numpy broadcast error (mirrors the
+                # audience_bitmaps id-domain guard)
+                raise ValueError(
+                    "merge_bitmaps: container for (key="
+                    f"{pdf['key'].iloc[0]!r}, bucket="
+                    f"{int(pdf['bucket'].iloc[0])}) is {len(buf)} bytes, "
+                    f"expected {want} (_BUCKET_SIZE={_BUCKET_SIZE})"
+                )
         acc = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
         for buf in pdf["bitmap"].iloc[1:]:
             acc |= np.frombuffer(buf, dtype=np.uint8)

@@ -23,6 +23,8 @@ correctness runs where the session ends soon after.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 
@@ -60,6 +62,7 @@ def persist_in(scope: CacheScope | None, df: DataFrame) -> DataFrame:
 
 
 _ROTATING: dict[str, CacheScope] = {}
+_ROTATING_LOCK = threading.Lock()
 
 
 def rotating_scope(key: str) -> CacheScope:
@@ -70,10 +73,20 @@ def rotating_scope(key: str) -> CacheScope:
     per invocation.  Rotating the scope bounds the storage layer at ONE
     live frame set per entry name: each call first unpersists whatever
     the previous call with this key persisted (its action is long done
-    by then), then hands out a fresh scope for the new plan."""
-    old = _ROTATING.pop(key, None)
+    by then), then hands out a fresh scope for the new plan.
+
+    Thread-safe: the API server is a ThreadingHTTPServer, so two
+    concurrent requests for the same entry can race the pop/insert —
+    without the lock one scope would be overwritten un-unpersisted (a
+    cache leak). The lock makes rotation atomic. If request B rotates
+    while request A's action is still running, A's blocks are
+    unpersisted mid-flight — Spark recomputes them (correct, just
+    slower); bounding storage beats optimizing the concurrent-same-
+    entry corner."""
+    with _ROTATING_LOCK:
+        old = _ROTATING.pop(key, None)
+        scope = CacheScope()
+        _ROTATING[key] = scope
     if old is not None:
         old.unpersist_all()
-    scope = CacheScope()
-    _ROTATING[key] = scope
     return scope

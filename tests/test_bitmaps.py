@@ -148,3 +148,26 @@ def test_merge_bitmaps_rollup_equals_direct(spark):
         for k in ("0", "1")
     }
     assert day_tot == {"0": 91, "1": 10}
+
+
+def test_merge_bitmaps_rejects_truncated_container(spark):
+    # corrupt persisted state (wrong container width) must fail with the
+    # explicit domain-contract error, not an opaque numpy broadcast error
+    import pytest
+
+    from clickhouse_github_log_importer_spark.operators.bitmaps import (
+        _BUCKET_SIZE,
+        merge_bitmaps,
+    )
+
+    good = bytes(_BUCKET_SIZE // 8)
+    bad = bytes(_BUCKET_SIZE // 8 - 1)
+    df = spark.createDataFrame(
+        [("0", 0, good, 0), ("1", 0, bad, 0)],
+        "key string, bucket long, bitmap binary, n long",
+    )
+    merged = merge_bitmaps(df, F.lit("d"))
+    with pytest.raises(Exception) as exc:
+        merged.collect()
+    assert "merge_bitmaps" in str(exc.value)
+    assert "expected" in str(exc.value)

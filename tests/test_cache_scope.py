@@ -1,0 +1,82 @@
+"""CacheScope / rotating_scope lifetime contracts (operators/cache.py).
+
+The API server is a ThreadingHTTPServer, so rotating_scope must be
+thread-safe: concurrent rotations of the same key may never lose a
+scope (a lost scope's persisted frames would leak — the exact regression
+the rotation exists to prevent)."""
+
+from __future__ import annotations
+
+import threading
+
+from clickhouse_github_log_importer_spark.operators.cache import (
+    CacheScope,
+    rotating_scope,
+)
+
+
+class _FakeFrame:
+    """DataFrame stand-in counting persist/unpersist pairs."""
+
+    def __init__(self) -> None:
+        self.persisted = 0
+        self.unpersisted = 0
+
+    def persist(self):
+        self.persisted += 1
+        return self
+
+    def unpersist(self, blocking=False):
+        self.unpersisted += 1
+        return self
+
+
+def test_scope_unpersists_in_reverse_order():
+    order = []
+
+    class Tracker(_FakeFrame):
+        def __init__(self, tag):
+            super().__init__()
+            self.tag = tag
+
+        def unpersist(self, blocking=False):
+            order.append(self.tag)
+            return super().unpersist(blocking)
+
+    with CacheScope() as scope:
+        scope.persist(Tracker("a"))
+        scope.persist(Tracker("b"))
+    assert order == ["b", "a"]
+
+
+def test_concurrent_rotation_never_leaks_a_scope():
+    # N threads rotate the same key, each persisting one frame in the
+    # scope it received. After the dust settles, every frame except the
+    # single survivor's must have been unpersisted exactly once —
+    # without the lock, a pop/insert race overwrites a scope and its
+    # frame leaks forever.
+    key = "test-rotation-race"
+    frames: list[_FakeFrame] = []
+    frames_lock = threading.Lock()
+    barrier = threading.Barrier(8)
+
+    def worker():
+        barrier.wait()
+        for _ in range(50):
+            scope = rotating_scope(key)
+            f = _FakeFrame()
+            scope.persist(f)
+            with frames_lock:
+                frames.append(f)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # final rotation flushes the last survivor
+    rotating_scope(key)
+    leaked = [f for f in frames if f.unpersisted == 0]
+    double = [f for f in frames if f.unpersisted > 1]
+    assert not leaked, f"{len(leaked)} persisted frames never unpersisted"
+    assert not double, f"{len(double)} frames unpersisted more than once"

@@ -62,20 +62,10 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _git_head() -> str:
-    import subprocess
-
-    try:
-        return subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
-            cwd=REPO, capture_output=True, text=True, timeout=10,
-        ).stdout.strip() or "unknown"
-    except Exception:  # noqa: BLE001 — stamp is best-effort metadata
-        return "unknown"
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
+
+from tools.probe_common import git_head as _git_head  # noqa: E402
 PROBE_ROOT = os.path.join(REPO, ".scale_probe")
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

@@ -33,8 +33,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-sys.path.insert(0, os.path.join(REPO, "tools"))
-from scale_probe import _git_head  # noqa: E402
+from tools.probe_common import git_head as _git_head  # noqa: E402
 
 X10 = os.path.join(REPO, ".scale_probe", "x10")
 SKEW = os.path.join(REPO, ".scale_probe", "x10_skew")
@@ -74,6 +73,15 @@ EVENT_QUERIES = [
     "window_funnel_strict_order",
     "topk_state_rollup",
     "sequence_match_min_gap",
+    # r7: strict_dedup funnel (chain scan + (user,ts) click dedup + one
+    # more segmented pass) and the sequenceMatch compiler (K-1 sliced
+    # running-extrema passes) must both shrug off the mega-user; the
+    # value-domain-keyed ML-eval pair is expected dead flat (value
+    # histogram never keys by user) — pinned for the record
+    "window_funnel_strict_dedup",
+    "sequence_match_compiled",
+    "score_auc",
+    "score_calibration_curve",
 ]
 DOC_QUERIES = [
     "source_capped_sample",
