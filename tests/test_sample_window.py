@@ -1,9 +1,13 @@
 """The driver-sample rotation contract (plans/sample_window.py): the
 driver hashes the first 50 entries of __spark_entry__.queries(), so the
 window must be exactly what we scheduled, cover the full registry, and
-actually rotate (majority never-driver-sampled)."""
+actually rotate (majority never-driver-sampled). SAMPLED_PRIOR is pinned
+against the committed CORRECTNESS_r0*.json artifacts so a missed sync or
+a typo fails here instead of silently wasting a verification slot."""
 
 from __future__ import annotations
+
+import logging
 
 import __spark_entry__ as E
 from clickhouse_github_log_importer_spark.plans.queries import REGISTRY
@@ -11,6 +15,7 @@ from clickhouse_github_log_importer_spark.plans.sample_window import (
     DRIVER_SAMPLE,
     SAMPLED_PRIOR,
     ordered_names,
+    sampled_from_artifacts,
 )
 
 
@@ -19,6 +24,14 @@ def test_window_is_50_unique_registered_names():
     assert len(set(DRIVER_SAMPLE)) == 50
     missing = [n for n in DRIVER_SAMPLE if n not in REGISTRY]
     assert not missing, missing
+
+
+def test_sampled_prior_matches_correctness_artifacts():
+    derived = sampled_from_artifacts()
+    assert SAMPLED_PRIOR == derived, {
+        "only_in_frozenset": sorted(SAMPLED_PRIOR - derived),
+        "only_in_artifacts": sorted(derived - SAMPLED_PRIOR),
+    }
 
 
 def test_queries_surface_complete_and_window_first():
@@ -44,3 +57,11 @@ def test_ordered_names_stable_tail():
     tail = order[50:]
     reg_order = [n for n in REGISTRY if n not in set(DRIVER_SAMPLE)]
     assert tail == reg_order
+
+
+def test_ordered_names_warns_on_skipped_window_name(caplog):
+    partial = [n for n in REGISTRY if n != DRIVER_SAMPLE[1]]
+    with caplog.at_level(logging.WARNING):
+        order = ordered_names(partial)
+    assert DRIVER_SAMPLE[1] not in order
+    assert any(DRIVER_SAMPLE[1] in rec.getMessage() for rec in caplog.records)
