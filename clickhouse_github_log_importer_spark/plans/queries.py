@@ -6992,6 +6992,186 @@ def window_funnel_strict_order(spark, sf_dir):
     )
 
 
+@register(
+    "window_funnel_strict_dedup",
+    f"""
+    WITH f AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tu,
+             CASE event_type WHEN 'purchase' THEN -2
+                             WHEN 'click' THEN -1 ELSE 0 END AS k
+      FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+    ),
+    r AS (
+      SELECT user_id, event_type, tu,
+             max(CASE WHEN event_type = 'signup' THEN tu END)
+               OVER (PARTITION BY user_id ORDER BY tu, k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS gs
+      FROM f
+    ),
+    dq AS (
+      SELECT user_id, tu, count(*) AS nc, max(gs) AS gs
+      FROM r WHERE event_type = 'click' GROUP BY user_id, tu
+    ),
+    q AS (SELECT * FROM dq
+          WHERE gs IS NOT NULL AND tu <= gs + {_FUNNEL_WINDOW_US}),
+    cs AS (SELECT user_id, min(tu) AS tstar FROM q GROUP BY user_id),
+    ci AS (SELECT q.user_id, q.tu AS tstar, q.nc, q.gs
+           FROM q JOIN cs ON q.user_id = cs.user_id AND q.tu = cs.tstar),
+    nx AS (SELECT ci.user_id, min(d.tu) AS tnext
+           FROM ci JOIN dq d
+             ON d.user_id = ci.user_id AND d.tu > ci.tstar
+           GROUP BY ci.user_id),
+    l3 AS (SELECT DISTINCT p.user_id
+           FROM f p JOIN ci ON p.user_id = ci.user_id
+           LEFT JOIN nx ON nx.user_id = p.user_id
+           WHERE p.event_type = 'purchase' AND p.tu > ci.tstar
+             AND p.tu <= ci.gs + {_FUNNEL_WINDOW_US} AND ci.nc = 1
+             AND (nx.tnext IS NULL OR p.tu <= nx.tnext)),
+    lv AS (
+      SELECT user_id, max(level) AS funnel_level FROM (
+        SELECT DISTINCT user_id, 1 AS level FROM f
+          WHERE event_type = 'signup'
+        UNION ALL SELECT DISTINCT user_id, 2 FROM q
+        UNION ALL SELECT user_id, 3 FROM l3
+      ) GROUP BY user_id
+    )
+    SELECT funnel_level, count(*) AS n_users FROM lv GROUP BY 1
+    """,
+    tags=("J1", "funnel", "clickhouse-parity", "segmented-scan"),
+    doc="ClickHouse windowFunnel(24h, 'strict_dedup') analog, the fourth "
+    "and last mode (default / inclusive-tie / strict_order shipped "
+    "earlier): per windowFunnel.h's fold, a repeated event matching an "
+    "ALREADY-SATISFIED step >= 2 interrupts processing at the level "
+    "reached (step-1 repeats merely re-anchor). For the 3-step "
+    "signup -> click -> purchase chain that reduces to: c* = the FIRST "
+    "click chaining off the latest signup strictly before it (the "
+    "chain scan's _gS) inside the window; level 3 iff a purchase lands "
+    "strictly after c* and at-or-before the NEXT click (any click "
+    "after c* is a repeated step-2 event = interrupt), within the "
+    "window anchored at c*'s signup. Spark side: the shared "
+    "RANGE-SLICED chain scan, clicks deduped per (user, ts) — "
+    "equal-ts clicks share _gS by the scan's sort invariant, and "
+    ">= 2 clicks at c*'s timestamp interrupt before any later "
+    "purchase — then ONE more segmented pass (fresh composite "
+    "(user, ts) slices) carrying two associative running values: min "
+    "qualifying-click struct (ts, click-count-at-ts, anchor) and max "
+    "click ts; a purchase qualifies iff the running max click equals "
+    "the running min qualifier's ts (no interrupt yet). No per-user "
+    "window, no self-join on raw rows — a mega-user spreads across "
+    "slices. Same-timestamp processing order pinned deterministically "
+    "as purchase < click < signup in BOTH engines (ClickHouse declares "
+    "it undefined).",
+)
+def window_funnel_strict_dedup(spark, sf_dir):
+    from ..operators.ranking import composite_slice_key, slice_expr
+
+    W = _FUNNEL_WINDOW_US
+    g = _funnel_chain_scan(spark, sf_dir)  # _k: signup 0, click -1, purchase -2
+    # clicks deduped per (user, ts): equal-ts clicks share _gS (signups
+    # at the same ts sort AFTER clicks), so max(_gS) is exact; the count
+    # rides along to detect the duplicate-at-c* interrupt
+    dq = (
+        g.filter(F.col("_k") == -1)
+        .groupBy("user_id", "_ts")
+        .agg(F.count("*").alias("_nc"), F.max("_gS").alias("_dgS"))
+    )
+    qual = F.col("_dgS").isNotNull() & (
+        F.col("_ts") <= F.col("_dgS") + F.lit(W)
+    )
+    dq = dq.withColumn(
+        "_q",
+        F.when(
+            qual,
+            F.struct(
+                F.col("_ts").alias("qt"),
+                F.col("_nc").alias("qn"),
+                F.col("_dgS").alias("qa"),
+            ),
+        ),
+    )
+    st = dq.select(
+        "user_id",
+        "_ts",
+        F.lit(-1).alias("_k2"),
+        "_q",
+        F.col("_ts").alias("_ck"),
+    ).unionByName(
+        g.filter(F.col("_k") == -2).select(
+            "user_id",
+            "_ts",
+            F.lit(-2).alias("_k2"),
+            F.lit(None)
+            .cast("struct<qt:long,qn:bigint,qa:long>")
+            .alias("_q"),
+            F.lit(None).cast("long").alias("_ck"),
+        )
+    )
+    # the click dedup re-shuffled by (user, ts), so pass 2 takes fresh
+    # composite slices; purchases sort before equal-ts clicks (_k2
+    # -2 < -1), so running values at a purchase are strictly-before
+    n_slices = spark.sparkContext.defaultParallelism
+    st = st.withColumn(
+        "_sl",
+        slice_expr(st, composite_slice_key("user_id", "_ts"), n_slices),
+    )
+    w_loc = (
+        Window.partitionBy("_sl", "user_id")
+        .orderBy("_ts", "_k2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = st.withColumn("_lq", F.min("_q").over(w_loc)).withColumn(
+        "_lk", F.max("_ck").over(w_loc)
+    )
+    carry = st.groupBy("_sl", "user_id").agg(
+        F.min("_q").alias("_qo"), F.max("_ck").alias("_ko")
+    )
+    w_off = (
+        Window.partitionBy("user_id")
+        .orderBy("_sl")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = carry.select(
+        "_sl",
+        "user_id",
+        F.min("_qo").over(w_off).alias("_qi"),
+        F.max("_ko").over(w_off).alias("_ki"),
+    )
+    r = local.join(offs, ["_sl", "user_id"])
+    mq = F.least("_lq", "_qi")  # struct min skips nulls, like greatest
+    mk = F.greatest("_lk", "_ki")
+    l3 = (
+        r.filter(
+            (F.col("_k2") == -2)
+            & mq.isNotNull()
+            & (F.col("_ts") <= mq["qa"] + F.lit(W))
+            & (mk == mq["qt"])  # no click since c* = no interrupt yet
+            & (mq["qn"] == 1)  # a twin click at c*'s ts interrupts
+        )
+        .select("user_id")
+        .distinct()
+    )
+    levels = (
+        g.filter(F.col("_k") == 0)
+        .select("user_id")
+        .distinct()
+        .withColumn("level", F.lit(1))
+        .unionByName(
+            dq.filter(F.col("_q").isNotNull())
+            .select("user_id")
+            .distinct()
+            .withColumn("level", F.lit(2))
+        )
+        .unionByName(l3.withColumn("level", F.lit(3)))
+    )
+    return (
+        levels.groupBy("user_id")
+        .agg(F.max("level").alias("funnel_level"))
+        .groupBy("funnel_level")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 _SPARKBAR_GLYPHS = ("·", "▁", "▂", "▃", "▄", "▅", "▆", "▇", "█")
 _SPARKBAR_BUCKETS = 24
 
@@ -7192,31 +7372,48 @@ def daily_value_array_ops(spark, sf_dir):
         F.array_sort(F.collect_set(F.col("day") % 7)).alias("_dows"),
     )
     days = F.transform(F.col("_a"), lambda s: s["day"])
-    vals = F.transform(F.col("_a"), lambda s: s["v"])
-    cum = F.transform(
-        vals,
-        lambda x, i: F.aggregate(
-            F.slice(vals, F.lit(1), i + 1),
-            F.lit(0).cast("long"),
-            lambda acc, y: acc + y,
-        ),
-    )
-    diff = F.transform(
-        vals,
-        lambda x, i: F.when(i == 0, F.lit(0).cast("long")).otherwise(
-            x - F.element_at(vals, i)
-        ),
-    )
 
     def joined(arr):
         return F.array_join(F.transform(arr, lambda x: x.cast("string")), "|")
 
+    # the values array is bound ONCE as a lambda variable (single-element
+    # transform wrapper, the shingles_of pattern): HOF lambdas are
+    # CodegenFallback and would otherwise re-evaluate the derived
+    # transform(_a) inside every element_at/slice — the class
+    # tests/test_hof_gate.py pins out of the codebase
+    def body(vals):
+        cum = F.transform(
+            vals,
+            lambda x, i: F.aggregate(
+                F.slice(vals, F.lit(1), i + 1),
+                F.lit(0).cast("long"),
+                lambda acc, y: acc + y,
+            ),
+        )
+        diff = F.transform(
+            vals,
+            lambda x, i: F.when(i == 0, F.lit(0).cast("long")).otherwise(
+                x - F.element_at(vals, i)
+            ),
+        )
+        return F.struct(
+            joined(vals).alias("value_cents"),
+            joined(cum).alias("cum_cents"),
+            joined(diff).alias("delta_cents"),
+        )
+
+    packed = F.get(
+        F.transform(
+            F.array(F.transform(F.col("_a"), lambda s: s["v"])), body
+        ),
+        0,
+    )
     return per.select(
         "event_type",
         joined(days).alias("days"),
-        joined(vals).alias("value_cents"),
-        joined(cum).alias("cum_cents"),
-        joined(diff).alias("delta_cents"),
+        packed["value_cents"].alias("value_cents"),
+        packed["cum_cents"].alias("cum_cents"),
+        packed["delta_cents"].alias("delta_cents"),
         joined(F.col("_dows")).alias("uniq_dows"),
     )
 
@@ -7728,6 +7925,264 @@ def sequence_match_min_gap(spark, sf_dir):
         F.col("_ts"),
     )
     return _qualified_click_purchase_match(spark, sf_dir, g, qts)
+
+
+# ---------------------------------------------------------------------------
+# sequenceMatch pattern compiler: arbitrary '(?N)' / '(?t<T)' / '(?t>T)' /
+# '.*' strings -> a chain of segmented running-extrema passes. The two
+# fixed entries above each hardcode one 3-step pattern; the compiler is
+# the general form the r6 verdict asked for.
+# ---------------------------------------------------------------------------
+
+_SEQ_TOKEN_RE = None  # built lazily in _parse_seq_pattern (keeps re import local)
+
+
+def _parse_seq_pattern(pattern: str):
+    """Compile a ClickHouse sequenceMatch pattern string into
+    (steps, edges): ``steps`` is the 1-based condition index per chain
+    position; ``edges[i]`` is the time constraint between step i+1 and
+    step i+2 — None (unconstrained), ('<', T_us) or ('>', T_us).
+
+    Grammar (reference: ClickHouse docs/en/sql-reference/
+    aggregate-functions/parametric-functions#sequencematch):
+      (?N)      match condition N
+      (?t<T) / (?t>T)   gap (seconds) between the two adjacent steps
+      .*        any number of intervening events — a NO-OP under the
+                existence semantics this family pins (an intervening
+                event never breaks a chain), accepted for parity
+    A time constraint must sit between two steps; two constraints on
+    one edge, a leading/trailing constraint, or any unrecognized token
+    raise ValueError.
+    """
+    import re
+
+    tok = re.compile(r"\(\?t([<>])(\d+)\)|\(\?(\d+)\)|(\.\*)")
+    pos = 0
+    steps: list[int] = []
+    edges: list[tuple[str, int] | None] = []
+    pending: tuple[str, int] | None = None
+    pending_set = False
+    while pos < len(pattern):
+        m = tok.match(pattern, pos)
+        if not m:
+            raise ValueError(
+                f"sequenceMatch pattern: unrecognized token at {pos}: "
+                f"{pattern[pos:pos + 12]!r}"
+            )
+        op, tval, n, _dotstar = m.groups()
+        if n is not None:
+            if steps:
+                edges.append(pending)
+            pending, pending_set = None, False
+            steps.append(int(n))
+        elif op is not None:
+            if not steps:
+                raise ValueError(
+                    "sequenceMatch pattern: time constraint before any step"
+                )
+            if pending_set:
+                raise ValueError(
+                    "sequenceMatch pattern: two time constraints on one edge"
+                )
+            pending = (op, int(tval) * 1_000_000)
+            pending_set = True
+        # '.*' falls through: existence semantics make it a no-op
+        pos = m.end()
+    if pending_set:
+        raise ValueError(
+            "sequenceMatch pattern: trailing time constraint with no "
+            "following step"
+        )
+    if not steps:
+        raise ValueError("sequenceMatch pattern: no steps")
+    return steps, edges
+
+
+def _seq_running(df, use_min: bool):
+    """One segmented running-extrema pass over the per-(event, step)
+    stream: adds ``_G`` = running min/max of ``_q`` over strictly-earlier
+    rows in per-user (ts, kind) order. Same window + tiny-carry + join
+    shape as _qualified_click_purchase_match; after the FIRST pass the
+    frame is hash-partitioned on (_sl, user_id), so every later pass's
+    window and carry aggregate add no exchange."""
+    agg = F.min if use_min else F.max
+    comb = F.least if use_min else F.greatest
+    w_loc = (
+        Window.partitionBy("_sl", "user_id")
+        .orderBy("_ts", "_k2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df.withColumn("_lg", agg("_q").over(w_loc))
+    carry = df.groupBy("_sl", "user_id").agg(agg("_q").alias("_go"))
+    w_off = (
+        Window.partitionBy("user_id")
+        .orderBy("_sl")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = carry.select(
+        "_sl", "user_id", agg("_go").over(w_off).alias("_gi")
+    )
+    return (
+        local.join(offs, ["_sl", "user_id"])
+        .withColumn("_G", comb("_lg", "_gi"))
+        .drop("_lg", "_gi")
+    )
+
+
+# condition index -> event type, fixed for the registry entry (a library
+# caller passes their own mapping to _sequence_match_users)
+_SEQ_CONDS = ("signup", "click", "purchase", "view")
+
+
+def _sequence_match_users(spark, sf_dir, pattern: str, conds=_SEQ_CONDS):
+    """Users whose event stream matches ``pattern`` under the family's
+    pinned existence semantics: a chain e_1 < e_2 < ... < e_K strictly
+    increasing in time, e_i matching condition steps[i], each
+    constrained edge satisfied against the CHOSEN predecessor.
+
+    Per-edge optimal predecessors make one forward pass exact: an
+    upper-bounded edge ((?t<T)) is easiest against the LATEST reachable
+    predecessor, a lower-bounded one ((?t>T)) against the EARLIEST, an
+    unconstrained one against either — all associative running extrema,
+    so step-k reachability is one _seq_running pass over step-(k-1)
+    qualified timestamps. K-1 passes total, each a tiny carry, no
+    self-joins on raw rows, composite (user, ts) slices — a mega-user
+    spreads across tasks. Same-ts processing order pinned: later steps
+    sort before earlier ones (kind = -step), so running values at a row
+    see only strictly-earlier timestamps, and an event matching two
+    adjacent repeated conditions never chains with itself."""
+    from ..operators.ranking import composite_slice_key, slice_expr
+
+    steps, edges = _parse_seq_pattern(pattern)
+    types = [conds[i - 1] for i in steps]
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts_us").cast("long").alias("_ts")
+    )
+    ev = ev.filter(F.col("event_type").isin(*set(types)))
+    parts = [
+        ev.filter(F.col("event_type") == types[k]).select(
+            "user_id",
+            "_ts",
+            F.lit(-(k + 1)).alias("_k2"),
+            F.lit(k + 1).alias("_step"),
+        )
+        for k in range(len(steps))
+    ]
+    st = parts[0]
+    for p in parts[1:]:
+        st = st.unionByName(p)
+    n_slices = spark.sparkContext.defaultParallelism
+    st = st.withColumn(
+        "_sl",
+        slice_expr(st, composite_slice_key("user_id", "_ts"), n_slices),
+    )
+    cur = st.withColumn("_q", F.when(F.col("_step") == 1, F.col("_ts")))
+    for k in range(2, len(steps) + 1):
+        edge = edges[k - 2]
+        cur = _seq_running(cur, use_min=edge is not None and edge[0] == ">")
+        if edge is None:
+            ok = F.col("_G").isNotNull()
+        elif edge[0] == "<":
+            ok = F.col("_G").isNotNull() & (
+                F.col("_ts") - F.col("_G") < F.lit(edge[1])
+            )
+        else:
+            ok = F.col("_G").isNotNull() & (
+                F.col("_ts") - F.col("_G") > F.lit(edge[1])
+            )
+        cur = cur.withColumn(
+            "_q", F.when((F.col("_step") == k) & ok, F.col("_ts"))
+        ).drop("_G")
+    return (
+        cur.filter((F.col("_step") == len(steps)) & F.col("_q").isNotNull())
+        .select("user_id")
+        .distinct()
+    )
+
+
+_SEQ_COMPILED_PATTERNS = (
+    "(?1)(?t<3600)(?2)(?3)",
+    "(?1)(?t>3600)(?2)(?3)",
+    "(?1)(?2)(?t<7200)(?3)(?t>600)(?4)",
+    "(?1).*(?3)(?t<86400)(?4)",
+)
+
+
+@register(
+    "sequence_match_compiled",
+    """
+    WITH s AS (SELECT user_id, epoch_us(ts) AS ti FROM events
+               WHERE event_type = 'signup'),
+    c AS (SELECT user_id, epoch_us(ts) AS ti FROM events
+          WHERE event_type = 'click'),
+    p AS (SELECT user_id, epoch_us(ts) AS ti FROM events
+          WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, epoch_us(ts) AS ti FROM events
+          WHERE event_type = 'view'),
+    q1c AS (SELECT DISTINCT c.user_id, c.ti FROM c JOIN s
+            ON s.user_id = c.user_id AND s.ti < c.ti
+           AND c.ti - s.ti < 3600000000),
+    m1 AS (SELECT DISTINCT p.user_id FROM p JOIN q1c
+           ON q1c.user_id = p.user_id AND q1c.ti < p.ti),
+    q2c AS (SELECT DISTINCT c.user_id, c.ti FROM c JOIN s
+            ON s.user_id = c.user_id AND s.ti < c.ti
+           AND c.ti - s.ti > 3600000000),
+    m2 AS (SELECT DISTINCT p.user_id FROM p JOIN q2c
+           ON q2c.user_id = p.user_id AND q2c.ti < p.ti),
+    q3c AS (SELECT DISTINCT c.user_id, c.ti FROM c JOIN s
+            ON s.user_id = c.user_id AND s.ti < c.ti),
+    q3p AS (SELECT DISTINCT p.user_id, p.ti FROM p JOIN q3c
+            ON q3c.user_id = p.user_id AND q3c.ti < p.ti
+           AND p.ti - q3c.ti < 7200000000),
+    m3 AS (SELECT DISTINCT v.user_id FROM v JOIN q3p
+           ON q3p.user_id = v.user_id AND q3p.ti < v.ti
+          AND v.ti - q3p.ti > 600000000),
+    q4p AS (SELECT DISTINCT p.user_id, p.ti FROM p JOIN s
+            ON s.user_id = p.user_id AND s.ti < p.ti),
+    m4 AS (SELECT DISTINCT v.user_id FROM v JOIN q4p
+           ON q4p.user_id = v.user_id AND q4p.ti < v.ti
+          AND v.ti - q4p.ti < 86400000000)
+    SELECT pattern, n_matched FROM (
+      SELECT '(?1)(?t<3600)(?2)(?3)' AS pattern,
+             CAST((SELECT count(*) FROM m1) AS BIGINT) AS n_matched
+      UNION ALL
+      SELECT '(?1)(?t>3600)(?2)(?3)',
+             CAST((SELECT count(*) FROM m2) AS BIGINT)
+      UNION ALL
+      SELECT '(?1)(?2)(?t<7200)(?3)(?t>600)(?4)',
+             CAST((SELECT count(*) FROM m3) AS BIGINT)
+      UNION ALL
+      SELECT '(?1).*(?3)(?t<86400)(?4)',
+             CAST((SELECT count(*) FROM m4) AS BIGINT)
+    )
+    """,
+    tags=("funnel", "sequence", "clickhouse-parity", "segmented-scan"),
+    doc="ClickHouse sequenceMatch PATTERN COMPILER: arbitrary "
+    "'(?N)' / '(?t<T)' / '(?t>T)' / '.*' strings compile to a chain of "
+    "segmented running-extrema passes (_parse_seq_pattern + "
+    "_sequence_match_users) — the general form of the two fixed "
+    "entries above, which pin the per-edge machinery it reuses: an "
+    "upper-bounded edge takes the LATEST reachable predecessor "
+    "(running max), a lower-bounded one the EARLIEST (running min), "
+    "'.*' is a no-op under existence semantics. This entry drives the "
+    "compiler with FOUR distinct patterns, including a 4-step chain "
+    "with mixed (?t<)/(?t>) edges and a '.*' separator; the first two "
+    "must agree with sequence_match_pattern / sequence_match_min_gap "
+    "(pytest-pinned). K-1 passes for a K-step pattern, each one tiny "
+    "carry on composite (user, ts) slices; after the first pass the "
+    "frame stays hash-partitioned on (_sl, user_id), so later passes "
+    "add no exchange. Conditions: 1=signup 2=click 3=purchase 4=view.",
+)
+def sequence_match_compiled(spark, sf_dir):
+    out = None
+    for pat in _SEQ_COMPILED_PATTERNS:
+        m = (
+            _sequence_match_users(spark, sf_dir, pat)
+            .agg(F.count("*").cast("long").alias("n_matched"))
+            .select(F.lit(pat).alias("pattern"), "n_matched")
+        )
+        out = m if out is None else out.unionByName(m)
+    return out
 
 
 @register(

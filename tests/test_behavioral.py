@@ -332,3 +332,63 @@ def test_information_value_degenerate_band_is_null(spark, tmp_path):
 
     assert math.isnan(odf.loc[1].woe) and math.isnan(odf.loc[2].woe)
     assert not math.isnan(odf.loc[0].woe)
+
+
+def test_window_funnel_strict_dedup_mode_semantics(spark, tmp_path):
+    # The four-mode family pinned on one fixture: strict_dedup (per
+    # ClickHouse windowFunnel.h's fold) interrupts at the level reached
+    # when an event matching an ALREADY-SATISFIED step >= 2 repeats;
+    # default mode re-chains through repeats. Cases:
+    #  uA: signup(0) click(1) click(2) purchase(3) -> repeated click
+    #      interrupts: dedup 2, default 3
+    #  uB: signup(0) click(1) purchase(2)          -> clean chain: 3, 3
+    #  uC: signup(0) click(1) signup(2) purchase(3)-> step-1 repeats only
+    #      re-anchor, never interrupt: dedup 3, default 3
+    #  uD: signup(0) click(1) click(1) purchase(2) -> equal-ts twin click
+    #      still a repeat (processed before the later purchase):
+    #      dedup 2, default 3
+    #  uF: signup(0) purchase(1) click(2) purchase(3) -> pre-chain
+    #      purchase is inert; purchase after c* completes: 3, 3
+    #  uH: signup(0) click(W+1)                    -> click past window
+    #      never chains: 1, 1
+    W = 24 * 3600 * 1000000
+    rows = [
+        (1, 0, 1, "signup"), (2, 1, 1, "click"), (3, 2, 1, "click"),
+        (4, 3, 1, "purchase"),
+        (5, 0, 2, "signup"), (6, 1, 2, "click"), (7, 2, 2, "purchase"),
+        (8, 0, 3, "signup"), (9, 1, 3, "click"), (10, 2, 3, "signup"),
+        (11, 3, 3, "purchase"),
+        (12, 0, 4, "signup"), (13, 1, 4, "click"), (14, 1, 4, "click"),
+        (15, 2, 4, "purchase"),
+        (16, 0, 6, "signup"), (17, 1, 6, "purchase"), (18, 2, 6, "click"),
+        (19, 3, 6, "purchase"),
+        (20, 0, 8, "signup"), (21, W + 1, 8, "click"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    dedup = {
+        r["funnel_level"]: r["n_users"]
+        for r in REGISTRY["window_funnel_strict_dedup"].spark(spark, sf).collect()
+    }
+    # uH:1 | uA,uD:2 | uB,uC,uF:3
+    assert dedup == {1: 1, 2: 2, 3: 3}
+
+    default = {
+        r["funnel_level"]: r["n_users"]
+        for r in REGISTRY["window_funnel_levels"].spark(spark, sf).collect()
+    }
+    # default mode re-chains through the repeats: only uH stays at 1
+    assert default == {1: 1, 3: 5}
+
+    # and the DuckDB oracle agrees with the Spark plan on the fixture
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'"
+    )
+    odf = con.execute(
+        REGISTRY["window_funnel_strict_dedup"].oracle
+    ).fetchdf()
+    assert {
+        int(r.funnel_level): int(r.n_users) for r in odf.itertuples()
+    } == dedup

@@ -965,3 +965,31 @@ def test_auc_calibration_histogram_reduction(spark, sf_smoke):
         low = p.lower().replace(" ", "")
         assert "hashpartitioning(_slice" in low, name
         assert "ReusedExchange" in _executed(spark, name, sf_smoke), name
+
+
+def test_strict_dedup_funnel_sliced_both_passes(spark, sf_smoke):
+    # (r7) strict_dedup windowFunnel: both segmented passes must be
+    # slice-keyed — pass 1 is the shared chain scan (_slice), pass 2 the
+    # fresh composite-sliced click/purchase stream (_sl) — with the
+    # click dedup a (user, ts)-keyed aggregate (skew-flat; never a
+    # per-user window over raw rows) and no pair expansion anywhere.
+    p = explain(spark, "window_funnel_strict_dedup", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    low = p.lower().replace(" ", "")
+    assert "hashpartitioning(_slice" in low  # pass 1: chain scan
+    assert "hashpartitioning(_sl" in low  # pass 2: dedup-click stream
+
+
+def test_sequence_compiler_sliced_passes_no_self_join(spark, sf_smoke):
+    # (r7) the pattern compiler: every running-extrema pass slice-keyed,
+    # no joins on raw event rows (the oracle's join formulation is for
+    # DuckDB only), no Python in the plan.
+    p = explain(spark, "sequence_match_compiled", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    low = p.lower().replace(" ", "")
+    assert "hashpartitioning(_sl" in low
+    assert "sortmergejoin" not in low

@@ -1,0 +1,112 @@
+"""sequenceMatch pattern compiler (plans/queries.py:
+_parse_seq_pattern / _sequence_match_users / sequence_match_compiled).
+
+The compiler must (a) parse the ClickHouse pattern grammar exactly and
+reject malformed strings loudly, (b) agree with the two fixed entries
+(sequence_match_pattern / sequence_match_min_gap) whose per-edge
+machinery it generalizes, and (c) get the mixed-edge chain semantics
+right on an adversarial fixture."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_github_log_importer_spark.plans.queries import (
+    REGISTRY,
+    _parse_seq_pattern,
+    _sequence_match_users,
+)
+
+
+def test_parse_steps_and_edges():
+    steps, edges = _parse_seq_pattern("(?1)(?t<3600)(?2)(?3)")
+    assert steps == [1, 2, 3]
+    assert edges == [("<", 3600_000_000), None]
+
+    steps, edges = _parse_seq_pattern("(?1)(?2)(?t<7200)(?3)(?t>600)(?4)")
+    assert steps == [1, 2, 3, 4]
+    assert edges == [None, ("<", 7200_000_000), (">", 600_000_000)]
+
+
+def test_parse_dotstar_is_noop_separator():
+    assert _parse_seq_pattern("(?1).*(?3)(?t<86400)(?4)") == (
+        [1, 3, 4],
+        [None, ("<", 86400_000_000)],
+    )
+    # '.*' adjacent to a constraint doesn't eat or reorder it
+    assert _parse_seq_pattern("(?1)(?t<10).*(?2)") == ([1, 2], [("<", 10_000_000)])
+
+
+def test_parse_repeated_condition_allowed():
+    assert _parse_seq_pattern("(?1)(?1)") == ([1, 1], [None])
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "(?t<3600)(?1)(?2)",  # leading constraint
+        "(?1)(?2)(?t<3600)",  # trailing constraint
+        "(?1)(?t<1)(?t>2)(?2)",  # two constraints on one edge
+        "(?1)(?x)(?2)",  # unrecognized token
+        "",  # no steps
+        ".*",  # separators only
+    ],
+)
+def test_parse_rejects_malformed(bad):
+    with pytest.raises(ValueError):
+        _parse_seq_pattern(bad)
+
+
+def test_compiled_agrees_with_fixed_entries(spark, sf_smoke):
+    # patterns 1 and 2 of the registry entry are the exact patterns the
+    # two fixed entries hardcode — counts must match
+    compiled = {
+        r["pattern"]: r["n_matched"]
+        for r in REGISTRY["sequence_match_compiled"].spark(spark, sf_smoke).collect()
+    }
+    fixed_lt = REGISTRY["sequence_match_pattern"].spark(spark, sf_smoke).first()
+    fixed_gt = REGISTRY["sequence_match_min_gap"].spark(spark, sf_smoke).first()
+    assert compiled["(?1)(?t<3600)(?2)(?3)"] == fixed_lt["n_matched"]
+    assert compiled["(?1)(?t>3600)(?2)(?3)"] == fixed_gt["n_matched"]
+
+
+def test_mixed_edge_semantics_on_fixture(spark, tmp_path):
+    # 4-step chain (?1)(?2)(?t<20)(?3)(?t>5)(?4) over synthetic events;
+    # per-edge optimal predecessors (latest for <, earliest for >) must
+    # find chains a single-predecessor fold would miss.
+    #  u1: s(0) c(10) p(25) v(35)   -> p-c=15<20, v-p=10>5      MATCH
+    #  u2: s(0) c(10) p(35) v(45)   -> p-c=25 not <20           no
+    #  u3: s(0) c(10) p(25) v(28)   -> v-p=3 not >5             no
+    #  u4: s(0) c(10) p(25) p(29) v(32) -> v must beat SOME p by >5:
+    #      earliest qualified p(25): 32-25=7>5                  MATCH
+    #      (a latest-predecessor fold would test 32-29=3 and miss)
+    #  u5: c(0) p(10) v(20)         -> no signup                no
+    #  u6: s(0) c(10) c(24) p(30) v(40) -> latest c(24): 30-24=6<20 MATCH
+    #      (an earliest-predecessor fold would test 30-10=20 and miss)
+    from tests.test_behavioral import _write_events
+
+    S = 1_000_000  # pattern gaps are seconds; fixture ts are us
+    rows = [
+        (1, 0, 1, "signup"), (2, 10 * S, 1, "click"),
+        (3, 25 * S, 1, "purchase"), (4, 35 * S, 1, "view"),
+        (5, 0, 2, "signup"), (6, 10 * S, 2, "click"),
+        (7, 35 * S, 2, "purchase"), (8, 45 * S, 2, "view"),
+        (9, 0, 3, "signup"), (10, 10 * S, 3, "click"),
+        (11, 25 * S, 3, "purchase"), (12, 28 * S, 3, "view"),
+        (13, 0, 4, "signup"), (14, 10 * S, 4, "click"),
+        (15, 25 * S, 4, "purchase"), (16, 29 * S, 4, "purchase"),
+        (17, 32 * S, 4, "view"),
+        (18, 0, 5, "click"), (19, 10 * S, 5, "purchase"),
+        (20, 20 * S, 5, "view"),
+        (21, 0, 6, "signup"), (22, 10 * S, 6, "click"),
+        (23, 24 * S, 6, "click"), (24, 30 * S, 6, "purchase"),
+        (25, 40 * S, 6, "view"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {
+        r["user_id"]
+        for r in _sequence_match_users(
+            spark, sf, "(?1)(?2)(?t<20)(?3)(?t>5)(?4)"
+        ).collect()
+    }
+    assert got == {1, 4, 6}
