@@ -187,8 +187,53 @@ def bench_lifecycle(spark, n_events: int = 64_000, n_files: int = 16) -> dict:
     }
 
 
+def wait_for_idle_host(
+    threshold: float = 2.0, timeout_s: int = 600, poll_s: int = 15
+) -> dict:
+    """Refuse-and-retry load gate (r6 lesson: the round's two bench runs
+    differed 16% purely on host load — 211 s idle vs 182 s at load1
+    10.6 — making per-round comparison mush). Instead of warning and
+    proceeding, block until load1 <= threshold so ONE canonical idle
+    number exists per round; after timeout_s proceed anyway (a stuck
+    gate must never zero the artifact) with the failure recorded in the
+    returned telemetry. Set SPARK_GRAFT_BENCH_LOAD_GATE=0 to skip when
+    iterating locally."""
+    import sys
+    import time as _t
+
+    if os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "1") == "0":
+        return {"load_gate": {"skipped": True}}
+    t0 = _t.monotonic()
+    load = os.getloadavg()[0]
+    while load > threshold and _t.monotonic() - t0 < timeout_s:
+        print(
+            f"# bench load gate: host busy (load1={load:.1f} > "
+            f"{threshold}) — waiting for idle...",
+            file=sys.stderr,
+        )
+        _t.sleep(poll_s)
+        load = os.getloadavg()[0]
+    gate = {
+        "threshold": threshold,
+        "waited_s": round(_t.monotonic() - t0),
+        "load1_at_start": round(load, 1),
+        "passed": load <= threshold,
+    }
+    if not gate["passed"]:
+        print(
+            f"# WARNING bench load gate TIMED OUT after {timeout_s}s "
+            f"(load1={load:.1f}) — proceeding; timings will read "
+            "1.3-2x slow vs an idle host",
+            file=sys.stderr,
+        )
+    return {"load_gate": gate}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # gate BEFORE the Spark session: our own JVM startup adds load
+    gate = wait_for_idle_host()
+
     from clickhouse_github_log_importer_spark.plans.queries import REGISTRY
     from clickhouse_github_log_importer_spark.session import get_spark
 
@@ -211,20 +256,24 @@ def main() -> None:
         errors["_warmup"] = f"{type(e).__name__}: {e}"[:500]
 
     # host-noise telemetry: rounds 4-5 showed +-35% wall drift from a
-    # loaded host reading as plan regressions; record the load window and
-    # warn loudly (stderr — the driver captures stdout's JSON line only)
-    import sys
-
+    # loaded host reading as plan regressions; the load GATE above holds
+    # the run until idle — this window records what actually happened
     loads = [os.getloadavg()[0]]
-    if loads[0] > 4.0:
-        print(
-            f"# WARNING bench host busy: load1={loads[0]:.1f} > 4.0 — "
-            "timings will read 1.3-2x slow; rerun on an idle host",
-            file=sys.stderr,
-        )
 
+    # median-of-3: ingest throughput rode single-shot variance across
+    # rounds (38.0k -> 27.9k rec/s on identical parser code — pure host
+    # noise); three runs, report the median with the spread alongside so
+    # the baseline comparison stops moving with one bad sample
     try:
-        ingest = bench_ingest(spark)
+        runs = [bench_ingest(spark) for _ in range(3)]
+        runs.sort(key=lambda r: r["ingest_records_per_sec"])
+        ingest = dict(runs[1])  # median run's records/sec + sec
+        lo = runs[0]["ingest_records_per_sec"]
+        hi = runs[-1]["ingest_records_per_sec"]
+        ingest["ingest_rps_runs"] = [r["ingest_records_per_sec"] for r in runs]
+        ingest["ingest_rps_spread_pct"] = round(
+            100.0 * (hi - lo) / ingest["ingest_records_per_sec"], 1
+        )
     except Exception as e:  # noqa: BLE001
         ingest = {}
         errors["_ingest"] = f"{type(e).__name__}: {e}"[:500]
@@ -283,6 +332,7 @@ def main() -> None:
         },
         "uptime_s": uptime_s,
         "benched_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        **gate,
         **ingest,
         **lifecycle,
     }
