@@ -186,7 +186,13 @@ def main():
     loads = []
     for name in EVENT_QUERIES + DOC_QUERIES:
         fn = REGISTRY[name].spark
-        mat(fn(spark, X10))  # warm
+        # SYMMETRIC warm-up (r7): warming only the uniform side put the
+        # skewed variant's first-ever execution (shuffle-file creation,
+        # codegen for its literal-bearing plans) inside its timed
+        # window — sequence_match_compiled read 1.77 in-probe vs 0.89
+        # in warmed isolation. Both variants now warm identically.
+        mat(fn(spark, X10))
+        mat(fn(spark, SKEW))
         uni = best_of(lambda: fn(spark, X10))
         skw = best_of(lambda: fn(spark, SKEW))
         loads.append(os.getloadavg()[0])
