@@ -204,7 +204,8 @@ def wait_for_idle_host(
     if os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "1") == "0":
         return {"load_gate": {"skipped": True}}
     t0 = _t.monotonic()
-    load = os.getloadavg()[0]
+    initial = os.getloadavg()[0]
+    load = initial
     while load > threshold and _t.monotonic() - t0 < timeout_s:
         print(
             f"# bench load gate: host busy (load1={load:.1f} > "
@@ -216,7 +217,10 @@ def wait_for_idle_host(
     gate = {
         "threshold": threshold,
         "waited_s": round(_t.monotonic() - t0),
-        "load1_at_start": round(load, 1),
+        # both ends of the wait: how busy the host was when the run was
+        # requested, and what it had decayed to when timing started
+        "load1_initial": round(initial, 1),
+        "load1_when_proceeding": round(load, 1),
         "passed": load <= threshold,
     }
     if not gate["passed"]:

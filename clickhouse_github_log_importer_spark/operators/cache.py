@@ -33,20 +33,38 @@ class CacheScope:
 
     Context-manager: ``__exit__`` unpersists everything registered, in
     reverse registration order (dependents before dependencies).
+
+    Thread-safe and CLOSED after ``unpersist_all``: under a rotating
+    registry (below) thread B can rotate-and-flush a scope after thread
+    A received it but before A persisted into it — without the closed
+    flag A's frames would register into an orphaned scope nothing ever
+    flushes (a permanent cache leak). ``persist`` on a closed scope
+    unpersists the frame immediately instead: the rotation already
+    decided this scope's lifetime is over, so the caller pays a
+    recompute, never a leak.
     """
 
     def __init__(self) -> None:
         self._frames: list[DataFrame] = []
+        self._lock = threading.Lock()
+        self._closed = False
 
     def persist(self, df: DataFrame) -> DataFrame:
         out = df.persist()
-        self._frames.append(out)
+        with self._lock:
+            if not self._closed:
+                self._frames.append(out)
+                return out
+        out.unpersist()
         return out
 
     def unpersist_all(self, blocking: bool = False) -> None:
-        for df in reversed(self._frames):
+        with self._lock:
+            frames = list(reversed(self._frames))
+            self._frames.clear()
+            self._closed = True
+        for df in frames:
             df.unpersist(blocking)
-        self._frames.clear()
 
     def __enter__(self) -> "CacheScope":
         return self

@@ -7934,9 +7934,6 @@ def sequence_match_min_gap(spark, sf_dir):
 # the general form the r6 verdict asked for.
 # ---------------------------------------------------------------------------
 
-_SEQ_TOKEN_RE = None  # built lazily in _parse_seq_pattern (keeps re import local)
-
-
 def _parse_seq_pattern(pattern: str):
     """Compile a ClickHouse sequenceMatch pattern string into
     (steps, edges): ``steps`` is the 1-based condition index per chain
@@ -7971,6 +7968,11 @@ def _parse_seq_pattern(pattern: str):
             )
         op, tval, n, _dotstar = m.groups()
         if n is not None:
+            if int(n) < 1:
+                raise ValueError(
+                    "sequenceMatch pattern: condition indexes are "
+                    f"1-based, got (?{int(n)})"
+                )
             if steps:
                 edges.append(pending)
             pending, pending_set = None, False
@@ -8034,7 +8036,42 @@ def _seq_running(df, use_min: bool):
 _SEQ_CONDS = ("signup", "click", "purchase", "view")
 
 
-def _sequence_match_users(spark, sf_dir, pattern: str, conds=_SEQ_CONDS):
+def _seq_stream(spark, sf_dir, types: list[str]):
+    """The per-(event, step) sliced stream for a step-type list: one row
+    per event per matching step, kind = -step so later steps sort first
+    at equal ts. Factored out of _sequence_match_users so patterns over
+    the SAME type list (e.g. the compiled entry's (?t<T)/(?t>T) pair)
+    share one stream object — one slice-quantile driver job instead of
+    one per pattern, and identical plan subtrees for AQE's runtime
+    exchange reuse when the patterns evaluate in one job."""
+    from ..operators.ranking import composite_slice_key, slice_expr
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts_us").cast("long").alias("_ts")
+    )
+    ev = ev.filter(F.col("event_type").isin(*set(types)))
+    parts = [
+        ev.filter(F.col("event_type") == types[k]).select(
+            "user_id",
+            "_ts",
+            F.lit(-(k + 1)).alias("_k2"),
+            F.lit(k + 1).alias("_step"),
+        )
+        for k in range(len(types))
+    ]
+    st = parts[0]
+    for p in parts[1:]:
+        st = st.unionByName(p)
+    n_slices = spark.sparkContext.defaultParallelism
+    return st.withColumn(
+        "_sl",
+        slice_expr(st, composite_slice_key("user_id", "_ts"), n_slices),
+    )
+
+
+def _sequence_match_users(
+    spark, sf_dir, pattern: str, conds=_SEQ_CONDS, _stream_cache=None
+):
     """Users whose event stream matches ``pattern`` under the family's
     pinned existence semantics: a chain e_1 < e_2 < ... < e_K strictly
     increasing in time, e_i matching condition steps[i], each
@@ -8050,32 +8087,26 @@ def _sequence_match_users(spark, sf_dir, pattern: str, conds=_SEQ_CONDS):
     spreads across tasks. Same-ts processing order pinned: later steps
     sort before earlier ones (kind = -step), so running values at a row
     see only strictly-earlier timestamps, and an event matching two
-    adjacent repeated conditions never chains with itself."""
-    from ..operators.ranking import composite_slice_key, slice_expr
+    adjacent repeated conditions never chains with itself.
 
+    ``_stream_cache``: optional dict keyed by the step-type tuple;
+    callers evaluating several patterns in one job (the registry entry)
+    pass one dict so same-typed patterns share a stream."""
     steps, edges = _parse_seq_pattern(pattern)
-    types = [conds[i - 1] for i in steps]
-    ev = t(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.col("ts_us").cast("long").alias("_ts")
-    )
-    ev = ev.filter(F.col("event_type").isin(*set(types)))
-    parts = [
-        ev.filter(F.col("event_type") == types[k]).select(
-            "user_id",
-            "_ts",
-            F.lit(-(k + 1)).alias("_k2"),
-            F.lit(k + 1).alias("_step"),
+    bad = [i for i in steps if i > len(conds)]
+    if bad:
+        raise ValueError(
+            f"sequenceMatch pattern: condition index (?{bad[0]}) out of "
+            f"range — {len(conds)} conditions defined"
         )
-        for k in range(len(steps))
-    ]
-    st = parts[0]
-    for p in parts[1:]:
-        st = st.unionByName(p)
-    n_slices = spark.sparkContext.defaultParallelism
-    st = st.withColumn(
-        "_sl",
-        slice_expr(st, composite_slice_key("user_id", "_ts"), n_slices),
-    )
+    types = [conds[i - 1] for i in steps]
+    key = tuple(types)
+    if _stream_cache is not None and key in _stream_cache:
+        st = _stream_cache[key]
+    else:
+        st = _seq_stream(spark, sf_dir, types)
+        if _stream_cache is not None:
+            _stream_cache[key] = st
     cur = st.withColumn("_q", F.when(F.col("_step") == 1, F.col("_ts")))
     for k in range(2, len(steps) + 1):
         edge = edges[k - 2]
@@ -8175,9 +8206,10 @@ _SEQ_COMPILED_PATTERNS = (
 )
 def sequence_match_compiled(spark, sf_dir):
     out = None
+    streams: dict = {}  # patterns 1 and 2 share one sliced stream
     for pat in _SEQ_COMPILED_PATTERNS:
         m = (
-            _sequence_match_users(spark, sf_dir, pat)
+            _sequence_match_users(spark, sf_dir, pat, _stream_cache=streams)
             .agg(F.count("*").cast("long").alias("n_matched"))
             .select(F.lit(pat).alias("pattern"), "n_matched")
         )

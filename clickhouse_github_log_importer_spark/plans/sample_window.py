@@ -88,12 +88,18 @@ SAMPLED_PRIOR: frozenset[str] = frozenset(
     }
 )
 
-# round-7 window: user_activity (entry() names it) + 49 of the 62
-# never-driver-sampled entries, in registration order — the r5/r6
-# statistics, state-rollup, ML-eval, funnel-mode, and text-audit
-# additions. The remaining 13 never-sampled entries (from
-# grouping_sets_volume onward in registration order) are scheduled for
-# the r8 window, alongside anything r7 changes.
+# round-7 window: user_activity (entry() names it) + 49 never-sampled
+# entries — the r5/r6 statistics, state-rollup, ML-eval, funnel-mode
+# and text-audit additions in registration order, with this round's
+# TWO BRAND-NEW entries (window_funnel_strict_dedup,
+# sequence_match_compiled — the driver must see new plans immediately)
+# taking the slots of sequence_next_node and hourly_sparkbar_by_type.
+# daily_value_array_ops stays: its plan changed this round (HOF
+# lambda-variable binding). 15 never-sampled entries remain for the r8
+# window: the 13 after daily_value_array_ops in registration order
+# (value_equidepth_histogram .. lang_id_confusion, incl. score_auc and
+# its siblings) plus the two deferred above; tests derive the exact
+# set from the artifacts rather than trusting this comment.
 DRIVER_SAMPLE: tuple[str, ...] = (
     "user_activity",
     # --- never driver-sampled, registration order ---
@@ -142,10 +148,11 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "user_sessions_native",
     "value_multiple_regression",
     "grouping_sets_volume",
-    "sequence_next_node",
     "window_funnel_strict_order",
-    "hourly_sparkbar_by_type",
     "daily_value_array_ops",
+    # --- brand new this round: the driver must see them immediately ---
+    "window_funnel_strict_dedup",
+    "sequence_match_compiled",
 )
 
 

@@ -52,9 +52,15 @@ def test_scope_unpersists_in_reverse_order():
 def test_concurrent_rotation_never_leaks_a_scope():
     # N threads rotate the same key, each persisting one frame in the
     # scope it received. After the dust settles, every frame except the
-    # single survivor's must have been unpersisted exactly once —
-    # without the lock, a pop/insert race overwrites a scope and its
-    # frame leaks forever.
+    # final survivor's must have been unpersisted exactly once. Two
+    # races are in scope: the dict pop/insert race (fixed by the
+    # registry lock) and the HANDOUT race — a scope rotated out and
+    # flushed between rotating_scope() returning it and persist() being
+    # called on it, which orphans the frame unless CacheScope is closed
+    # by unpersist_all (persist on a closed scope unpersists
+    # immediately). A tiny switch interval forces the interleavings.
+    import sys
+
     key = "test-rotation-race"
     frames: list[_FakeFrame] = []
     frames_lock = threading.Lock()
@@ -69,11 +75,16 @@ def test_concurrent_rotation_never_leaks_a_scope():
             with frames_lock:
                 frames.append(f)
 
-    threads = [threading.Thread(target=worker) for _ in range(8)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    old_interval = sys.getswitchinterval()
+    sys.setswitchinterval(1e-6)
+    try:
+        threads = [threading.Thread(target=worker) for _ in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        sys.setswitchinterval(old_interval)
     # final rotation flushes the last survivor
     rotating_scope(key)
     leaked = [f for f in frames if f.unpersisted == 0]

@@ -61,10 +61,13 @@ def _is_derived_expr(node: ast.AST) -> bool:
 
 
 class _Scope:
-    def __init__(self, params: set[str], hof_bound: bool, assigns: dict):
+    def __init__(
+        self, params: set[str], hof_bound: bool, assigns: dict, funcdefs: dict
+    ):
         self.params = params
         self.hof_bound = hof_bound  # params are Spark lambda variables
         self.assigns = assigns  # name -> value AST node (this scope)
+        self.funcdefs = funcdefs  # name -> FunctionDef node (this scope)
 
 
 class Scanner(ast.NodeVisitor):
@@ -74,19 +77,23 @@ class Scanner(ast.NodeVisitor):
         self._scopes: list[_Scope] = []
 
     # --- scope bookkeeping -------------------------------------------
-    def _collect_assigns(self, body) -> dict:
+    def _collect_assigns(self, body) -> tuple[dict, dict]:
         out: dict[str, ast.AST] = {}
+        fns: dict[str, ast.FunctionDef] = {}
         for stmt in body:
             for sub in ast.walk(stmt):
                 if isinstance(sub, ast.Assign):
                     for tgt in sub.targets:
                         if isinstance(tgt, ast.Name):
                             out[tgt.id] = sub.value
-        return out
+                elif isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    fns[sub.name] = sub
+        return out, fns
 
     def visit_FunctionDef(self, node: ast.FunctionDef) -> None:
         params = {a.arg for a in node.args.args + node.args.kwonlyargs}
-        self._scopes.append(_Scope(params, False, self._collect_assigns(node.body)))
+        assigns, fns = self._collect_assigns(node.body)
+        self._scopes.append(_Scope(params, False, assigns, fns))
         self.generic_visit(node)
         self._scopes.pop()
 
@@ -95,21 +102,34 @@ class Scanner(ast.NodeVisitor):
     def _visit_hof_callable(self, fn: ast.AST) -> None:
         if isinstance(fn, ast.Lambda):
             params = {a.arg for a in fn.args.args}
-            self._scopes.append(_Scope(params, True, {}))
+            self._scopes.append(_Scope(params, True, {}, {}))
             self._check_body(fn.body)
             self.generic_visit(fn.body)
             self._scopes.pop()
         elif isinstance(fn, ast.Name):
-            # a local def passed by name: mark its params HOF-bound by
-            # re-walking it (rare; shingles_of's `body` pattern)
+            # a callable passed by name: a lambda assigned to a local,
+            # or a nested def (shingles_of's `body` pattern) — both get
+            # HOF-bound params, and a def's body is re-checked in that
+            # scope (the def-by-name form of the shingles bug was a
+            # review-caught gate hole)
             target = None
             for scope in reversed(self._scopes):
-                val = scope.assigns.get(fn.id)
+                val = scope.funcdefs.get(fn.id) or scope.assigns.get(fn.id)
                 if val is not None:
                     target = val
                     break
             if isinstance(target, ast.Lambda):
                 self._visit_hof_callable(target)
+            elif isinstance(target, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                params = {
+                    a.arg for a in target.args.args + target.args.kwonlyargs
+                }
+                assigns, fns = self._collect_assigns(target.body)
+                self._scopes.append(_Scope(params, True, assigns, fns))
+                for stmt in target.body:
+                    self._check_body(stmt)
+                    self.generic_visit(stmt)
+                self._scopes.pop()
 
     def visit_Call(self, node: ast.Call) -> None:
         fa = _f_attr(node.func)
@@ -175,9 +195,12 @@ def scan_source(src: str, filename: str = "<mem>") -> list[str]:
     tree = ast.parse(src)
     sc = Scanner(filename)
     # wrap module in a pseudo-scope holding module-level assigns
-    sc._scopes.append(_Scope(set(), False, sc._collect_assigns(tree.body)))
+    assigns, fns = sc._collect_assigns(tree.body)
+    sc._scopes.append(_Scope(set(), False, assigns, fns))
     sc.visit(tree)
-    return sc.violations
+    # a def passed by name to a HOF is visited twice (normal traversal +
+    # HOF-position re-check); dedupe identical findings
+    return list(dict.fromkeys(sc.violations))
 
 
 def test_package_has_no_unbound_derived_arrays_in_hofs():
@@ -223,6 +246,22 @@ def test_gate_allows_bound_lambda_variable():
         "    return F.get(F.transform(F.array(w), body), 0)\n"
     )
     assert scan_source(good) == []
+
+
+def test_gate_catches_def_passed_by_name():
+    # the review-caught hole: the shingles bug rewritten with a nested
+    # def instead of a lambda must still be flagged
+    bad = (
+        "def shingles(text, n=3):\n"
+        "    wa = F.filter(F.split(F.col(text), ' '), lambda w: w != '')\n"
+        "    idx = F.sequence(F.lit(1), F.size(wa) - (n - 1))\n"
+        "    def gram(i):\n"
+        "        return F.concat_ws(' ',\n"
+        "            *[F.element_at(wa, i + k) for k in range(n)])\n"
+        "    return F.transform(idx, gram)\n"
+    )
+    v = scan_source(bad)
+    assert len(v) >= 1 and "wa" in v[0], v
 
 
 def test_gate_allows_plain_column_reference():

@@ -50,6 +50,14 @@ def test_window_actually_rotates():
     assert len(fresh) >= 40, len(fresh)
     # user_activity stays: entry() references it by name
     assert DRIVER_SAMPLE[0] == "user_activity"
+    # the module contract: brand-new / plan-changed entries are always
+    # in the current window — the driver must see them immediately
+    for new_this_round in (
+        "window_funnel_strict_dedup",
+        "sequence_match_compiled",
+        "daily_value_array_ops",
+    ):
+        assert new_this_round in DRIVER_SAMPLE, new_this_round
 
 
 def test_ordered_names_stable_tail():

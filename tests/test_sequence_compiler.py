@@ -50,11 +50,20 @@ def test_parse_repeated_condition_allowed():
         "(?1)(?x)(?2)",  # unrecognized token
         "",  # no steps
         ".*",  # separators only
+        "(?0)(?1)",  # 0 is not a valid 1-based condition index
     ],
 )
 def test_parse_rejects_malformed(bad):
     with pytest.raises(ValueError):
         _parse_seq_pattern(bad)
+
+
+def test_executor_rejects_out_of_range_condition(spark):
+    # (?5) with 4 defined conditions must be the domain ValueError, not
+    # an IndexError (or a silent conds[-1] wrap for (?0), which the
+    # parser now rejects)
+    with pytest.raises(ValueError, match="out of range"):
+        _sequence_match_users(spark, "/root/testdata/sf0.001", "(?5)(?1)")
 
 
 def test_compiled_agrees_with_fixed_entries(spark, sf_smoke):
