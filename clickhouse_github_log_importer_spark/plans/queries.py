@@ -8217,6 +8217,240 @@ def sequence_match_compiled(spark, sf_dir):
     return out
 
 
+def _sequence_count_users(spark, sf_dir, pattern: str, conds=_SEQ_CONDS):
+    """Per-user GREEDY NON-OVERLAPPING match counts for an unconstrained
+    pattern — ClickHouse sequenceCount's restart semantics
+    (AggregateFunctionSequenceMatch.h countAll): one automaton scans the
+    user's events in time order, advancing on the expected condition and
+    restarting at state 0 after each completed chain. That differs from
+    maximum matching — for signup signup purchase purchase,
+    '(?1)(?3)' counts ONE chain (the second signup is consumed-skipped
+    while seeking the first purchase), where the parenthesis-matching
+    form (sequence_pair_count) pairs two.
+
+    The fold looks inherently serial per user, but the automaton's
+    transition across a time slice is a pure function
+    f: entry_state -> (exit_state, completed_count) over the K pattern
+    states, and function composition is associative. So: composite
+    (user, ts) slices; per (slice, user) ONE Arrow batch tabulates f by
+    running the automaton from each of the K entry states (a match-jump
+    loop over numpy index arrays — O(advances) cheap steps, slice-
+    bounded); per user the <= n_slices function rows fold in slice
+    order. Bounded state everywhere: K (exit, delta) pairs per
+    (slice, user), <= n_slices rows per user at the fold — the
+    applyInPandas shape the brief prescribes for operators DataFrame
+    algebra can't express. Tie order pinned (ts, event_id) in BOTH
+    engines (ClickHouse declares same-second order undefined).
+
+    Time-constrained edges raise: restart-automaton state would carry
+    the anchor timestamp (unbounded function domain, not tabulable);
+    the existence-semantics compiler (_sequence_match_users) covers
+    constrained patterns."""
+    import pandas as pd
+
+    from ..operators.ranking import composite_slice_key, slice_expr
+
+    steps, edges = _parse_seq_pattern(pattern)
+    if any(e is not None for e in edges):
+        raise ValueError(
+            "sequence_count_compiled: time-constrained edges are not "
+            "supported under restart semantics (state would carry "
+            "timestamps); use the existence-semantics compiler"
+        )
+    bad = [i for i in steps if i > len(conds)]
+    if bad:
+        raise ValueError(
+            f"sequenceMatch pattern: condition index (?{bad[0]}) out of "
+            f"range — {len(conds)} conditions defined"
+        )
+    types = [conds[i - 1] for i in steps]
+    k_states = len(types)
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts_us").cast("long").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    ev = ev.filter(F.col("event_type").isin(*set(types)))
+    n_slices = spark.sparkContext.defaultParallelism
+    st = ev.withColumn(
+        "_sl",
+        slice_expr(ev, composite_slice_key("user_id", "ts_us"), n_slices),
+    )
+
+    # tabulate per SLICE (n_slices Arrow groups, not one per
+    # (slice, user) — per-group Arrow overhead at user cardinality was
+    # measured 10.8 s at sf0.1; batching by slice with numpy group
+    # boundaries inside cut it ~5x): each group emits one
+    # (user, exits[K], deltas[K]) function row per user in the slice
+    def tab(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        uid = pdf["user_id"].to_numpy()
+        et = pdf["event_type"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        out_u, out_e, out_d = [], [], []
+        for a, b in zip(starts, ends):
+            sub = et[a:b]
+            pos = {tn: np.flatnonzero(sub == tn) for tn in set(types)}
+            exits, deltas = [], []
+            for entry in range(k_states):
+                s, cnt, p = entry, 0, -1
+                while True:
+                    arr = pos[types[s]]
+                    j = int(np.searchsorted(arr, p, side="right"))
+                    if j >= len(arr):
+                        break
+                    p = int(arr[j])
+                    s += 1
+                    if s == k_states:
+                        cnt += 1
+                        s = 0
+                exits.append(s)
+                deltas.append(cnt)
+            out_u.append(int(uid[a]))
+            out_e.append(exits)
+            out_d.append(deltas)
+        sl = int(pdf["_sl"].iloc[0]) if len(pdf) else 0
+        return pd.DataFrame(
+            {
+                "user_id": out_u,
+                "_sl": [sl] * len(out_u),
+                "exits": out_e,
+                "deltas": out_d,
+            }
+        )
+
+    funcs = st.groupBy("_sl").applyInPandas(
+        tab, "user_id long, _sl int, exits array<int>, deltas array<long>"
+    )
+
+    # per-user composition: fold the <= n_slices function rows in slice
+    # order — pure DataFrame HOF fold over the (bounded) collected
+    # array, no second Arrow stage; acc = (state, count)
+    folded = funcs.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("_sl", "exits", "deltas"))
+        ).alias("_fs")
+    )
+    state = F.aggregate(
+        F.col("_fs"),
+        F.struct(
+            F.lit(0).alias("s"), F.lit(0).cast("long").alias("c")
+        ),
+        lambda acc, x: F.struct(
+            F.element_at(x["exits"], acc["s"] + 1).alias("s"),
+            (acc["c"] + F.element_at(x["deltas"], acc["s"] + 1)).alias(
+                "c"
+            ),
+        ),
+    )
+    counts = folded.select(
+        "user_id", state["c"].alias("seq_count")
+    )
+    return counts.filter(F.col("seq_count") >= 1)
+
+
+_SEQ_COUNT_PATTERNS = ("(?1)(?2)(?3)", "(?1)(?3)")
+
+
+def _seq_count_oracle() -> str:
+    """DuckDB twin of the restart automaton: one recursive CTE per
+    pattern advances ONE automaton step per iteration (the LATERAL picks
+    the first expected-condition event strictly after the cursor in
+    (ts, event_id) order), so recursion depth is bounded by per-user
+    advances, fine at oracle scale."""
+    chains = []
+    selects = []
+    for idx, pat in enumerate(_SEQ_COUNT_PATTERNS):
+        steps, _ = _parse_seq_pattern(pat)
+        types = [_SEQ_CONDS[i - 1] for i in steps]
+        k = len(types)
+        case = " ".join(
+            f"WHEN {s} THEN '{types[s]}'" for s in range(k)
+        )
+        chains.append(
+            f"""
+    st{idx} AS (
+      SELECT user_id, CAST(-9223372036854775807 AS BIGINT) AS tu,
+             CAST(-9223372036854775807 AS BIGINT) AS eid,
+             0 AS s, 0 AS cnt
+      FROM (SELECT DISTINCT user_id FROM f)
+      UNION ALL
+      SELECT st{idx}.user_id, nx.tu, nx.eid,
+             CASE WHEN st{idx}.s + 1 = {k} THEN 0 ELSE st{idx}.s + 1 END,
+             st{idx}.cnt + CASE WHEN st{idx}.s + 1 = {k} THEN 1 ELSE 0 END
+      FROM st{idx}, LATERAL (
+        SELECT e.tu, e.eid FROM f e
+        WHERE e.user_id = st{idx}.user_id
+          AND e.et = CASE st{idx}.s {case} END
+          AND (e.tu > st{idx}.tu
+               OR (e.tu = st{idx}.tu AND e.eid > st{idx}.eid))
+        ORDER BY e.tu, e.eid LIMIT 1
+      ) nx
+    )"""
+        )
+        selects.append(
+            f"""
+      SELECT '{pat}' AS pattern, user_id,
+             CAST(max(cnt) AS BIGINT) AS seq_count
+      FROM st{idx} GROUP BY user_id HAVING max(cnt) >= 1"""
+        )
+    return (
+        """
+    WITH RECURSIVE f AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id AS eid,
+             event_type AS et
+      FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase')
+    ),"""
+        + ",".join(chains)
+        + "\n    SELECT pattern, user_id, seq_count FROM ("
+        + " UNION ALL ".join(selects)
+        + "\n    )"
+    )
+
+
+@register(
+    "sequence_count_compiled",
+    _seq_count_oracle(),
+    tags=("funnel", "sequence", "clickhouse-parity", "arrow-kernel"),
+    doc="ClickHouse sequenceCount RESTART semantics, compiled for "
+    "arbitrary unconstrained patterns: per user, the number of "
+    "non-overlapping greedy chains — the automaton advances on the "
+    "expected condition, ignores everything else, and restarts after "
+    "each completed match (countAll in "
+    "AggregateFunctionSequenceMatch.h). Distinct from "
+    "sequence_pair_count's parenthesis-matching maximum: for "
+    "s s p p, '(?1)(?3)' restart-counts 1 where matching pairs 2 "
+    "(pytest-pinned on that fixture). Implementation: the serial fold "
+    "becomes associative FUNCTION COMPOSITION — per composite "
+    "(user, ts) slice one Arrow batch tabulates entry-state -> "
+    "(exit-state, matches) by running the K-state automaton from every "
+    "entry state (numpy index-jump loop, slice-bounded); per user the "
+    "<= n_slices function rows fold in slice order (bounded state, the "
+    "applyInPandas shape the brief prescribes). Oracle: one recursive "
+    "CTE per pattern stepping the same automaton one advance per "
+    "iteration. Tie order (ts, event_id) pinned both engines. "
+    "Time-constrained edges raise (state would carry timestamps); the "
+    "existence compiler covers those.",
+)
+def sequence_count_compiled(spark, sf_dir):
+    out = None
+    for pat in _SEQ_COUNT_PATTERNS:
+        c = _sequence_count_users(spark, sf_dir, pat).select(
+            F.lit(pat).alias("pattern"),
+            "user_id",
+            F.col("seq_count").cast("long").alias("seq_count"),
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
 @register(
     "score_auc",
     """

@@ -95,11 +95,13 @@ SAMPLED_PRIOR: frozenset[str] = frozenset(
 # sequence_match_compiled — the driver must see new plans immediately)
 # taking the slots of sequence_next_node and hourly_sparkbar_by_type.
 # daily_value_array_ops stays: its plan changed this round (HOF
-# lambda-variable binding). 15 never-sampled entries remain for the r8
+# lambda-variable binding). Never-sampled entries remaining for the r8
 # window: the 13 after daily_value_array_ops in registration order
 # (value_equidepth_histogram .. lang_id_confusion, incl. score_auc and
-# its siblings) plus the two deferred above; tests derive the exact
-# set from the artifacts rather than trusting this comment.
+# its siblings) plus sequence_next_node, hourly_sparkbar_by_type and
+# window_funnel_strict_order, deferred to make room for the three
+# brand-new r7 entries; tests derive the exact set from the artifacts
+# rather than trusting this comment.
 DRIVER_SAMPLE: tuple[str, ...] = (
     "user_activity",
     # --- never driver-sampled, registration order ---
@@ -148,11 +150,11 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "user_sessions_native",
     "value_multiple_regression",
     "grouping_sets_volume",
-    "window_funnel_strict_order",
     "daily_value_array_ops",
     # --- brand new this round: the driver must see them immediately ---
     "window_funnel_strict_dedup",
     "sequence_match_compiled",
+    "sequence_count_compiled",
 )
 
 

@@ -93,6 +93,10 @@ DECLARED_ARROW = (
     "kmeans_",
     "semantic_dedup_keepers",
     "cluster_keepers",
+    # restart-automaton sequenceCount: the per-slice transition-function
+    # tabulation and the per-user fold are Arrow group-maps by design —
+    # the function-composition operator DataFrame algebra can't express
+    "sequence_count_compiled",
     # the ANN leg scores with the Arrow int64-matmul cosine kernel
     "hybrid_rrf_search",
 )

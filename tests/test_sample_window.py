@@ -55,6 +55,7 @@ def test_window_actually_rotates():
     for new_this_round in (
         "window_funnel_strict_dedup",
         "sequence_match_compiled",
+        "sequence_count_compiled",
         "daily_value_array_ops",
     ):
         assert new_this_round in DRIVER_SAMPLE, new_this_round

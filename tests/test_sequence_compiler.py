@@ -119,3 +119,92 @@ def test_mixed_edge_semantics_on_fixture(spark, tmp_path):
         ).collect()
     }
     assert got == {1, 4, 6}
+
+
+def test_count_restart_vs_matching_semantics(spark, tmp_path):
+    # signup signup purchase purchase: restart semantics count ONE
+    # '(?1)(?3)' chain (the second signup is ignored while seeking the
+    # purchase, and the automaton restarts AFTER the first purchase with
+    # no signup left); parenthesis-matching (sequence_pair_count) pairs
+    # TWO. Both pinned here so the semantic difference stays documented.
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _sequence_count_users,
+    )
+    from tests.test_behavioral import _write_events
+
+    rows = [
+        (1, 0, 1, "signup"), (2, 1, 1, "signup"),
+        (3, 2, 1, "purchase"), (4, 3, 1, "purchase"),
+        # u2: s p s p -> restart counts 2, matching also 2
+        (5, 0, 2, "signup"), (6, 1, 2, "purchase"),
+        (7, 2, 2, "signup"), (8, 3, 2, "purchase"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {
+        r["user_id"]: r["seq_count"]
+        for r in _sequence_count_users(spark, sf, "(?1)(?3)").collect()
+    }
+    assert got == {1: 1, 2: 2}
+
+    pair = {
+        r["user_id"]: r["seq_count"]
+        for r in REGISTRY["sequence_pair_count"].spark(spark, sf).collect()
+    }
+    assert pair[1] == 2 and pair[2] == 2  # maximum matching differs on u1
+
+
+def test_count_composition_across_slices_matches_reference(spark, tmp_path):
+    # one heavy user whose timeline MUST split across composite slices:
+    # the tabulate/fold function composition must equal a direct python
+    # automaton run over the full ordered stream
+    import random
+
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _SEQ_CONDS,
+        _parse_seq_pattern,
+        _sequence_count_users,
+    )
+    from tests.test_behavioral import _write_events
+
+    rng = random.Random(7)
+    types = ["signup", "click", "purchase", "view"]
+    rows = [
+        (i + 1, i * 1000, 1, rng.choice(types)) for i in range(400)
+    ] + [(1001, 5000, 2, "signup"), (1002, 6000, 2, "click"),
+         (1003, 7000, 2, "purchase")]
+    sf = _write_events(tmp_path, rows)
+
+    def reference(pattern):
+        steps, _ = _parse_seq_pattern(pattern)
+        tl = [_SEQ_CONDS[i - 1] for i in steps]
+        out = {}
+        for uid in {r[2] for r in rows}:
+            evs = sorted(
+                [r for r in rows if r[2] == uid], key=lambda r: (r[1], r[0])
+            )
+            s = cnt = 0
+            for r in evs:
+                if r[3] == tl[s]:
+                    s += 1
+                    if s == len(tl):
+                        cnt += 1
+                        s = 0
+            if cnt:
+                out[uid] = cnt
+        return out
+
+    for pattern in ("(?1)(?2)(?3)", "(?1)(?3)", "(?2)(?2)"):
+        got = {
+            r["user_id"]: r["seq_count"]
+            for r in _sequence_count_users(spark, sf, pattern).collect()
+        }
+        assert got == reference(pattern), pattern
+
+
+def test_count_rejects_constrained_pattern(spark):
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _sequence_count_users,
+    )
+
+    with pytest.raises(ValueError, match="restart semantics"):
+        _sequence_count_users(spark, "/root/testdata/sf0.001", "(?1)(?t<10)(?2)")

@@ -82,6 +82,9 @@ EVENT_QUERIES = [
     "sequence_match_compiled",
     "score_auc",
     "score_calibration_curve",
+    # r7 late: restart-automaton sequenceCount — the per-slice transition
+    # tabulation must stay slice-bounded on the mega-user
+    "sequence_count_compiled",
 ]
 DOC_QUERIES = [
     "source_capped_sample",
