@@ -203,31 +203,42 @@ def wait_for_idle_host(
 
     if os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "1") == "0":
         return {"load_gate": {"skipped": True}}
+
+    # gate on load1 AND load5: a decaying load1 crosses the threshold
+    # while background flush/page-cache churn from the just-finished job
+    # is still active (measured: load1 1.8 / load5 6.8 at gate pass ->
+    # 204.6 s vs 168.1 s on the same suite truly idle, a 22% phantom)
+    def busy(l1: float, l5: float) -> bool:
+        return l1 > threshold or l5 > 2 * threshold
+
     t0 = _t.monotonic()
-    initial = os.getloadavg()[0]
-    load = initial
-    while load > threshold and _t.monotonic() - t0 < timeout_s:
+    initial = os.getloadavg()
+    l1, l5 = initial[0], initial[1]
+    while busy(l1, l5) and _t.monotonic() - t0 < timeout_s:
         print(
-            f"# bench load gate: host busy (load1={load:.1f} > "
-            f"{threshold}) — waiting for idle...",
+            f"# bench load gate: host busy (load1={l1:.1f}, "
+            f"load5={l5:.1f}; need <= {threshold}/{2 * threshold}) — "
+            "waiting for idle...",
             file=sys.stderr,
         )
         _t.sleep(poll_s)
-        load = os.getloadavg()[0]
+        l1, l5 = os.getloadavg()[:2]
     gate = {
         "threshold": threshold,
         "waited_s": round(_t.monotonic() - t0),
         # both ends of the wait: how busy the host was when the run was
         # requested, and what it had decayed to when timing started
-        "load1_initial": round(initial, 1),
-        "load1_when_proceeding": round(load, 1),
-        "passed": load <= threshold,
+        "load1_initial": round(initial[0], 1),
+        "load5_initial": round(initial[1], 1),
+        "load1_when_proceeding": round(l1, 1),
+        "load5_when_proceeding": round(l5, 1),
+        "passed": not busy(l1, l5),
     }
     if not gate["passed"]:
         print(
             f"# WARNING bench load gate TIMED OUT after {timeout_s}s "
-            f"(load1={load:.1f}) — proceeding; timings will read "
-            "1.3-2x slow vs an idle host",
+            f"(load1={l1:.1f}, load5={l5:.1f}) — proceeding; timings "
+            "will read 1.3-2x slow vs an idle host",
             file=sys.stderr,
         )
     return {"load_gate": gate}
