@@ -192,17 +192,19 @@ def merge_bitmaps(bm: DataFrame, out_key) -> DataFrame:
         import numpy as np
 
         want = _BUCKET_SIZE // 8
-        for buf in pdf["bitmap"]:
-            if len(buf) != want:
-                # corrupt persisted state: fail with the domain contract,
-                # not an opaque numpy broadcast error (mirrors the
-                # audience_bitmaps id-domain guard)
-                raise ValueError(
-                    "merge_bitmaps: container for (key="
-                    f"{pdf['key'].iloc[0]!r}, bucket="
-                    f"{int(pdf['bucket'].iloc[0])}) is {len(buf)} bytes, "
-                    f"expected {want} (_BUCKET_SIZE={_BUCKET_SIZE})"
-                )
+        lens = pdf["bitmap"].map(len)
+        if (lens != want).any():
+            # corrupt persisted state: fail with the domain contract,
+            # not an opaque numpy broadcast error (mirrors the
+            # audience_bitmaps id-domain guard); report every offending
+            # width so the bad producer is identifiable from the message
+            bad = sorted(set(lens[lens != want].tolist()))
+            raise ValueError(
+                "merge_bitmaps: container(s) for (key="
+                f"{pdf['key'].iloc[0]!r}, bucket="
+                f"{int(pdf['bucket'].iloc[0])}) have byte length(s) "
+                f"{bad}, expected {want} (_BUCKET_SIZE={_BUCKET_SIZE})"
+            )
         acc = np.frombuffer(pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
         for buf in pdf["bitmap"].iloc[1:]:
             acc |= np.frombuffer(buf, dtype=np.uint8)

@@ -2876,145 +2876,18 @@ def retention_cohorts(spark, sf_dir):
 def _funnel_chain_scan(
     spark, sf_dir, inclusive: bool = False, emit_min_signup: bool = False
 ):
-    """The shared RANGE-SLICED signup->click->purchase chain scan.
+    """Loader shim over :func:`operators.sessions.funnel_chain_scan` —
+    the shared RANGE-SLICED signup->click->purchase chain scan now lives
+    with the windowFunnel mode dispatcher (operators/sessions.py), so a
+    library caller gets the same machinery on any events DataFrame; the
+    registry call sites keep this (spark, sf_dir) signature."""
+    from ..operators.sessions import funnel_chain_scan
 
-    ``inclusive=True`` flips the equal-timestamp sort so predecessors
-    at the SAME timestamp count (signup sorts before click sorts before
-    purchase): the deterministic pinning of ClickHouse windowFunnel's
-    default mode, whose same-timestamp behavior the docs declare
-    order-dependent. Kinds become signup -2 / click -1 / purchase 0
-    (click stays -1, so the scan body is unchanged).
-
-    One segmented scan over the (user, ts)-ordered event stream: the
-    per-user fold state (S = latest signup ts, C = best chain start
-    reachable via some click, i.e. max over clicks so far of the latest
-    signup strictly before that click) is associative across contiguous
-    time slices, so a mega-user's timeline splits over many tasks —
-    slice-local cascaded window columns plus a tiny per-(slice, user)
-    carry table composed with one more cascade and broadcast back.
-
-    Strictness is encoded in the sort key, not bounded RANGE frames: at
-    an equal timestamp purchases (kind -2) sort before clicks (kind -1)
-    sort before signups (kind 0), so an inclusive running frame at a row
-    sees exactly the strictly-earlier chain stages — even when a range
-    boundary splits equal-ts peers across slices, earlier-slice rows are
-    strictly sorted before, keeping the carries exact.
-
-    Returns one row per signup/click/purchase event: (user_id, _ts, _k,
-    _gS = latest signup strictly before the row, _gC = best chain start
-    over clicks strictly before the row). Consumers apply their own
-    window predicate (windowFunnel's 24 h bound) or none (the strict-
-    order conversion funnel).
-    """
-    ev = (
-        t(spark, sf_dir, "events")
-        .select("user_id", "event_type", "ts_us")
-        .filter(F.col("event_type").isin("signup", "click", "purchase"))
+    return funnel_chain_scan(
+        t(spark, sf_dir, "events").select("user_id", "event_type", "ts_us"),
+        inclusive=inclusive,
+        emit_min_signup=emit_min_signup,
     )
-    n_slices = spark.sparkContext.defaultParallelism
-    purchase_k, signup_k = (0, -2) if inclusive else (-2, 0)
-    base = ev.select(
-        "user_id",
-        F.col("ts_us").cast("long").alias("_ts"),
-        F.when(F.col("event_type") == "purchase", purchase_k)
-        .when(F.col("event_type") == "click", -1)
-        .otherwise(signup_k)
-        .alias("_k"),
-        F.when(F.col("event_type") == "signup", F.col("ts_us").cast("long"))
-        .alias("_sig"),
-        F.when(F.col("event_type") == "click", F.col("ts_us").cast("long"))
-        .alias("_clk"),
-    )
-    # deterministic composite (user, time) slices (driver-side quantile
-    # literals): see operators.ranking.slice_expr for why
-    # spark_partition_id after a range exchange is NOT a valid slice id
-    # on a branched plan, and composite_slice_key for why slicing by
-    # time alone inflates the carry table toward O(rows) — only a
-    # mega-user heavy enough to span a quantile splits across slices.
-    from ..operators.ranking import composite_slice_key, slice_expr
-
-    sliced = base.withColumn(
-        "_slice",
-        slice_expr(base, composite_slice_key("user_id", "_ts"), n_slices),
-    )
-    w_loc = (
-        Window.partitionBy("_slice", "user_id")
-        .orderBy("_ts", "_k")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # slice-local state: lS = latest in-slice signup at-or-before the
-    # row, lC = best in-slice chain start (max over in-slice clicks of
-    # THEIR lS — same window spec, so one sort evaluates the cascade),
-    # lK = latest in-slice click (marks "a click precedes this row")
-    local = (
-        sliced.withColumn("_lS", F.max("_sig").over(w_loc))
-        .withColumn(
-            "_lC",
-            F.max(F.when(F.col("_k") == -1, F.col("_lS"))).over(w_loc),
-        )
-        .withColumn("_lK", F.max("_clk").over(w_loc))
-    )
-    if emit_min_signup:
-        # running EARLIEST signup — the other associative extreme, used
-        # by minimum-gap edges ((?t>T)): same window, min instead of max
-        local = local.withColumn("_lSmin", F.min("_sig").over(w_loc))
-    # carry table, one row per (slice, user): compose (S, C) across
-    # slices — a click in slice s chains with the best signup carried
-    # into s, so each slice's C contribution is max(local C, carried S
-    # if the slice has any click); both runs are windows over the tiny
-    # table ordered by slice
-    summ_aggs = [
-        F.max("_sig").alias("_S_out"),
-        F.max(F.when(F.col("_k") == -1, F.col("_lS"))).alias("_C_loc"),
-        F.max("_clk").alias("_has_clk"),
-    ]
-    if emit_min_signup:
-        summ_aggs.append(F.min("_sig").alias("_Smin_out"))
-    summ = local.groupBy("_slice", "user_id").agg(*summ_aggs)
-    w_off = (
-        Window.partitionBy("user_id")
-        .orderBy("_slice")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    carry = summ.withColumn("_S_in", F.max("_S_out").over(w_off)).withColumn(
-        "_C_contrib",
-        F.greatest(
-            "_C_loc",
-            F.when(F.col("_has_clk").isNotNull(), F.col("_S_in")),
-        ),
-    )
-    off_cols = [
-        F.col("_slice"),
-        F.col("user_id"),
-        F.col("_S_in"),
-        F.max("_C_contrib").over(w_off).alias("_C_in"),
-    ]
-    if emit_min_signup:
-        off_cols.append(F.min("_Smin_out").over(w_off).alias("_Smin_in"))
-    offsets = carry.select(*off_cols)
-    # no broadcast hint: the carry is O(distinct users) rows — AQE
-    # broadcasts when it measures small, shuffle-joins at user scale
-    g = local.join(offsets, ["_slice", "user_id"])
-    out_cols = [
-        F.col("user_id"),
-        F.col("_ts"),
-        F.col("_k"),
-        F.greatest("_lS", "_S_in").alias("_gS"),
-        F.greatest(
-            "_lC", "_C_in", F.when(F.col("_lK").isNotNull(), F.col("_S_in"))
-        ).alias("_gC"),
-        # consumers that run a FURTHER segmented pass (sequenceMatch's
-        # qualified-click running max) reuse this slice id: the join
-        # above leaves the frame hash-partitioned on (_slice, user_id),
-        # so their slice-local window adds no exchange and no second
-        # quantile job
-        F.col("_slice"),
-    ]
-    if emit_min_signup:
-        # least() skips nulls (like greatest), so a slice with no local
-        # signup correctly inherits the carried-in minimum
-        out_cols.append(F.least("_lSmin", "_Smin_in").alias("_gSmin"))
-    return g.select(*out_cols)
 
 
 @register(
@@ -3118,28 +2991,15 @@ _FUNNEL_WINDOW_US = 24 * 3600 * 1000000  # 24 h
     "chain stages.",
 )
 def window_funnel_levels(spark, sf_dir):
-    W = _FUNNEL_WINDOW_US
-    g = _funnel_chain_scan(spark, sf_dir)
-    lvl = (
-        g.select(
-            "user_id",
-            F.when(
-                (F.col("_k") == -2) & (F.col("_gC") >= F.col("_ts") - W), 3
-            )
-            .when((F.col("_k") == -1) & (F.col("_gS") >= F.col("_ts") - W), 2)
-            .when(F.col("_k") == 0, 1)
-            .alias("_lvl"),
-        )
-        .groupBy("user_id")
-        .agg(
-            F.max("_lvl").alias("_max_lvl"),
-            F.max((F.col("_lvl") == 1).cast("int")).alias("_l1"),
-        )
-        # only users with a signup are in the funnel at all
-        .filter(F.col("_l1") == 1)
-        .select(F.col("_max_lvl").cast("long").alias("funnel_level"))
+    from ..operators.sessions import window_funnel
+
+    return window_funnel(
+        t(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts_us", "event_id"
+        ),
+        window_us=_FUNNEL_WINDOW_US,
+        mode="default",
     )
-    return lvl.groupBy("funnel_level").agg(F.count("*").alias("n_users"))
 
 
 @register(
@@ -5690,29 +5550,15 @@ def _moving_sum_arrays(ev: DataFrame, cap: int) -> DataFrame:
     "user, skew-flat plan.",
 )
 def window_funnel_levels_inclusive(spark, sf_dir):
-    W = _FUNNEL_WINDOW_US
-    g = _funnel_chain_scan(spark, sf_dir, inclusive=True)
-    lvl = (
-        g.select(
-            "user_id",
-            F.when(
-                (F.col("_k") == 0) & (F.col("_gC") >= F.col("_ts") - W), 3
-            )
-            .when(
-                (F.col("_k") == -1) & (F.col("_gS") >= F.col("_ts") - W), 2
-            )
-            .when(F.col("_k") == -2, 1)
-            .alias("_lvl"),
-        )
-        .groupBy("user_id")
-        .agg(
-            F.max("_lvl").alias("_max_lvl"),
-            F.max((F.col("_lvl") == 1).cast("int")).alias("_l1"),
-        )
-        .filter(F.col("_l1") == 1)
-        .select(F.col("_max_lvl").cast("long").alias("funnel_level"))
+    from ..operators.sessions import window_funnel
+
+    return window_funnel(
+        t(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts_us", "event_id"
+        ),
+        window_us=_FUNNEL_WINDOW_US,
+        mode="inclusive",
     )
-    return lvl.groupBy("funnel_level").agg(F.count("*").alias("n_users"))
 
 
 @register(
@@ -6930,65 +6776,14 @@ def sequence_next_node(spark, sf_dir):
     "same-timestamp order undefined; we make it deterministic).",
 )
 def window_funnel_strict_order(spark, sf_dir):
-    from ..operators.ranking import composite_slice_key, ranked
+    from ..operators.sessions import window_funnel
 
-    W = _FUNNEL_WINDOW_US
-    ev = t(spark, sf_dir, "events").select(
-        "user_id", "event_type", "ts_us", "event_id"
-    )
-    r = ranked(
-        ev,
-        ["user_id"],
-        ["ts_us", "event_id"],
-        slice_col=composite_slice_key("user_id", "ts_us"),
-        broadcast_offsets=False,
-    )
-    s = r.filter(F.col("event_type") == "signup").select(
-        F.col("user_id").alias("_u"),
-        F.col("_rank").alias("_r1"),
-        F.col("ts_us").alias("_t1"),
-    )
-    # equi-join keys materialized as columns (rank+1 / rank+2), so the
-    # adjacency lookups are plain hash joins on unique-per-user keys
-    c = r.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("_uc"),
-        F.col("_rank").alias("_rc"),
-        F.col("ts_us").alias("_t2"),
-    )
-    p = r.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("_up"),
-        F.col("_rank").alias("_rp"),
-        F.col("ts_us").alias("_t3"),
-    )
-    pairs = (
-        s.join(
-            c,
-            (F.col("_u") == F.col("_uc"))
-            & (F.col("_rc") == F.col("_r1") + 1),
-        )
-        .filter(F.col("_t2") <= F.col("_t1") + W)
-        .select("_u", "_r1", "_t1")
-    )
-    triples = pairs.join(
-        p,
-        (F.col("_u") == F.col("_up")) & (F.col("_rp") == F.col("_r1") + 2),
-    ).filter(F.col("_t3") <= F.col("_t1") + W)
-    levels = (
-        s.select(F.col("_u").alias("user_id"), F.lit(1).alias("level"))
-        .unionByName(
-            pairs.select(F.col("_u").alias("user_id"), F.lit(2).alias("level"))
-        )
-        .unionByName(
-            triples.select(
-                F.col("_u").alias("user_id"), F.lit(3).alias("level")
-            )
-        )
-    )
-    return (
-        levels.groupBy("user_id")
-        .agg(F.max("level").alias("funnel_level"))
-        .groupBy("funnel_level")
-        .agg(F.count("*").alias("n_users"))
+    return window_funnel(
+        t(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts_us", "event_id"
+        ),
+        window_us=_FUNNEL_WINDOW_US,
+        mode="strict_order",
     )
 
 
@@ -7064,111 +6859,14 @@ def window_funnel_strict_order(spark, sf_dir):
     "it undefined).",
 )
 def window_funnel_strict_dedup(spark, sf_dir):
-    from ..operators.ranking import composite_slice_key, slice_expr
+    from ..operators.sessions import window_funnel
 
-    W = _FUNNEL_WINDOW_US
-    g = _funnel_chain_scan(spark, sf_dir)  # _k: signup 0, click -1, purchase -2
-    # clicks deduped per (user, ts): equal-ts clicks share _gS (signups
-    # at the same ts sort AFTER clicks), so max(_gS) is exact; the count
-    # rides along to detect the duplicate-at-c* interrupt
-    dq = (
-        g.filter(F.col("_k") == -1)
-        .groupBy("user_id", "_ts")
-        .agg(F.count("*").alias("_nc"), F.max("_gS").alias("_dgS"))
-    )
-    qual = F.col("_dgS").isNotNull() & (
-        F.col("_ts") <= F.col("_dgS") + F.lit(W)
-    )
-    dq = dq.withColumn(
-        "_q",
-        F.when(
-            qual,
-            F.struct(
-                F.col("_ts").alias("qt"),
-                F.col("_nc").alias("qn"),
-                F.col("_dgS").alias("qa"),
-            ),
+    return window_funnel(
+        t(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts_us", "event_id"
         ),
-    )
-    st = dq.select(
-        "user_id",
-        "_ts",
-        F.lit(-1).alias("_k2"),
-        "_q",
-        F.col("_ts").alias("_ck"),
-    ).unionByName(
-        g.filter(F.col("_k") == -2).select(
-            "user_id",
-            "_ts",
-            F.lit(-2).alias("_k2"),
-            F.lit(None)
-            .cast("struct<qt:long,qn:bigint,qa:long>")
-            .alias("_q"),
-            F.lit(None).cast("long").alias("_ck"),
-        )
-    )
-    # the click dedup re-shuffled by (user, ts), so pass 2 takes fresh
-    # composite slices; purchases sort before equal-ts clicks (_k2
-    # -2 < -1), so running values at a purchase are strictly-before
-    n_slices = spark.sparkContext.defaultParallelism
-    st = st.withColumn(
-        "_sl",
-        slice_expr(st, composite_slice_key("user_id", "_ts"), n_slices),
-    )
-    w_loc = (
-        Window.partitionBy("_sl", "user_id")
-        .orderBy("_ts", "_k2")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = st.withColumn("_lq", F.min("_q").over(w_loc)).withColumn(
-        "_lk", F.max("_ck").over(w_loc)
-    )
-    carry = st.groupBy("_sl", "user_id").agg(
-        F.min("_q").alias("_qo"), F.max("_ck").alias("_ko")
-    )
-    w_off = (
-        Window.partitionBy("user_id")
-        .orderBy("_sl")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = carry.select(
-        "_sl",
-        "user_id",
-        F.min("_qo").over(w_off).alias("_qi"),
-        F.max("_ko").over(w_off).alias("_ki"),
-    )
-    r = local.join(offs, ["_sl", "user_id"])
-    mq = F.least("_lq", "_qi")  # struct min skips nulls, like greatest
-    mk = F.greatest("_lk", "_ki")
-    l3 = (
-        r.filter(
-            (F.col("_k2") == -2)
-            & mq.isNotNull()
-            & (F.col("_ts") <= mq["qa"] + F.lit(W))
-            & (mk == mq["qt"])  # no click since c* = no interrupt yet
-            & (mq["qn"] == 1)  # a twin click at c*'s ts interrupts
-        )
-        .select("user_id")
-        .distinct()
-    )
-    levels = (
-        g.filter(F.col("_k") == 0)
-        .select("user_id")
-        .distinct()
-        .withColumn("level", F.lit(1))
-        .unionByName(
-            dq.filter(F.col("_q").isNotNull())
-            .select("user_id")
-            .distinct()
-            .withColumn("level", F.lit(2))
-        )
-        .unionByName(l3.withColumn("level", F.lit(3)))
-    )
-    return (
-        levels.groupBy("user_id")
-        .agg(F.max("level").alias("funnel_level"))
-        .groupBy("funnel_level")
-        .agg(F.count("*").alias("n_users"))
+        window_us=_FUNNEL_WINDOW_US,
+        mode="strict_dedup",
     )
 
 
@@ -8443,6 +8141,350 @@ def sequence_count_compiled(spark, sf_dir):
     out = None
     for pat in _SEQ_COUNT_PATTERNS:
         c = _sequence_count_users(spark, sf_dir, pat).select(
+            F.lit(pat).alias("pattern"),
+            "user_id",
+            F.col("seq_count").cast("long").alias("seq_count"),
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+_SEQ_TIMED_SENT = -(2**62)  # t_prev sentinel; never compared at state 0
+
+
+def _sequence_count_timed_users(spark, sf_dir, pattern: str, conds=_SEQ_CONDS):
+    """Restart-semantics sequenceCount with ``(?t<T)`` edges — the timed
+    extension of :func:`_sequence_count_users` (ClickHouse
+    AggregateFunctionSequenceMatch.h countAll with time constraints;
+    semantic deltas pinned below).
+
+    Pinned timed-restart semantics (documented deviation — ClickHouse
+    matches with backtracking; we pin a deterministic greedy scan):
+    events scan per user in (ts, event_id) order; only events of the
+    currently-expected condition touch the automaton. At state s >= 1
+    whose inbound edge is ('<', T): an expected event at ``ts`` ADVANCES
+    iff ``ts - t_prev < T`` (strict); otherwise the partial chain is
+    dead — for an upper bound every later candidate is even later — so
+    the automaton RESTARTS at that event (state 0, re-anchoring to
+    state 1 iff the event's condition equals condition 1). ``(?t>T)``
+    raises: its greedy rule is wait-until-satisfied, which makes the
+    slice transfer function piecewise in t_prev with O(slice) breaks —
+    the existence-semantics compiler (_sequence_match_users) covers
+    lower-bounded patterns.
+
+    Why this still distributes: the per-slice transfer function now has
+    domain (entry_state, carried t_prev), but t_prev enters ONLY at the
+    first expected-type event of an entry state whose inbound edge is
+    '<' — and there it collapses to ONE threshold test
+    ``t_prev > ts_first - T`` (advance vs restart both resolve at that
+    event, after which every in-slice decision is concrete). So the
+    tabulation emits at most TWO branches per entry state
+    (theta + hi/lo outcomes), and composition stays an associative fold
+    over <= n_slices function rows per user: acc = (state, t_prev,
+    count); each row picks its branch by comparing acc.t_prev to theta.
+    A null exit timestamp means "no touch — carry the entry t_prev
+    through" (the only symbolic exit). Same slice-level Arrow batching
+    and composite (user, ts) slices as the untimed entry."""
+    import pandas as pd
+
+    from ..operators.ranking import composite_slice_key, slice_expr
+
+    steps, edges = _parse_seq_pattern(pattern)
+    for e in edges:
+        if e is not None and e[0] == ">":
+            raise ValueError(
+                "sequence_count_timed: (?t>T) edges are not supported "
+                "under restart semantics (wait-until-satisfied makes "
+                "the slice transfer function O(slice)-piecewise in the "
+                "carried timestamp); the existence-semantics compiler "
+                "covers lower-bounded patterns"
+            )
+    bad = [i for i in steps if i > len(conds)]
+    if bad:
+        raise ValueError(
+            f"sequenceMatch pattern: condition index (?{bad[0]}) out of "
+            f"range — {len(conds)} conditions defined"
+        )
+    types = [conds[i - 1] for i in steps]
+    k_states = len(types)
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts_us").cast("long").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    ev = ev.filter(F.col("event_type").isin(*set(types)))
+    n_slices = spark.sparkContext.defaultParallelism
+    st = ev.withColumn(
+        "_sl",
+        slice_expr(ev, composite_slice_key("user_id", "ts_us"), n_slices),
+    )
+
+    def tab(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        uid = pdf["user_id"].to_numpy()
+        et = pdf["event_type"].to_numpy()
+        tsv = pdf["ts_us"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        cols: dict[str, list] = {
+            k: []
+            for k in (
+                "user_id", "theta", "exh", "tsh", "dh", "exl", "tsl", "dl"
+            )
+        }
+        for a, b in zip(starts, ends):
+            sub = et[a:b]
+            sts = tsv[a:b]
+            pos = {tn: np.flatnonzero(sub == tn) for tn in set(types)}
+
+            def run(p, s, t_prev):
+                # concrete scan from after index p; t_prev concrete
+                # whenever a '<' advance out of state s>=1 can occur
+                cnt = 0
+                while True:
+                    arr = pos[types[s]]
+                    j = int(np.searchsorted(arr, p, side="right"))
+                    if j >= len(arr):
+                        return s, t_prev, cnt
+                    i = int(arr[j])
+                    e = edges[s - 1] if s >= 1 else None
+                    if e is None or int(sts[i]) - t_prev < e[1]:
+                        s += 1
+                        t_prev = int(sts[i])
+                        if s == k_states:
+                            cnt += 1
+                            s = 0
+                    else:  # '<' violated: restart at this event
+                        if types[s] == types[0]:
+                            s, t_prev = 1, int(sts[i])
+                            if k_states == 1:
+                                cnt += 1
+                                s = 0
+                        else:
+                            s = 0
+                    p = i
+
+            theta: list = []
+            exh: list = []
+            tsh: list = []
+            dh: list = []
+            exl: list = []
+            tsl: list = []
+            dl: list = []
+            for entry in range(k_states):
+                e = edges[entry - 1] if entry >= 1 else None
+                arr = pos[types[entry]]
+                if len(arr) == 0:
+                    # no touch: identity — carry entry t_prev through
+                    theta.append(None)
+                    exh.append(entry); tsh.append(None); dh.append(0)
+                    exl.append(entry); tsl.append(None); dl.append(0)
+                    continue
+                if e is None:
+                    # first advance unconditional; t_prev concrete after
+                    s1, t1, c1 = run(-1, entry, _SEQ_TIMED_SENT)
+                    theta.append(None)
+                    exh.append(s1); tsh.append(t1); dh.append(c1)
+                    exl.append(s1); tsl.append(t1); dl.append(c1)
+                    continue
+                j0 = int(arr[0])
+                th = int(sts[j0]) - e[1]  # advance iff t_prev > th
+                # hi branch: gap < T at the first expected event
+                s_hi, t_hi = entry + 1, int(sts[j0])
+                c_hi = 0
+                if s_hi == k_states:
+                    c_hi, s_hi = 1, 0
+                s1, t1, c1 = run(j0, s_hi, t_hi)
+                exh.append(s1); tsh.append(t1); dh.append(c_hi + c1)
+                # lo branch: restart at the first expected event
+                if types[entry] == types[0]:
+                    s_lo, t_lo, c_lo = 1, int(sts[j0]), 0
+                    if k_states == 1:
+                        c_lo, s_lo = 1, 0
+                else:
+                    s_lo, t_lo, c_lo = 0, _SEQ_TIMED_SENT, 0
+                s2, t2, c2 = run(j0, s_lo, t_lo)
+                exl.append(s2); tsl.append(t2); dl.append(c_lo + c2)
+                theta.append(th)
+            cols["user_id"].append(int(uid[a]))
+            cols["theta"].append(theta)
+            cols["exh"].append(exh)
+            cols["tsh"].append(tsh)
+            cols["dh"].append(dh)
+            cols["exl"].append(exl)
+            cols["tsl"].append(tsl)
+            cols["dl"].append(dl)
+        sl = int(pdf["_sl"].iloc[0]) if len(pdf) else 0
+        cols["_sl"] = [sl] * len(cols["user_id"])
+        return pd.DataFrame(cols)
+
+    funcs = st.groupBy("_sl").applyInPandas(
+        tab,
+        "user_id long, theta array<long>, exh array<int>, "
+        "tsh array<long>, dh array<long>, exl array<int>, "
+        "tsl array<long>, dl array<long>, _sl int",
+    )
+
+    folded = funcs.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    "_sl", "theta", "exh", "tsh", "dh", "exl", "tsl", "dl"
+                )
+            )
+        ).alias("_fs")
+    )
+    state = F.aggregate(
+        F.col("_fs"),
+        F.struct(
+            F.lit(0).alias("s"),
+            F.lit(_SEQ_TIMED_SENT).cast("long").alias("t"),
+            F.lit(0).cast("long").alias("c"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(
+                F.element_at(x["theta"], acc["s"] + 1).isNull()
+                | (acc["t"] > F.element_at(x["theta"], acc["s"] + 1)),
+                F.element_at(x["exh"], acc["s"] + 1),
+            )
+            .otherwise(F.element_at(x["exl"], acc["s"] + 1))
+            .alias("s"),
+            F.coalesce(
+                F.when(
+                    F.element_at(x["theta"], acc["s"] + 1).isNull()
+                    | (acc["t"] > F.element_at(x["theta"], acc["s"] + 1)),
+                    F.element_at(x["tsh"], acc["s"] + 1),
+                ).otherwise(F.element_at(x["tsl"], acc["s"] + 1)),
+                acc["t"],
+            ).alias("t"),
+            (
+                acc["c"]
+                + F.when(
+                    F.element_at(x["theta"], acc["s"] + 1).isNull()
+                    | (acc["t"] > F.element_at(x["theta"], acc["s"] + 1)),
+                    F.element_at(x["dh"], acc["s"] + 1),
+                ).otherwise(F.element_at(x["dl"], acc["s"] + 1))
+            ).alias("c"),
+        ),
+    )
+    counts = folded.select("user_id", state["c"].alias("seq_count"))
+    return counts.filter(F.col("seq_count") >= 1)
+
+
+_SEQ_COUNT_TIMED_PATTERNS = ("(?1)(?t<86400)(?2)(?3)", "(?2)(?t<43200)(?3)")
+
+
+def _seq_count_timed_oracle() -> str:
+    """DuckDB twin of the TIMED restart automaton: one recursive CTE per
+    pattern advancing ONE AUTOMATON TOUCH per iteration — the LATERAL
+    picks the first expected-condition event strictly after the cursor
+    in (ts, event_id) order, and the outer CASE applies the pinned
+    timed-restart rule (advance if the '<' gap holds, else restart with
+    re-anchor). Cursor strictly advances per touch, so the recursion is
+    bounded by per-user expected-event touches."""
+    chains = []
+    selects = []
+    for idx, pat in enumerate(_SEQ_COUNT_TIMED_PATTERNS):
+        steps, edges = _parse_seq_pattern(pat)
+        types = [_SEQ_CONDS[i - 1] for i in steps]
+        k = len(types)
+        expected = " ".join(
+            f"WHEN {s} THEN '{types[s]}'" for s in range(k)
+        )
+        # ok = advance allowed out of state s at the touched event
+        ok_whens = []
+        for s in range(k):
+            e = edges[s - 1] if s >= 1 else None
+            cond = "TRUE" if e is None else f"nx.tu - tt.tp < {e[1]}"
+            ok_whens.append(f"WHEN {s} THEN {cond}")
+        ok = f"CASE tt.s {' '.join(ok_whens)} END"
+        anchor = " ".join(
+            f"WHEN {s} THEN {1 if types[s] == types[0] else 0}"
+            for s in range(k)
+        )
+        anchor_tp = " ".join(
+            f"WHEN {s} THEN {'nx.tu' if types[s] == types[0] else 'tt.tp'}"
+            for s in range(k)
+        )
+        chains.append(
+            f"""
+    tt{idx} AS (
+      SELECT user_id, CAST(-9223372036854775807 AS BIGINT) AS tu,
+             CAST(-9223372036854775807 AS BIGINT) AS eid,
+             0 AS s, CAST(-4611686018427387904 AS BIGINT) AS tp,
+             0 AS cnt
+      FROM (SELECT DISTINCT user_id FROM f)
+      UNION ALL
+      SELECT tt.user_id, nx.tu, nx.eid,
+             CASE WHEN {ok}
+                  THEN CASE WHEN tt.s + 1 = {k} THEN 0 ELSE tt.s + 1 END
+                  ELSE CASE tt.s {anchor} END END,
+             CASE WHEN {ok} THEN nx.tu
+                  ELSE CASE tt.s {anchor_tp} END END,
+             tt.cnt + CASE WHEN {ok} AND tt.s + 1 = {k}
+                           THEN 1 ELSE 0 END
+      FROM tt{idx} tt, LATERAL (
+        SELECT e.tu, e.eid FROM f e
+        WHERE e.user_id = tt.user_id
+          AND e.et = CASE tt.s {expected} END
+          AND (e.tu > tt.tu OR (e.tu = tt.tu AND e.eid > tt.eid))
+        ORDER BY e.tu, e.eid LIMIT 1
+      ) nx
+    )"""
+        )
+        selects.append(
+            f"""
+      SELECT '{pat}' AS pattern, user_id,
+             CAST(max(cnt) AS BIGINT) AS seq_count
+      FROM tt{idx} GROUP BY user_id HAVING max(cnt) >= 1"""
+        )
+    return (
+        """
+    WITH RECURSIVE f AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id AS eid,
+             event_type AS et
+      FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase')
+    ),"""
+        + ",".join(chains)
+        + "\n    SELECT pattern, user_id, seq_count FROM ("
+        + " UNION ALL ".join(selects)
+        + "\n    )"
+    )
+
+
+@register(
+    "sequence_count_timed",
+    _seq_count_timed_oracle(),
+    tags=("funnel", "sequence", "clickhouse-parity", "arrow-kernel"),
+    doc="ClickHouse sequenceCount restart semantics with (?t<T) TIME "
+    "CONSTRAINTS — the timed extension of sequence_count_compiled. "
+    "Pinned greedy timed-restart rule (deviation from ClickHouse's "
+    "backtracking matcher, documented in MIGRATION.md): at a state "
+    "whose inbound edge is (?t<T), an expected event either advances "
+    "(strict gap < T) or — since an upper bound can never be satisfied "
+    "later — RESTARTS the chain at that event, re-anchoring iff its "
+    "condition equals condition 1; (?t>T) raises (covered by the "
+    "existence compiler). Distributes because the carried timestamp "
+    "enters the per-slice transfer function ONLY through one threshold "
+    "test at the slice's first expected event: the slice-level Arrow "
+    "tabulation emits <= 2 branches per entry state (theta + hi/lo "
+    "exit-state/exit-ts/delta arrays), and per user the <= n_slices "
+    "function rows fold associatively (acc = state, t_prev, count; "
+    "null exit-ts = carry). Oracle: recursive CTE stepping the same "
+    "automaton one touch per iteration. Patterns chosen so the bound "
+    "BITES at this data's ~17 h median inter-event gap (pytest pins a "
+    "fixture where timed < untimed count).",
+)
+def sequence_count_timed(spark, sf_dir):
+    out = None
+    for pat in _SEQ_COUNT_TIMED_PATTERNS:
+        c = _sequence_count_timed_users(spark, sf_dir, pat).select(
             F.lit(pat).alias("pattern"),
             "user_id",
             F.col("seq_count").cast("long").alias("seq_count"),

@@ -32,7 +32,7 @@ from pathlib import Path
 
 _LOG = logging.getLogger(__name__)
 
-# union of CORRECTNESS_r01..r06 keys: entries with >=1 driver-green row
+# union of CORRECTNESS_r01..r07 keys: entries with >=1 driver-green row
 # (pinned against sampled_from_artifacts() by tests/test_sample_window.py)
 SAMPLED_PRIOR: frozenset[str] = frozenset(
     {
@@ -40,122 +40,132 @@ SAMPLED_PRIOR: frozenset[str] = frozenset(
         "ann_ivfpq_recall_report", "ann_ivfpq_topk", "ann_lsh_buckets",
         "ann_lsh_topk", "ann_pq_code_histogram", "ann_pq_topk",
         "ann_recall_report", "approx_distinct_users",
-        "approx_value_percentiles", "bloom_contamination_report",
-        "bm25_keyword_search", "chunk_dup_rate", "cluster_keepers",
-        "coactivity_clustering", "coactivity_triangles",
-        "concurrent_event_counts", "concurrent_event_counts_linear",
+        "approx_value_percentiles", "bitmap_audience_overlap",
+        "bitwise_user_masks", "bloom_contamination_report",
+        "bm25_keyword_search", "bounded_distinct_by_type",
+        "categorical_association_suite", "chunk_dup_rate", "cluster_keepers",
+        "cms_state_rollup", "coactivity_clustering", "coactivity_degrees",
+        "coactivity_triangles", "concurrent_event_counts",
+        "concurrent_event_counts_linear", "conditional_aggregates_by_type",
         "corpus_mixture_weights", "corpus_quality_summary",
-        "cross_modal_near_dups", "curation_funnel",
+        "cramers_v_type_band", "cross_modal_near_dups", "curation_funnel",
         "daily_event_type_pivot", "daily_running_totals",
-        "dataset_split_summary", "decontamination_report",
-        "dedup_clusters", "dedup_exact", "dedup_last_write_wins",
-        "dedup_minhash_lsh", "dedup_rate_by_source", "doc_chunk_plan",
-        "doc_fingerprints", "doc_repetition_profile", "doc_token_rarity",
-        "docs_hash_sample", "dsir_importance_weights", "dup_span_report",
-        "edit_distance_near_pairs", "ema_user_value",
+        "daily_value_array_ops", "dataset_split_summary",
+        "decontamination_report", "dedup_clusters", "dedup_exact",
+        "dedup_last_write_wins", "dedup_minhash_lsh", "dedup_rate_by_source",
+        "doc_chunk_plan", "doc_fingerprints", "doc_repetition_profile",
+        "doc_token_rarity", "docs_hash_sample", "dsir_importance_weights",
+        "dup_span_report", "edit_distance_near_pairs", "ema_user_value",
         "embedding_near_dup_pairs", "epoch_shuffle_sample",
-        "event_rank_profile", "events_per_type",
-        "gap_filled_hourly_counts", "heavy_hitters_cms",
-        "hourly_event_counts", "hybrid_rrf_search", "kmeans_centroids",
-        "kmeans_cluster_profile", "lang_id", "minhash_estimate_report",
-        "missing_hours", "most_used_prop", "most_used_word",
-        "multimodal_audio_features", "multimodal_features",
+        "event_funnel_conversion", "event_rank_profile",
+        "event_type_transitions", "events_limit_by", "events_per_type",
+        "gap_filled_hourly_counts", "grouping_sets_volume",
+        "heavy_hitters_cms", "hour_entropy_by_type", "hourly_autocorrelation",
+        "hourly_event_counts", "hourly_outliers_tukey",
+        "hourly_period_strength", "hybrid_rrf_search",
+        "inter_event_gap_profile", "interpolated_hourly_values",
+        "kmeans_centroids", "kmeans_cluster_profile", "kmv_set_operations",
+        "kolmogorov_smirnov_values", "lang_id", "lttb_downsample_hourly",
+        "mann_whitney_u_values", "max_concurrent_intervals",
+        "minhash_estimate_report", "missing_hours", "most_used_prop",
+        "most_used_word", "multimodal_audio_features", "multimodal_features",
         "multimodal_frame_sample", "multimodal_image_features",
-        "nation_customer_rollup", "ngram_jaccard_pairs",
-        "ngram_lm_fluency", "order_priority_counts", "order_status_cube",
-        "pagerank_user_item", "pii_scan", "platform_union_counts",
-        "purchase_attribution", "q10_returned_items",
+        "nation_customer_rollup", "ngram_jaccard_pairs", "ngram_lm_fluency",
+        "order_priority_counts", "order_status_cube", "pagerank_user_item",
+        "pii_scan", "platform_union_counts", "purchase_attribution",
+        "purchase_attribution_windowed", "q10_returned_items",
         "q11_important_parts", "q12_priority_shipping",
-        "q13_customer_distribution", "q14_promo_share",
-        "q15_top_suppliers", "q16_supplier_diversity",
-        "q17_small_quantity_revenue", "q18_large_orders",
-        "q19_bracket_revenue", "q1_pricing_summary",
+        "q13_customer_distribution", "q14_promo_share", "q15_top_suppliers",
+        "q16_supplier_diversity", "q17_small_quantity_revenue",
+        "q18_large_orders", "q19_bracket_revenue", "q1_pricing_summary",
         "q20_excess_suppliers", "q21_sole_blame_suppliers",
-        "q22_idle_customers", "q2_min_cost_supplier",
-        "q3_shipping_priority", "q4_late_shipments", "q5_region_volume",
-        "q6_forecast_revenue", "q7_nation_trade_volume",
-        "q8_market_share", "q9_product_profit", "quantile_state_rollup",
-        "record_count", "region_nation_rollup", "semantic_dedup_keepers",
+        "q22_idle_customers", "q2_min_cost_supplier", "q3_shipping_priority",
+        "q4_late_shipments", "q5_region_volume", "q6_forecast_revenue",
+        "q7_nation_trade_volume", "q8_market_share", "q9_product_profit",
+        "quantile_state_rollup", "record_count", "region_nation_rollup",
+        "retention_cohorts", "retention_conditions", "semantic_dedup_keepers",
+        "sequence_count_compiled", "sequence_match_compiled",
         "sequence_match_pattern", "sequence_packing_plan",
-        "simhash_signatures", "sliding_window_counts",
-        "source_capped_sample", "text_quality", "token_fertility_by_lang",
+        "sequence_pair_count", "simhash_signatures", "sliding_window_counts",
+        "source_capped_sample", "spearman_value_hour", "student_ttest_values",
+        "sum_map_by_day", "text_quality", "token_fertility_by_lang",
         "token_stats", "top_brands_by_revenue", "top_events_per_user",
-        "top_users_by_value", "tumbling_window_counts", "user_activity",
-        "user_first_events", "user_moving_sum_arrays", "user_sessions",
-        "user_trailing_7d_value", "user_watermarks",
-        "users_not_customers", "value_histogram", "value_percentiles",
-        "vocab_growth_curve",
+        "top_users_by_value", "tumbling_window_counts", "uniq_kmv_sketch",
+        "uniq_state_rollup", "user_activity", "user_activity_gini",
+        "user_bounding_ratio", "user_delta_sum", "user_first_events",
+        "user_interval_coverage", "user_moving_sum_arrays", "user_sessions",
+        "user_sessions_native", "user_trailing_7d_value", "user_watermarks",
+        "users_not_customers", "value_histogram", "value_hour_correlation",
+        "value_hour_regression", "value_moments_by_type",
+        "value_multiple_regression", "value_percentiles",
+        "vocab_growth_curve", "weighted_median_price", "welch_ttest_values",
+        "window_funnel_levels", "window_funnel_levels_inclusive",
+        "window_funnel_strict_dedup",
     }
 )
 
-# round-7 window: user_activity (entry() names it) + 49 never-sampled
-# entries — the r5/r6 statistics, state-rollup, ML-eval, funnel-mode
-# and text-audit additions in registration order, with this round's
-# TWO BRAND-NEW entries (window_funnel_strict_dedup,
-# sequence_match_compiled — the driver must see new plans immediately)
-# taking the slots of sequence_next_node and hourly_sparkbar_by_type.
-# daily_value_array_ops stays: its plan changed this round (HOF
-# lambda-variable binding). Never-sampled entries remaining for the r8
-# window: the 13 after daily_value_array_ops in registration order
-# (value_equidepth_histogram .. lang_id_confusion, incl. score_auc and
-# its siblings) plus sequence_next_node, hourly_sparkbar_by_type and
-# window_funnel_strict_order, deferred to make room for the three
-# brand-new r7 entries; tests derive the exact set from the artifacts
-# rather than trusting this comment.
+# round-8 window: user_activity (entry() names it) + the FINAL 16
+# never-driver-sampled entries in registration order — after this
+# rotation every registry entry has >=1 driver-green row (zero evidence
+# debt) — + this round's brand-new entries, + re-verification filler:
+# the full TPC-H battery and the core text/dedup surface, whose last
+# driver check was r1 (oldest evidence in the artifact set).
 DRIVER_SAMPLE: tuple[str, ...] = (
     "user_activity",
-    # --- never driver-sampled, registration order ---
-    "cms_state_rollup",
-    "coactivity_degrees",
-    "retention_cohorts",
-    "event_funnel_conversion",
-    "window_funnel_levels",
-    "event_type_transitions",
-    "user_activity_gini",
-    "uniq_kmv_sketch",
-    "retention_conditions",
-    "kmv_set_operations",
-    "max_concurrent_intervals",
-    "user_interval_coverage",
-    "sequence_pair_count",
-    "sum_map_by_day",
-    "inter_event_gap_profile",
-    "user_delta_sum",
-    "weighted_median_price",
-    "bitmap_audience_overlap",
-    "interpolated_hourly_values",
-    "bounded_distinct_by_type",
-    "value_hour_correlation",
-    "welch_ttest_values",
-    "student_ttest_values",
-    "mann_whitney_u_values",
-    "kolmogorov_smirnov_values",
-    "cramers_v_type_band",
-    "lttb_downsample_hourly",
-    "uniq_state_rollup",
-    "events_limit_by",
-    "purchase_attribution_windowed",
-    "user_bounding_ratio",
-    "window_funnel_levels_inclusive",
-    "conditional_aggregates_by_type",
-    "spearman_value_hour",
-    "categorical_association_suite",
-    "value_moments_by_type",
-    "value_hour_regression",
-    "bitwise_user_masks",
-    "hour_entropy_by_type",
-    "hourly_autocorrelation",
-    "hourly_outliers_tukey",
-    "hourly_period_strength",
-    "user_sessions_native",
-    "value_multiple_regression",
-    "grouping_sets_volume",
-    "daily_value_array_ops",
+    # --- never driver-sampled (the last 16), registration order ---
+    "sequence_next_node",
+    "window_funnel_strict_order",
+    "hourly_sparkbar_by_type",
+    "value_equidepth_histogram",
+    "categorical_information_value",
+    "bitmap_state_rollup",
+    "topk_state_rollup",
+    "hourly_series_decomposition",
+    "feature_corr_matrix",
+    "sequence_match_min_gap",
+    "score_auc",
+    "score_calibration_curve",
+    "tfidf_doc_keywords",
+    "gopher_rules_report",
+    "source_overlap_matrix",
+    "lang_id_confusion",
+    # --- re-verification filler: oldest driver evidence (r1) first ---
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_late_shipments",
+    "q5_region_volume",
+    "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q15_top_suppliers",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q20_excess_suppliers",
+    "q21_sole_blame_suppliers",
+    "q22_idle_customers",
+    "record_count",
+    "events_per_type",
+    "most_used_word",
+    "missing_hours",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "lang_id",
+    "text_quality",
+    "token_stats",
+    "user_sessions",
     # --- brand new this round: the driver must see them immediately ---
-    "window_funnel_strict_dedup",
-    "sequence_match_compiled",
-    "sequence_count_compiled",
+    "sequence_count_timed",
 )
+
 
 
 def sampled_from_artifacts(repo_root: str | Path | None = None) -> frozenset[str]:

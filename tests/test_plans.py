@@ -97,6 +97,9 @@ DECLARED_ARROW = (
     # tabulation and the per-user fold are Arrow group-maps by design —
     # the function-composition operator DataFrame algebra can't express
     "sequence_count_compiled",
+    # timed restart automaton: same slice-level tabulation, two-branch
+    # transfer functions (theta + hi/lo outcomes) — Arrow by design
+    "sequence_count_timed",
     # the ANN leg scores with the Arrow int64-matmul cosine kernel
     "hybrid_rrf_search",
 )

@@ -41,3 +41,12 @@ def test_every_registry_entry_has_a_probe_row():
     rows = _probe_rows()
     unprobed = sorted(set(REGISTRY) - set(rows))
     assert not unprobed, f"registry entries never scale-probed: {unprobed}"
+
+
+def test_no_probe_row_is_staler_than_its_code():
+    # a row's stamp commit must be >= the last commit touching the
+    # entry's function span (tools/probe_staleness.py; VERDICT r7 #6)
+    from tools.probe_staleness import stale_rows
+
+    bad = stale_rows()
+    assert not bad, f"{len(bad)} stale probe rows: {bad[:8]}"

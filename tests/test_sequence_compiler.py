@@ -208,3 +208,188 @@ def test_count_rejects_constrained_pattern(spark):
 
     with pytest.raises(ValueError, match="restart semantics"):
         _sequence_count_users(spark, "/root/testdata/sf0.001", "(?1)(?t<10)(?2)")
+
+
+# ---------------------------------------------------------------------------
+# sequence_count_timed: restart semantics with (?t<T) edges
+
+
+def test_timed_count_bound_bites(spark, tmp_path):
+    # same chain with and without the bound: u1's click comes 10 s after
+    # signup (bound <5 kills it); u2's comes 2 s after (bound holds).
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _sequence_count_timed_users,
+        _sequence_count_users,
+    )
+    from tests.test_behavioral import _write_events
+
+    S = 1_000_000
+    rows = [
+        (1, 0, 1, "signup"), (2, 10 * S, 1, "click"),
+        (3, 12 * S, 1, "purchase"),
+        (4, 0, 2, "signup"), (5, 2 * S, 2, "click"),
+        (6, 3 * S, 2, "purchase"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    untimed = {
+        r["user_id"]: r["seq_count"]
+        for r in _sequence_count_users(spark, sf, "(?1)(?2)(?3)").collect()
+    }
+    timed = {
+        r["user_id"]: r["seq_count"]
+        for r in _sequence_count_timed_users(
+            spark, sf, "(?1)(?t<5)(?2)(?3)"
+        ).collect()
+    }
+    assert untimed == {1: 1, 2: 1}
+    assert timed == {2: 1}  # the bound bites: u1 drops
+
+
+def test_timed_restart_reanchors_on_violating_event(spark, tmp_path):
+    # (?1)(?t<5)(?1) over s(0) s(100) s(103): the violating s(100)
+    # restarts the chain AND re-anchors (its condition == condition 1),
+    # so s(103) completes gap 3 < 5 -> count 1. A restart-without-
+    # re-anchor rule would consume s(100) at state 0 and count 0.
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _sequence_count_timed_users,
+    )
+    from tests.test_behavioral import _write_events
+
+    S = 1_000_000
+    rows = [
+        (1, 0, 1, "signup"), (2, 100 * S, 1, "signup"),
+        (3, 103 * S, 1, "signup"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {
+        r["user_id"]: r["seq_count"]
+        for r in _sequence_count_timed_users(
+            spark, sf, "(?1)(?t<5)(?1)"
+        ).collect()
+    }
+    assert got == {1: 1}
+
+
+def test_timed_no_reanchor_when_types_differ(spark, tmp_path):
+    # (?2)(?t<5)(?3) over c(0) c(100) p(102): c(100) is IGNORED (state 1
+    # expects purchase — only expected-condition events touch the
+    # automaton, the family's pinned scan rule), then p(102) violates
+    # the bound against t_prev=0 and restarts WITHOUT anchoring
+    # (purchase != condition 1) -> count 0. Pins the deviation from a
+    # backtracking matcher, which would pair c(100)->p(102).
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _sequence_count_timed_users,
+    )
+    from tests.test_behavioral import _write_events
+
+    S = 1_000_000
+    rows = [
+        (1, 0, 1, "click"), (2, 100 * S, 1, "click"),
+        (3, 102 * S, 1, "purchase"),
+        # u2 control: same shape, gap inside the bound
+        (4, 0, 2, "click"), (5, 3 * S, 2, "purchase"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {
+        r["user_id"]: r["seq_count"]
+        for r in _sequence_count_timed_users(
+            spark, sf, "(?2)(?t<5)(?3)"
+        ).collect()
+    }
+    assert got == {2: 1}
+
+
+def test_timed_composition_across_slices_matches_reference(spark, tmp_path):
+    # heavy user split across composite slices: the two-branch
+    # tabulate/fold must equal a direct python run of the timed restart
+    # automaton over the full ordered stream
+    import random
+
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _SEQ_CONDS,
+        _parse_seq_pattern,
+        _sequence_count_timed_users,
+    )
+    from tests.test_behavioral import _write_events
+
+    rng = random.Random(11)
+    types = ["signup", "click", "purchase", "view"]
+    S = 1_000_000
+    rows = [
+        (i + 1, i * rng.randint(1, 9) * S, 1, rng.choice(types))
+        for i in range(400)
+    ] + [
+        (1001, 5 * S, 2, "signup"), (1002, 6 * S, 2, "click"),
+        (1003, 7 * S, 2, "purchase"),
+    ]
+    rows.sort(key=lambda r: (r[2], r[1], r[0]))
+    sf = _write_events(tmp_path, rows)
+
+    def reference(pattern):
+        steps, edges = _parse_seq_pattern(pattern)
+        tl = [_SEQ_CONDS[i - 1] for i in steps]
+        out = {}
+        for uid in {r[2] for r in rows}:
+            evs = sorted(
+                [r for r in rows if r[2] == uid], key=lambda r: (r[1], r[0])
+            )
+            s = cnt = 0
+            tp = None
+            for r in evs:
+                if r[3] != tl[s]:
+                    continue
+                e = edges[s - 1] if s >= 1 else None
+                if e is None or r[1] - tp < e[1]:
+                    s, tp = s + 1, r[1]
+                    if s == len(tl):
+                        cnt += 1
+                        s = 0
+                elif tl[s] == tl[0]:
+                    s, tp = 1, r[1]
+                else:
+                    s = 0
+            if cnt:
+                out[uid] = cnt
+        return out
+
+    for pattern in (
+        "(?1)(?t<30)(?2)(?3)",
+        "(?2)(?t<60)(?3)",
+        "(?1)(?2)(?t<15)(?3)",
+        "(?2)(?t<25)(?2)",
+    ):
+        got = {
+            r["user_id"]: r["seq_count"]
+            for r in _sequence_count_timed_users(spark, sf, pattern).collect()
+        }
+        assert got == reference(pattern), pattern
+
+
+def test_timed_rejects_lower_bound(spark):
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _sequence_count_timed_users,
+    )
+
+    with pytest.raises(ValueError, match="t>T"):
+        _sequence_count_timed_users(
+            spark, "/root/testdata/sf0.001", "(?1)(?t>10)(?2)"
+        )
+
+
+def test_window_funnel_dispatcher_validates(spark):
+    # the four registry entries are thin wrappers over ONE dispatcher
+    # (operators/sessions.py window_funnel); bad inputs fail loudly
+    from clickhouse_github_log_importer_spark.operators.sessions import (
+        FUNNEL_MODES,
+        window_funnel,
+    )
+    from clickhouse_github_log_importer_spark.plans.queries import t
+
+    ev = t(spark, "/root/testdata/sf0.001", "events")
+    assert FUNNEL_MODES == (
+        "default", "inclusive", "strict_order", "strict_dedup"
+    )
+    with pytest.raises(ValueError, match="unknown mode"):
+        window_funnel(ev, 1000, mode="strictly_wrong")
+    with pytest.raises(ValueError, match="3 step conditions"):
+        window_funnel(ev, 1000, conds=("signup", "click"))

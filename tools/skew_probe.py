@@ -85,6 +85,12 @@ EVENT_QUERIES = [
     # r7 late: restart-automaton sequenceCount — the per-slice transition
     # tabulation must stay slice-bounded on the mega-user
     "sequence_count_compiled",
+    # r8: the two never-probed per-user shapes VERDICT r7 flagged, plus
+    # the timed restart automaton (two-branch tabulation is still one
+    # Arrow batch per slice — the mega-user must stay slice-bounded)
+    "sequence_next_node",
+    "hourly_sparkbar_by_type",
+    "sequence_count_timed",
 ]
 DOC_QUERIES = [
     "source_capped_sample",
@@ -161,8 +167,21 @@ def naive_capped_sample(spark, sf_dir, cap=40):
 
 
 def main():
+    import argparse
+
     from clickhouse_github_log_importer_spark.plans.queries import REGISTRY
     from clickhouse_github_log_importer_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--queries",
+        default="",
+        help="comma-separated subset to (re)probe; rows MERGE into the "
+        "existing SKEW_PROBE.json instead of replacing it (full runs "
+        "still rewrite the artifact)",
+    )
+    args = ap.parse_args()
+    subset = [q for q in args.queries.split(",") if q]
 
     spark = get_spark(
         app_name="skew_probe",
@@ -186,8 +205,12 @@ def main():
         return round(best, 3)
 
     report = {}
+    path = os.path.join(REPO, "SKEW_PROBE.json")
+    if subset and os.path.exists(path):
+        with open(path) as f:
+            report = json.load(f)
     loads = []
-    for name in EVENT_QUERIES + DOC_QUERIES:
+    for name in subset or (EVENT_QUERIES + DOC_QUERIES):
         fn = REGISTRY[name].spark
         # SYMMETRIC warm-up (r7): warming only the uniform side put the
         # skewed variant's first-ever execution (shuffle-file creation,
@@ -206,6 +229,18 @@ def main():
         }
         print(f"# {name}: uniform {uni}s skewed {skw}s ratio {report[name]['ratio']}")
 
+    if subset:
+        # stamp merged rows individually; the full-run _meta stays
+        for name in subset:
+            report[name]["commit"] = _git_head()
+            report[name]["probed_at"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            )
+        with open(path, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"# merged {len(subset)} rows into {path}")
+        return
+
     mat(naive_capped_sample(spark, SKEW))
     report["naive_single_window_cap(skewed)"] = {
         "skewed_s": best_of(lambda: naive_capped_sample(spark, SKEW)),
@@ -223,7 +258,6 @@ def main():
             "max": round(max(loads), 1) if loads else None,
         },
     }
-    path = os.path.join(REPO, "SKEW_PROBE.json")
     with open(path, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
     print(f"# wrote {path}")
