@@ -4412,6 +4412,133 @@ def welch_ttest_values(spark, sf_dir):
     )
 
 
+_ANOVA_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "anova_value_by_type",
+    f"""
+    WITH m AS (
+      SELECT
+        {", ".join(
+            f'''CAST(COUNT(*) FILTER (WHERE event_type = '{g}') AS BIGINT)
+               AS n_{g},
+             CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT))
+               FILTER (WHERE event_type = '{g}'), 0) AS BIGINT) AS s_{g},
+             CAST(COALESCE(SUM(CAST(round(value * 100) AS BIGINT)
+               * CAST(round(value * 100) AS BIGINT))
+               FILTER (WHERE event_type = '{g}'), 0)
+               AS DECIMAL(38, 0)) AS ss_{g}'''
+            for g in _ANOVA_TYPES
+        )}
+      FROM events
+      WHERE event_type IN {_ANOVA_TYPES!r}
+    ),
+    v AS (
+      SELECT
+        {" + ".join(f"n_{g}" for g in _ANOVA_TYPES)} AS n_total,
+        CAST({" + ".join(f"s_{g}" for g in _ANOVA_TYPES)} AS DOUBLE)
+          AS s_all,
+        CAST({" + ".join(f"ss_{g}" for g in _ANOVA_TYPES)} AS DOUBLE)
+          AS ss_all,
+        {" + ".join(
+            f"CAST(s_{g} AS DOUBLE) * CAST(s_{g} AS DOUBLE)"
+            f" / CAST(n_{g} AS DOUBLE)"
+            for g in _ANOVA_TYPES
+        )} AS grp
+      FROM m
+    )
+    SELECT CAST(5 AS BIGINT) AS n_groups,
+           CAST(n_total AS BIGINT) AS n_total,
+           CAST(4 AS BIGINT) AS df_between,
+           CAST(n_total - 5 AS BIGINT) AS df_within,
+           round((grp - s_all * s_all / n_total) / 4
+                 / ((ss_all - grp) / (n_total - 5)), 6) AS f_stat,
+           round((grp - s_all * s_all / n_total)
+                 / (ss_all - s_all * s_all / n_total), 6) AS eta_sq
+    FROM v
+    """,
+    tags=("agg", "stats", "clickhouse-parity"),
+    doc="ClickHouse analysisOfVariance (anova) analog: one-way ANOVA of "
+    "value-in-cents across the five event types — F statistic, degrees "
+    "of freedom, and eta-squared effect size. Same exact-integer-moment "
+    "design as the t-test family: per-group (n, S, SS) reduce as "
+    "BIGINT / decimal(38,0) in ONE map-side-combined conditional "
+    "aggregation (merge-order-proof — no float accumulation across "
+    "partitions), the single moment row converts to doubles in a FIXED "
+    "left-associated expression tree mirrored in the oracle "
+    "(alphabetical group order), so f_stat is bit-identical before the "
+    "6dp round. SSB = sum_g S_g^2/n_g - S^2/N, SSW = SS_tot - "
+    "sum_g S_g^2/n_g. The p-value (F CDF / incomplete beta) is "
+    "presentation, left to the caller exactly as ClickHouse returns "
+    "(f, df) pairs from its test functions.",
+)
+def anova_value_by_type(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*_ANOVA_TYPES)
+    )
+    y = F.round(F.col("value") * 100).cast("long")
+    aggs = []
+    for g in _ANOVA_TYPES:
+        hit = F.col("event_type") == g
+        aggs += [
+            F.count(F.when(hit, 1)).cast("long").alias(f"n_{g}"),
+            F.coalesce(F.sum(F.when(hit, y)), F.lit(0))
+            .cast("long")
+            .alias(f"s_{g}"),
+            F.coalesce(
+                F.sum(F.when(hit, (y * y).cast("decimal(38,0)"))),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias(f"ss_{g}"),
+        ]
+    m = ev.groupBy().agg(*aggs)
+
+    def _chain(cols):
+        out = cols[0]
+        for c in cols[1:]:
+            out = out + c
+        return out
+
+    n_total = _chain([F.col(f"n_{g}") for g in _ANOVA_TYPES])
+    s_all = _chain([F.col(f"s_{g}") for g in _ANOVA_TYPES]).cast("double")
+    ss_all = _chain([F.col(f"ss_{g}") for g in _ANOVA_TYPES]).cast("double")
+    grp = _chain(
+        [
+            F.col(f"s_{g}").cast("double")
+            * F.col(f"s_{g}").cast("double")
+            / F.col(f"n_{g}").cast("double")
+            for g in _ANOVA_TYPES
+        ]
+    )
+    v = m.select(
+        n_total.alias("n_total"),
+        s_all.alias("s_all"),
+        ss_all.alias("ss_all"),
+        grp.alias("grp"),
+    )
+    nt = F.col("n_total").cast("double")
+    return v.select(
+        F.lit(5).cast("long").alias("n_groups"),
+        F.col("n_total").cast("long").alias("n_total"),
+        F.lit(4).cast("long").alias("df_between"),
+        (F.col("n_total") - 5).cast("long").alias("df_within"),
+        F.round(
+            (F.col("grp") - F.col("s_all") * F.col("s_all") / nt)
+            / 4
+            / ((F.col("ss_all") - F.col("grp")) / (nt - 5)),
+            6,
+        ).alias("f_stat"),
+        F.round(
+            (F.col("grp") - F.col("s_all") * F.col("s_all") / nt)
+            / (
+                F.col("ss_all")
+                - F.col("s_all") * F.col("s_all") / nt
+            ),
+            6,
+        ).alias("eta_sq"),
+    )
+
+
 @register(
     "student_ttest_values",
     """

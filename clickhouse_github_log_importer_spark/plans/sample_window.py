@@ -161,9 +161,9 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "lang_id",
     "text_quality",
     "token_stats",
-    "user_sessions",
     # --- brand new this round: the driver must see them immediately ---
     "sequence_count_timed",
+    "anova_value_by_type",
 )
 
 

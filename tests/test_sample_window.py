@@ -59,7 +59,7 @@ def test_window_actually_rotates():
 
 
 # brand-new or plan-changed entries this round; grows as the round does
-NEW_THIS_ROUND: tuple[str, ...] = ("sequence_count_timed",)
+NEW_THIS_ROUND: tuple[str, ...] = ("sequence_count_timed", "anova_value_by_type")
 
 
 def test_ordered_names_stable_tail():
