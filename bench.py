@@ -287,14 +287,15 @@ def main() -> None:
     # the run until idle — this window records what actually happened
     loads = [os.getloadavg()[0]]
 
-    # median-of-3: ingest throughput rode single-shot variance across
-    # rounds (38.0k -> 27.9k rec/s on identical parser code — pure host
-    # noise); three runs, report the median with the spread alongside so
-    # the baseline comparison stops moving with one bad sample
+    # median-of-5 (r8, was 3): ingest throughput rode single-shot
+    # variance across rounds (38.0k -> 27.9k rec/s on identical parser
+    # code — pure host noise), and r7's median-of-3 still reported a
+    # 17.2% spread; five runs tighten the median's own variance at the
+    # cost of ~2 extra ingest passes, spread still reported alongside
     try:
-        runs = [bench_ingest(spark) for _ in range(3)]
+        runs = [bench_ingest(spark) for _ in range(5)]
         runs.sort(key=lambda r: r["ingest_records_per_sec"])
-        ingest = dict(runs[1])  # median run's records/sec + sec
+        ingest = dict(runs[2])  # median run's records/sec + sec
         lo = runs[0]["ingest_records_per_sec"]
         hi = runs[-1]["ingest_records_per_sec"]
         ingest["ingest_rps_runs"] = [r["ingest_records_per_sec"] for r in runs]

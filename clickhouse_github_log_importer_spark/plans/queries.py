@@ -7763,12 +7763,14 @@ def _parse_seq_pattern(pattern: str):
     """Compile a ClickHouse sequenceMatch pattern string into
     (steps, edges): ``steps`` is the 1-based condition index per chain
     position; ``edges[i]`` is the time constraint between step i+1 and
-    step i+2 — None (unconstrained), ('<', T_us) or ('>', T_us).
+    step i+2 — None (unconstrained) or (op, T_us) with op one of
+    '<', '>', '<=', '>=', '==' (the full ClickHouse operator set).
 
     Grammar (reference: ClickHouse docs/en/sql-reference/
     aggregate-functions/parametric-functions#sequencematch):
       (?N)      match condition N
-      (?t<T) / (?t>T)   gap (seconds) between the two adjacent steps
+      (?t<T) / (?t<=T) / (?t>T) / (?t>=T) / (?t==T)
+                gap (seconds) between the two adjacent steps
       .*        any number of intervening events — a NO-OP under the
                 existence semantics this family pins (an intervening
                 event never breaks a chain), accepted for parity
@@ -7778,7 +7780,7 @@ def _parse_seq_pattern(pattern: str):
     """
     import re
 
-    tok = re.compile(r"\(\?t([<>])(\d+)\)|\(\?(\d+)\)|(\.\*)")
+    tok = re.compile(r"\(\?t(<=|>=|==|<|>)(\d+)\)|\(\?(\d+)\)|(\.\*)")
     pos = 0
     steps: list[int] = []
     edges: list[tuple[str, int] | None] = []
@@ -7935,12 +7937,51 @@ def _sequence_match_users(
     cur = st.withColumn("_q", F.when(F.col("_step") == 1, F.col("_ts")))
     for k in range(2, len(steps) + 1):
         edge = edges[k - 2]
-        cur = _seq_running(cur, use_min=edge is not None and edge[0] == ">")
+        if edge is not None and edge[0] == "==":
+            # exact-offset edge: neither running extreme answers
+            # "exists a qualified predecessor at EXACTLY ts - T", so
+            # this edge is one distributed hash join of the step-k
+            # stream against the qualified step-(k-1) timestamps
+            # shifted by +T (distinct -> at most one hit per row, no
+            # duplication). T == 0 can never hold on a strictly
+            # increasing chain, pinned statically.
+            hits = (
+                cur.filter(
+                    (F.col("_step") == k - 1) & F.col("_q").isNotNull()
+                )
+                .select(
+                    F.col("user_id").alias("_u_eq"),
+                    (F.col("_ts") + F.lit(edge[1])).alias("_ts_eq"),
+                )
+                .distinct()
+            )
+            cur = cur.join(
+                hits,
+                (F.col("user_id") == F.col("_u_eq"))
+                & (F.col("_ts") == F.col("_ts_eq")),
+                "left",
+            )
+            ok = F.col("_ts_eq").isNotNull() & F.lit(edge[1] > 0)
+            cur = cur.withColumn(
+                "_q", F.when((F.col("_step") == k) & ok, F.col("_ts"))
+            ).drop("_u_eq", "_ts_eq")
+            continue
+        cur = _seq_running(
+            cur, use_min=edge is not None and edge[0] in (">", ">=")
+        )
         if edge is None:
             ok = F.col("_G").isNotNull()
         elif edge[0] == "<":
             ok = F.col("_G").isNotNull() & (
                 F.col("_ts") - F.col("_G") < F.lit(edge[1])
+            )
+        elif edge[0] == "<=":
+            ok = F.col("_G").isNotNull() & (
+                F.col("_ts") - F.col("_G") <= F.lit(edge[1])
+            )
+        elif edge[0] == ">=":
+            ok = F.col("_G").isNotNull() & (
+                F.col("_ts") - F.col("_G") >= F.lit(edge[1])
             )
         else:
             ok = F.col("_G").isNotNull() & (
@@ -7961,6 +8002,9 @@ _SEQ_COMPILED_PATTERNS = (
     "(?1)(?t>3600)(?2)(?3)",
     "(?1)(?2)(?t<7200)(?3)(?t>600)(?4)",
     "(?1).*(?3)(?t<86400)(?4)",
+    # r8: the inclusive operators join the compiled battery
+    "(?1)(?t<=7200)(?2)(?3)",
+    "(?2)(?t>=600)(?3)",
 )
 
 
@@ -7997,7 +8041,15 @@ _SEQ_COMPILED_PATTERNS = (
             ON s.user_id = p.user_id AND s.ti < p.ti),
     m4 AS (SELECT DISTINCT v.user_id FROM v JOIN q4p
            ON q4p.user_id = v.user_id AND q4p.ti < v.ti
-          AND v.ti - q4p.ti < 86400000000)
+          AND v.ti - q4p.ti < 86400000000),
+    q5c AS (SELECT DISTINCT c.user_id, c.ti FROM c JOIN s
+            ON s.user_id = c.user_id AND s.ti < c.ti
+           AND c.ti - s.ti <= 7200000000),
+    m5 AS (SELECT DISTINCT p.user_id FROM p JOIN q5c
+           ON q5c.user_id = p.user_id AND q5c.ti < p.ti),
+    m6 AS (SELECT DISTINCT p.user_id FROM p JOIN c
+           ON c.user_id = p.user_id AND c.ti < p.ti
+          AND p.ti - c.ti >= 600000000)
     SELECT pattern, n_matched FROM (
       SELECT '(?1)(?t<3600)(?2)(?3)' AS pattern,
              CAST((SELECT count(*) FROM m1) AS BIGINT) AS n_matched
@@ -8010,6 +8062,12 @@ _SEQ_COMPILED_PATTERNS = (
       UNION ALL
       SELECT '(?1).*(?3)(?t<86400)(?4)',
              CAST((SELECT count(*) FROM m4) AS BIGINT)
+      UNION ALL
+      SELECT '(?1)(?t<=7200)(?2)(?3)',
+             CAST((SELECT count(*) FROM m5) AS BIGINT)
+      UNION ALL
+      SELECT '(?2)(?t>=600)(?3)',
+             CAST((SELECT count(*) FROM m6) AS BIGINT)
     )
     """,
     tags=("funnel", "sequence", "clickhouse-parity", "segmented-scan"),
@@ -8021,8 +8079,10 @@ _SEQ_COMPILED_PATTERNS = (
     "upper-bounded edge takes the LATEST reachable predecessor "
     "(running max), a lower-bounded one the EARLIEST (running min), "
     "'.*' is a no-op under existence semantics. This entry drives the "
-    "compiler with FOUR distinct patterns, including a 4-step chain "
-    "with mixed (?t<)/(?t>) edges and a '.*' separator; the first two "
+    "compiler with SIX distinct patterns, including a 4-step chain "
+    "with mixed (?t<)/(?t>) edges, a '.*' separator, and the "
+    "inclusive (?t<=)/(?t>=) operators (r8; '==' is an exact-offset "
+    "hash join, pytest-pinned on a constructed fixture); the first two "
     "must agree with sequence_match_pattern / sequence_match_min_gap "
     "(pytest-pinned). K-1 passes for a K-step pattern, each one tiny "
     "carry on composite (user, ts) slices; after the first pass the "
@@ -8318,13 +8378,15 @@ def _sequence_count_timed_users(spark, sf_dir, pattern: str, conds=_SEQ_CONDS):
 
     steps, edges = _parse_seq_pattern(pattern)
     for e in edges:
-        if e is not None and e[0] == ">":
+        if e is not None and e[0] != "<":
             raise ValueError(
-                "sequence_count_timed: (?t>T) edges are not supported "
-                "under restart semantics (wait-until-satisfied makes "
-                "the slice transfer function O(slice)-piecewise in the "
-                "carried timestamp); the existence-semantics compiler "
-                "covers lower-bounded patterns"
+                f"sequence_count_timed: (?t{e[0]}T) edges are not "
+                "supported under restart semantics — only strict upper "
+                "bounds (?t<T) collapse the carried timestamp to one "
+                "threshold per slice ((?t>T)/(?t>=T) wait-until-"
+                "satisfied is O(slice)-piecewise; (?t<=T)/(?t==T) are "
+                "not pinned); the existence-semantics compiler covers "
+                "the other operators"
             )
     bad = [i for i in steps if i > len(conds)]
     if bad:

@@ -160,10 +160,10 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "lang_id",
     "text_quality",
-    "token_stats",
-    # --- brand new this round: the driver must see them immediately ---
+    # --- brand new / changed this round: driver must see immediately ---
     "sequence_count_timed",
     "anova_value_by_type",
+    "sequence_match_compiled",
 )
 
 

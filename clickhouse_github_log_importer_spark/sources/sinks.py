@@ -86,3 +86,42 @@ def foreach_partition_batched(
             send(batch)
 
     df.foreachPartition(run)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...] = ("user_id",),
+    n_buckets: int = 64,
+    sort_cols: tuple[str, ...] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed parquet table: pay the shuffle ONCE at write time.
+
+    Hive-style bucketing hashes ``bucket_cols`` into ``n_buckets`` files
+    per partition at write, and records the layout in the catalog — so
+    every later equi-join or aggregation on those keys reads the
+    co-located layout and SKIPS its exchange entirely (the plan gate in
+    tests/test_bucketed_sink.py pins: bucketed-vs-bucketed join and
+    groupBy on the bucket key run with ZERO Exchange nodes). This is the
+    storage-side answer to the brief's "pre-partitioning / bucketing for
+    co-located joins": at 100 TB the event log is written once and
+    joined/aggregated by user thousands of times — one write-side
+    shuffle amortized over every downstream query. The analog of
+    ClickHouse's sharding key, but per-table and catalog-enforced.
+
+    ``sort_cols`` additionally sorts within each bucket file (parquet
+    min/max pruning + sort-merge joins without a sort step).
+    ``n_buckets`` sizes ONE bucket file's share of a key's data: pick
+    buckets ~= cluster cores at the expected per-partition volume so a
+    bucket fits an executor's memory; both sides of a co-located join
+    must use the SAME bucket count (Spark refuses to elide the exchange
+    otherwise — it falls back to shuffling the mismatched side).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)

@@ -59,7 +59,11 @@ def test_window_actually_rotates():
 
 
 # brand-new or plan-changed entries this round; grows as the round does
-NEW_THIS_ROUND: tuple[str, ...] = ("sequence_count_timed", "anova_value_by_type")
+NEW_THIS_ROUND: tuple[str, ...] = (
+    "sequence_count_timed",
+    "anova_value_by_type",
+    "sequence_match_compiled",  # r8: two new patterns (<= / >= operators)
+)
 
 
 def test_ordered_names_stable_tail():

@@ -393,3 +393,229 @@ def test_window_funnel_dispatcher_validates(spark):
         window_funnel(ev, 1000, mode="strictly_wrong")
     with pytest.raises(ValueError, match="3 step conditions"):
         window_funnel(ev, 1000, conds=("signup", "click"))
+
+
+def test_inclusive_and_equal_edge_operators(spark, tmp_path):
+    # boundary semantics: gap EXACTLY T must fail '<' and '>', pass
+    # '<=', '>=' and '=='; '==' must also fail on T-1 and T+1 (the
+    # exact-offset hash join, not a range check)
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _sequence_match_users,
+    )
+    from tests.test_behavioral import _write_events
+
+    S = 1_000_000
+    rows = [
+        # u1: signup -> click exactly 100 s later
+        (1, 0, 1, "signup"), (2, 100 * S, 1, "click"),
+        # u2: 99 s gap; u3: 101 s gap
+        (3, 0, 2, "signup"), (4, 99 * S, 2, "click"),
+        (5, 0, 3, "signup"), (6, 101 * S, 3, "click"),
+    ]
+    sf = _write_events(tmp_path, rows)
+
+    def users(pat):
+        return {
+            r["user_id"]
+            for r in _sequence_match_users(spark, sf, pat).collect()
+        }
+
+    assert users("(?1)(?t<100)(?2)") == {2}
+    assert users("(?1)(?t<=100)(?2)") == {1, 2}
+    assert users("(?1)(?t>100)(?2)") == {3}
+    assert users("(?1)(?t>=100)(?2)") == {1, 3}
+    assert users("(?1)(?t==100)(?2)") == {1}
+    assert users("(?1)(?t==99)(?2)") == {2}
+
+
+def test_equal_edge_zero_gap_never_matches(spark, tmp_path):
+    # chains are strictly increasing in time, so (?t==0) is statically
+    # unsatisfiable — even with a signup and click at the SAME ts
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _sequence_match_users,
+    )
+    from tests.test_behavioral import _write_events
+
+    rows = [(1, 1000, 1, "signup"), (2, 1000, 1, "click")]
+    sf = _write_events(tmp_path, rows)
+    assert _sequence_match_users(spark, sf, "(?1)(?t==0)(?2)").count() == 0
+
+
+def test_equal_edge_composes_with_running_edges(spark, tmp_path):
+    # (?1)(?t==100)(?2)(?t<50)(?3): the == hash-join pass feeds the
+    # next running-extrema pass
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _sequence_match_users,
+    )
+    from tests.test_behavioral import _write_events
+
+    S = 1_000_000
+    rows = [
+        (1, 0, 1, "signup"), (2, 100 * S, 1, "click"),
+        (3, 120 * S, 1, "purchase"),  # 20 < 50 after the == click
+        (4, 0, 2, "signup"), (5, 100 * S, 2, "click"),
+        (6, 200 * S, 2, "purchase"),  # 100 not < 50
+        (7, 0, 3, "signup"), (8, 99 * S, 3, "click"),
+        (9, 120 * S, 3, "purchase"),  # == edge fails at 99
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {
+        r["user_id"]
+        for r in _sequence_match_users(
+            spark, sf, "(?1)(?t==100)(?2)(?t<50)(?3)"
+        ).collect()
+    }
+    assert got == {1}
+
+
+def test_timed_count_rejects_non_strict_upper_ops(spark):
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _sequence_count_timed_users,
+    )
+
+    for pat in ("(?1)(?t<=10)(?2)", "(?1)(?t>=10)(?2)", "(?1)(?t==10)(?2)"):
+        with pytest.raises(ValueError, match="not\\s+supported"):
+            _sequence_count_timed_users(spark, "/root/testdata/sf0.001", pat)
+
+
+def test_parse_fuzz_roundtrip_and_rejection():
+    # driver-side hypothesis fuzz: every generated VALID pattern parses
+    # to the expected (steps, edges); reconstruction round-trips; and
+    # the parser never crashes on garbage — it either parses fully or
+    # raises ValueError
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ops = ["<", ">", "<=", ">=", "=="]
+
+    @st.composite
+    def valid(draw):
+        k = draw(st.integers(min_value=1, max_value=6))
+        steps = [draw(st.integers(min_value=1, max_value=4)) for _ in range(k)]
+        edges = [
+            draw(
+                st.one_of(
+                    st.none(),
+                    st.tuples(
+                        st.sampled_from(ops),
+                        st.integers(min_value=0, max_value=10**6),
+                    ),
+                )
+            )
+            for _ in range(k - 1)
+        ]
+        dotstar = draw(st.lists(st.booleans(), min_size=k, max_size=k))
+        pat = ""
+        for i, s in enumerate(steps):
+            if i > 0 and edges[i - 1] is not None:
+                op, t = edges[i - 1]
+                pat += f"(?t{op}{t})"
+            if dotstar[i] and (i == 0 or edges[i - 1] is None):
+                pat += ".*"
+            pat += f"(?{s})"
+        return pat, steps, edges
+
+    @given(valid())
+    @settings(max_examples=300, deadline=None)
+    def roundtrip(v):
+        pat, steps, edges = v
+        got_steps, got_edges = _parse_seq_pattern(pat)
+        assert got_steps == steps
+        assert got_edges == [
+            None if e is None else (e[0], e[1] * 1_000_000) for e in edges
+        ]
+
+    roundtrip()
+
+    @given(st.text(alphabet="(?t<>=0123456789).*", max_size=24))
+    @settings(max_examples=500, deadline=None)
+    def never_crashes(s):
+        try:
+            steps, edges = _parse_seq_pattern(s)
+            assert steps  # full parse implies at least one step
+        except ValueError:
+            pass  # loud rejection is the contract
+
+    never_crashes()
+
+
+def test_compiler_matches_quadratic_dp_on_random_streams(spark, tmp_path):
+    # adversarial pin of the per-edge-optimal-predecessor construction
+    # (incl. the r8 <=/>=/== operators): an O(n^2 K) DP with NO
+    # predecessor-choice cleverness must agree on random streams
+    import random
+
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _SEQ_CONDS,
+        _sequence_match_users,
+    )
+    from tests.test_behavioral import _write_events
+
+    rng = random.Random(29)
+    S = 1_000_000
+    types = list(_SEQ_CONDS)
+    rows = []
+    eid = 0
+    for uid in range(1, 40):
+        t_us = 0
+        for _ in range(rng.randint(3, 18)):
+            eid += 1
+            t_us += rng.randint(1, 120) * S
+            rows.append((eid, t_us, uid, rng.choice(types)))
+    sf = _write_events(tmp_path, rows)
+
+    def dp_users(pattern):
+        steps, edges = _parse_seq_pattern(pattern)
+        tl = [_SEQ_CONDS[i - 1] for i in steps]
+        out = set()
+        for uid in {r[2] for r in rows}:
+            evs = sorted(
+                [r for r in rows if r[2] == uid], key=lambda r: (r[1], r[0])
+            )
+            n = len(evs)
+            q = [[False] * n for _ in range(len(tl))]
+            for i, r in enumerate(evs):
+                if r[3] == tl[0]:
+                    q[0][i] = True
+            for k in range(1, len(tl)):
+                op_t = edges[k - 1]
+                for i, r in enumerate(evs):
+                    if r[3] != tl[k]:
+                        continue
+                    for j in range(i):
+                        if not q[k - 1][j] or evs[j][1] >= r[1]:
+                            continue
+                        gap = r[1] - evs[j][1]
+                        if op_t is None:
+                            ok = True
+                        elif op_t[0] == "<":
+                            ok = gap < op_t[1]
+                        elif op_t[0] == "<=":
+                            ok = gap <= op_t[1]
+                        elif op_t[0] == ">":
+                            ok = gap > op_t[1]
+                        elif op_t[0] == ">=":
+                            ok = gap >= op_t[1]
+                        else:
+                            ok = gap == op_t[1]
+                        if ok:
+                            q[k][i] = True
+                            break
+                if not any(q[k]):
+                    break
+            if any(q[len(tl) - 1]):
+                out.add(uid)
+        return out
+
+    for pattern in (
+        "(?1)(?t<90)(?2)(?3)",
+        "(?1)(?t<=60)(?2)(?t>=30)(?3)",
+        "(?2)(?t>100)(?3)",
+        "(?1)(?t==60)(?2)",
+        "(?4)(?t<=120)(?2)(?t<200)(?3)",
+    ):
+        got = {
+            r["user_id"]
+            for r in _sequence_match_users(spark, sf, pattern).collect()
+        }
+        assert got == dp_users(pattern), pattern

@@ -91,6 +91,8 @@ EVENT_QUERIES = [
     "sequence_next_node",
     "hourly_sparkbar_by_type",
     "sequence_count_timed",
+    # r8: value/type-keyed, expected dead flat — pinned for the record
+    "anova_value_by_type",
 ]
 DOC_QUERIES = [
     "source_capped_sample",
