@@ -361,12 +361,18 @@ def funnel_chain_scan(
     return g.select(*out_cols)
 
 
-def _funnel_default(g: DataFrame, window_us: int) -> DataFrame:
+def _funnel_levels(g: DataFrame, window_us: int, k3: int, k1: int) -> DataFrame:
+    """Shared level predicate for the two chain-scan modes: a step3-kind
+    row (``k3``) at level 3 when its best chain start is inside the
+    window, a step2 (-1) at level 2 when its latest step1 is, a
+    step1-kind row (``k1``) at level 1. The scan's kind constants flip
+    between modes (default: step3 -2 / step1 0; inclusive: swapped), so
+    the kinds are parameters, not copies (review r8)."""
     lvl = (
         g.select(
             "user_id",
             F.when(
-                (F.col("_k") == -2)
+                (F.col("_k") == k3)
                 & (F.col("_gC") >= F.col("_ts") - window_us),
                 3,
             )
@@ -375,7 +381,7 @@ def _funnel_default(g: DataFrame, window_us: int) -> DataFrame:
                 & (F.col("_gS") >= F.col("_ts") - window_us),
                 2,
             )
-            .when(F.col("_k") == 0, 1)
+            .when(F.col("_k") == k1, 1)
             .alias("_lvl"),
         )
         .groupBy("user_id")
@@ -384,35 +390,6 @@ def _funnel_default(g: DataFrame, window_us: int) -> DataFrame:
             F.max((F.col("_lvl") == 1).cast("int")).alias("_l1"),
         )
         # only users with a step1 are in the funnel at all
-        .filter(F.col("_l1") == 1)
-        .select(F.col("_max_lvl").cast("long").alias("funnel_level"))
-    )
-    return lvl.groupBy("funnel_level").agg(F.count("*").alias("n_users"))
-
-
-def _funnel_inclusive(g: DataFrame, window_us: int) -> DataFrame:
-    # inclusive scan flips kinds: step1 -2 / step3 0
-    lvl = (
-        g.select(
-            "user_id",
-            F.when(
-                (F.col("_k") == 0)
-                & (F.col("_gC") >= F.col("_ts") - window_us),
-                3,
-            )
-            .when(
-                (F.col("_k") == -1)
-                & (F.col("_gS") >= F.col("_ts") - window_us),
-                2,
-            )
-            .when(F.col("_k") == -2, 1)
-            .alias("_lvl"),
-        )
-        .groupBy("user_id")
-        .agg(
-            F.max("_lvl").alias("_max_lvl"),
-            F.max((F.col("_lvl") == 1).cast("int")).alias("_l1"),
-        )
         .filter(F.col("_l1") == 1)
         .select(F.col("_max_lvl").cast("long").alias("funnel_level"))
     )
@@ -643,8 +620,8 @@ def window_funnel(
         return _funnel_strict_order(events, window_us, conds)
     if mode == "inclusive":
         g = funnel_chain_scan(events, inclusive=True, conds=conds)
-        return _funnel_inclusive(g, window_us)
+        return _funnel_levels(g, window_us, k3=0, k1=-2)
     g = funnel_chain_scan(events, conds=conds)
     if mode == "strict_dedup":
         return _funnel_strict_dedup(g, window_us)
-    return _funnel_default(g, window_us)
+    return _funnel_levels(g, window_us, k3=-2, k1=0)

@@ -44,3 +44,122 @@ def dedup_events_stream(
             keys
         )
     return events.dropDuplicates(keys)
+
+
+LWW_SCHEMA = (
+    "key string, version long, tiebreak long, n_dups long"
+)
+
+
+def lww_dedup_stream(
+    df: DataFrame,
+    key_col: str = "event_id",
+    version_col: str = "from_api",
+    tiebreak_col: str = "id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ReplacingMergeTree(ver) STREAMING twin: last-write-wins per key.
+
+    :func:`dedup_events_stream` keeps the FIRST arrival (the state
+    store's native semantics); this keeps the winning VERSION — per key
+    the row with max (version, tiebreak) — which is what
+    ReplacingMergeTree(ver) converges to and what the batch
+    ``operators/dedup_replacing.replacing_dedup`` picks. Emission is
+    exactly-once per quiet key: state holds only (best version, best
+    tiebreak, dup count) — O(keys-in-horizon) — with an EVENT-TIME
+    timeout one tick past the key's latest seen event, re-armed by each
+    new duplicate; when the watermark passes it, the winner row emits
+    (append mode) and the state evicts. Duplicates separated by more
+    than the horizon re-emit (one row per horizon window) — the same
+    eventual-dedup trade ReplacingMergeTree makes, with the batch
+    compaction path (pipeline.maybe_compact) as the catch-all, and the
+    reason the output carries identifiers (key, version, tiebreak)
+    rather than a full payload: the caller joins winners back to the
+    stored rows, so a re-emit is an idempotent upsert.
+
+    Batch frames take the stateless twin: one map-side-combinable
+    ``max(struct(version, tiebreak))`` + count per key — what lets the
+    test pin stream == batch == a direct python fold.
+
+    Output: (key string, version, tiebreak, n_dups).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    sel = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(version_col).cast("long").alias("_v"),
+        F.col(tiebreak_col).cast("long").alias("_tb"),
+        F.col(ts_col).alias("_ts"),
+    )
+
+    if not df.isStreaming:
+        best = F.max(F.struct(F.col("_v"), F.col("_tb"))).alias("_best")
+        return (
+            sel.groupBy("key")
+            .agg(best, F.count("*").cast("long").alias("n_dups"))
+            .select(
+                "key",
+                F.col("_best._v").alias("version"),
+                F.col("_best._tb").alias("tiebreak"),
+                "n_dups",
+            )
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            v, tb, n, _lm = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key": [key[0]],
+                    "version": [v],
+                    "tiebreak": [tb],
+                    "n_dups": [n],
+                }
+            )
+            return
+        v, tb, n, last_ms = (
+            state.get if state.exists else (None, None, 0, 0)
+        )
+        for pdf in pdfs:
+            for _v, _tb, _ts in zip(pdf["_v"], pdf["_tb"], pdf["_ts"]):
+                cand = (int(_v), int(_tb))
+                if v is None or cand > (v, tb):
+                    v, tb = cand
+                n += 1
+                # pandas Timestamp .value is ns since epoch -> ms
+                last_ms = max(last_ms, int(_ts.value) // 1_000_000)
+        state.update((v, tb, n, last_ms))
+        # fire when the watermark passes the key's LATEST EVER event:
+        # last_ms is carried in state, so an out-of-order in-horizon
+        # duplicate can only re-arm the timer FORWARD, never backward
+        # (review r8: a batch-local max let an older duplicate pull the
+        # timer before the key's newest event — premature emission and
+        # a duplicate winner row when another duplicate followed); must
+        # also be strictly past the CURRENT watermark or Spark rejects
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_ms + 1, wm_ms + 1))
+        yield pd.DataFrame(
+            {
+                "key": pd.Series([], dtype="str"),
+                "version": pd.Series([], dtype="int64"),
+                "tiebreak": pd.Series([], dtype="int64"),
+                "n_dups": pd.Series([], dtype="int64"),
+            }
+        )
+
+    return (
+        sel.withWatermark("_ts", watermark)
+        .groupBy("key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=LWW_SCHEMA,
+            stateStructType="v long, tb long, n long, lm long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -19,3 +19,43 @@ def git_head() -> str:
         ).stdout.strip() or "unknown"
     except Exception:  # noqa: BLE001 — stamp is best-effort metadata
         return "unknown"
+
+
+def wait_for_idle(threshold: float | None = None, timeout_s: int = 600,
+                  poll_s: int = 15) -> dict:
+    """Probe-side twin of bench.py's load gate (review r8: the 26-row
+    re-probe batch ran at load1 up to 22.8 and flipped one verdict —
+    the exact phantom the bench gate exists to stop, applied only to
+    bench). Blocks until load1 <= threshold and load5 <= 2x threshold;
+    proceeds after timeout_s with the failure recorded in the returned
+    telemetry. SPARK_GRAFT_BENCH_LOAD_GATE=0 skips (same env as bench —
+    one knob for "I know the host is busy")."""
+    import sys
+    import time
+
+    if os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "1") == "0":
+        return {"skipped": True}
+    if threshold is None:
+        env = os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX")
+        threshold = float(env) if env else max(2.0, 0.1 * (os.cpu_count() or 8))
+
+    def busy(l1: float, l5: float) -> bool:
+        return l1 > threshold or l5 > 2 * threshold
+
+    t0 = time.monotonic()
+    l1, l5 = os.getloadavg()[:2]
+    while busy(l1, l5) and time.monotonic() - t0 < timeout_s:
+        print(
+            f"# probe load gate: host busy (load1={l1:.1f}, load5={l5:.1f};"
+            f" need <= {threshold}/{2 * threshold}) — waiting...",
+            file=sys.stderr,
+        )
+        time.sleep(poll_s)
+        l1, l5 = os.getloadavg()[:2]
+    return {
+        "threshold": threshold,
+        "waited_s": round(time.monotonic() - t0),
+        "load1_when_proceeding": round(l1, 1),
+        "load5_when_proceeding": round(l5, 1),
+        "passed": not busy(l1, l5),
+    }

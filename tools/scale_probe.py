@@ -66,6 +66,7 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 from tools.probe_common import git_head as _git_head  # noqa: E402
+from tools.probe_common import wait_for_idle as _wait_for_idle  # noqa: E402
 PROBE_ROOT = os.path.join(REPO, ".scale_probe")
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -316,6 +317,9 @@ def run_probe(scales, names, repeats: int = 2) -> dict:
 
 
 def main():
+    gate = _wait_for_idle()
+    if gate.get("passed") is False:
+        print(f"# WARNING probe load gate timed out: {gate}")
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10,30")
     ap.add_argument("--queries", default="")

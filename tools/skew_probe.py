@@ -34,6 +34,7 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 from tools.probe_common import git_head as _git_head  # noqa: E402
+from tools.probe_common import wait_for_idle as _wait_for_idle  # noqa: E402
 
 X10 = os.path.join(REPO, ".scale_probe", "x10")
 SKEW = os.path.join(REPO, ".scale_probe", "x10_skew")
@@ -169,6 +170,9 @@ def naive_capped_sample(spark, sf_dir, cap=40):
 
 
 def main():
+    gate = _wait_for_idle()
+    if gate.get("passed") is False:
+        print(f"# WARNING probe load gate timed out: {gate}")
     import argparse
 
     from clickhouse_github_log_importer_spark.plans.queries import REGISTRY
