@@ -8844,6 +8844,419 @@ def score_calibration_curve(spark, sf_dir):
     )
 
 
+@register(
+    "sequence_next_node_matrix",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_type AS t0,
+             row_number() OVER w AS rn,
+             count(*) OVER (PARTITION BY user_id) AS cnt,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    m AS (
+      SELECT user_id, rn, cnt,
+             (t0 = 'click' AND t1 = 'view') AS fm,
+             COALESCE(t2, '(none)') AS nf,
+             (t2 = 'click' AND t1 = 'view') AS bm,
+             t0 AS nb
+      FROM r
+    ),
+    pu AS (
+      SELECT user_id,
+        COALESCE(max(CASE WHEN rn = 1 AND fm THEN nf END), '(none)')
+          AS forward_head,
+        COALESCE(arg_min(nf, rn) FILTER (WHERE fm), '(none)')
+          AS forward_first_match,
+        COALESCE(arg_max(nf, rn) FILTER (WHERE fm), '(none)')
+          AS forward_last_match,
+        COALESCE(max(CASE WHEN rn = cnt - 2 AND bm THEN nb END), '(none)')
+          AS backward_tail,
+        COALESCE(arg_max(nb, rn) FILTER (WHERE bm), '(none)')
+          AS backward_first_match,
+        COALESCE(arg_min(nb, rn) FILTER (WHERE bm), '(none)')
+          AS backward_last_match
+      FROM m GROUP BY user_id
+    ),
+    stacked AS (
+                SELECT 'forward_head' AS combo,
+                       forward_head AS next_event_type FROM pu
+      UNION ALL SELECT 'forward_first_match', forward_first_match FROM pu
+      UNION ALL SELECT 'forward_last_match', forward_last_match FROM pu
+      UNION ALL SELECT 'backward_tail', backward_tail FROM pu
+      UNION ALL SELECT 'backward_first_match', backward_first_match FROM pu
+      UNION ALL SELECT 'backward_last_match', backward_last_match FROM pu
+      UNION ALL SELECT 'forward_tail', '(none)' FROM pu
+      UNION ALL SELECT 'backward_head', '(none)' FROM pu
+    )
+    SELECT combo, next_event_type, CAST(count(*) AS BIGINT) AS n_users
+    FROM stacked GROUP BY 1, 2
+    """,
+    tags=("agg", "funnel", "clickhouse-parity"),
+    doc="ClickHouse sequenceNextNode FULL direction x base matrix "
+    "(forward/backward x head/tail/first_match/last_match) for the "
+    "adjacent chain click -> view, per-user flow distributions for all "
+    "eight combos in ONE pass. Semantics pinned (MIGRATION.md): events "
+    "ascend by (ts_us, event_id); head/tail anchor at the user's "
+    "first/last event IN TIME (base_condition = TRUE); the chain must "
+    "be ADJACENT (sequenceNextNode matches consecutive events, unlike "
+    "sequenceMatch); forward returns the event after the chain, "
+    "backward reads the chain toward the past from its anchor and "
+    "returns the event before it; a user with no match contributes "
+    "'(none)' — so forward_tail/backward_head, whose chains would run "
+    "off the timeline's edge, are all-'(none)' by construction and "
+    "emitted honestly. Scale shape: NO per-user window and NO join on "
+    "the event stream — the per-user index rides operators/"
+    "ranking.ranked (range-sliced, mega-user-safe) ONCE, then each row "
+    "broadcasts itself to its 3 anchor positions (rn, rn-1, rn-2) via "
+    "a 3-element explode and one (user_id, rn)-keyed pivot aligns "
+    "(t0, t1, t2) per anchor — a uniform composite-key shuffle (a "
+    "mega-user spreads across rn) replacing the naive formulation's "
+    "TWO shifted self-joins, which made Spark re-execute the whole "
+    "ranked subtree per branch (6 scans -> 1). Every per-user base "
+    "resolution is a map-side-combinable min/max(struct(rn, next)) "
+    "(rn is unique, so struct extrema ARE arg_min/arg_max). The "
+    "8-way stack explodes a literal array on per-user rows only. "
+    "Reference: the one-combo sequence_next_node entry pins "
+    "(forward, head) against an independent rank-1 oracle.",
+)
+def sequence_next_node_matrix(spark, sf_dir):
+    from ..operators.ranking import composite_slice_key, ranked
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+    r = ranked(
+        ev,
+        ["user_id"],
+        ["ts_us", "event_id"],
+        slice_col=composite_slice_key("user_id", "ts_us"),
+        broadcast_offsets=False,
+    ).select(
+        "user_id",
+        F.col("_rank").alias("rn"),
+        F.col("_n").alias("cnt"),
+        "event_type",
+    )
+    # adjacency without a join: each row contributes its type to anchor
+    # positions rn (as t0), rn-1 (as t1), rn-2 (as t2); one uniform
+    # (user_id, rn) pivot re-assembles the 3-wide view per anchor. The
+    # t0 contribution also carries (cnt) for the tail-anchor predicate.
+    contrib = r.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("rn").alias("arn"),
+                    F.lit(0).alias("off"),
+                    F.col("event_type").alias("tp"),
+                    F.col("cnt").alias("c"),
+                ),
+                F.struct(
+                    (F.col("rn") - 1).alias("arn"),
+                    F.lit(1).alias("off"),
+                    F.col("event_type").alias("tp"),
+                    F.col("cnt").alias("c"),
+                ),
+                F.struct(
+                    (F.col("rn") - 2).alias("arn"),
+                    F.lit(2).alias("off"),
+                    F.col("event_type").alias("tp"),
+                    F.col("cnt").alias("c"),
+                ),
+            )
+        ).alias("x"),
+    ).filter(F.col("x.arn") >= 1)
+    j = contrib.groupBy(
+        "user_id", F.col("x.arn").alias("rn")
+    ).agg(
+        F.max(F.when(F.col("x.off") == 0, F.col("x.tp"))).alias(
+            "event_type"
+        ),
+        F.max(F.when(F.col("x.off") == 0, F.col("x.c"))).alias("cnt"),
+        F.max(F.when(F.col("x.off") == 1, F.col("x.tp"))).alias("t1"),
+        F.max(F.when(F.col("x.off") == 2, F.col("x.tp"))).alias("t2"),
+    )
+
+    none = F.lit("(none)")
+    fwd = (F.col("event_type") == "click") & (F.col("t1") == "view")
+    nf = F.coalesce(F.col("t2"), none)
+    bwd = (F.col("t2") == "click") & (F.col("t1") == "view")
+    nb = F.col("event_type")  # anchor type, never null
+
+    def _arg(cond, val, minimum):
+        s = F.when(cond, F.struct(F.col("rn"), val.alias("v")))
+        agg = F.min(s) if minimum else F.max(s)
+        return F.coalesce(agg.getField("v"), none)
+
+    pu = j.groupBy("user_id").agg(
+        F.coalesce(
+            F.max(F.when((F.col("rn") == 1) & fwd, nf)), none
+        ).alias("forward_head"),
+        _arg(fwd, nf, True).alias("forward_first_match"),
+        _arg(fwd, nf, False).alias("forward_last_match"),
+        F.coalesce(
+            F.max(F.when((F.col("rn") == F.col("cnt") - 2) & bwd, nb)),
+            none,
+        ).alias("backward_tail"),
+        _arg(bwd, nb, False).alias("backward_first_match"),
+        _arg(bwd, nb, True).alias("backward_last_match"),
+    )
+    combos = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("combo"),
+                F.col(c).alias("next_event_type"),
+            )
+            for c in (
+                "forward_head",
+                "forward_first_match",
+                "forward_last_match",
+                "backward_tail",
+                "backward_first_match",
+                "backward_last_match",
+            )
+        ],
+        F.struct(
+            F.lit("forward_tail").alias("combo"),
+            none.alias("next_event_type"),
+        ),
+        F.struct(
+            F.lit("backward_head").alias("combo"),
+            none.alias("next_event_type"),
+        ),
+    )
+    return (
+        pu.select(F.explode(combos).alias("x"))
+        .groupBy(
+            F.col("x.combo").alias("combo"),
+            F.col("x.next_event_type").alias("next_event_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+@register(
+    "time_decayed_user_stats",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+    ),
+    a AS (SELECT user_id, max(ts_us) AS t_anchor FROM e GROUP BY user_id),
+    j AS (
+      SELECT e.user_id,
+             exp((e.ts_us - a.t_anchor) / 21600000000.0) AS w,
+             e.value
+      FROM e JOIN a USING (user_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(w), 6) AS decayed_count,
+           round(sum(w * value), 6) AS decayed_value_sum,
+           round(sum(w * value) / sum(w), 6) AS decayed_value_avg,
+           round(max(w * value), 6) AS decayed_value_max
+    FROM j GROUP BY user_id
+    """,
+    tags=("agg", "clickhouse-parity"),
+    doc="ClickHouse exponentialTimeDecayedCount/Sum/Avg/Max analogs, "
+    "evaluated per user at the user's LATEST event (tau = 6 h): weight "
+    "w = exp((t - T)/tau), decayed count = sum(w), decayed sum/avg/max "
+    "over w*value. ClickHouse exposes these as per-row window "
+    "functions; the anchored-at-T evaluation is the final row of that "
+    "running series and the per-user feature a training pipeline "
+    "stores. Scale shape: anchor pass is a map-side-combined max per "
+    "user; the join back is user-keyed (AQE reuses the exchange for "
+    "the second user-keyed aggregation); every decayed aggregate is a "
+    "plain combinable sum/max of per-row terms — no ordering, no "
+    "window, no per-user state. Engine portability: the weight's "
+    "expression tree (exact BIGINT microsecond difference, one double "
+    "divide, exp) is written identically in both engines and every "
+    "float aggregate rounds to 6 dp.",
+)
+def time_decayed_user_stats(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select("user_id", "ts_us", "value")
+    anchors = ev.groupBy("user_id").agg(F.max("ts_us").alias("t_anchor"))
+    j = ev.join(anchors, "user_id")
+    w = F.exp(
+        (F.col("ts_us") - F.col("t_anchor")).cast("double")
+        / F.lit(21600000000.0)
+    )
+    wv = w * F.col("value")
+    return j.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum(w), 6).alias("decayed_count"),
+        F.round(F.sum(wv), 6).alias("decayed_value_sum"),
+        F.round(F.sum(wv) / F.sum(w), 6).alias("decayed_value_avg"),
+        F.round(F.max(wv), 6).alias("decayed_value_max"),
+    )
+
+
+@register(
+    "session_window_counts",
+    """
+    WITH e AS (
+      SELECT user_id, ts, epoch_us(ts) AS ts_us, event_id, value
+      FROM events
+    ),
+    flag AS (
+      SELECT *,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    sess AS (
+      SELECT *,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flag
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    tags=("T1", "streaming", "window", "sessionization"),
+    doc="Native session windows (session_window(ts, 30 min) per user) — "
+    "the batch-mode check of the THIRD streaming window kind next to "
+    "tumbling/sliding (same code path runs under readStream with a "
+    "watermark; streaming.windows.sessionized_event_counts, "
+    "smoke-tested in test_streaming_windows.py). Merge boundary is "
+    "CLOSED: an event exactly gap after its predecessor EXTENDS the "
+    "session (oracle pins the strictly-greater-than-gap island "
+    "boundary; window end = last event + gap; pytest pins the "
+    "exactly-gap case). Batch shape: one (user, session) shuffle with "
+    "map-side "
+    "partials. The oracle derives identical sessions as "
+    "gaps-and-islands over (ts_us, event_id).",
+)
+def session_window_counts(spark, sf_dir):
+    from ..streaming.windows import sessionized_event_counts
+
+    return sessionized_event_counts(
+        t(spark, sf_dir, "events"), gap="30 minutes"
+    )
+
+
+def _irls_oracle(iters: int = 3) -> str:
+    """Unrolled-CTE DuckDB oracle for the IRLS logistic fit: iteration
+    i computes the 9 Gram/response moments under beta from bs{i-1}
+    (cross-joined 1-row frame) and solves the symmetric 3x3 by the SAME
+    cofactor formulas operators/logistic._solve3 runs on the driver —
+    one expression tree, two engines (the k-means unrolled-CTE
+    pattern)."""
+    parts = [
+        """
+    WITH e AS (
+      SELECT ((epoch_us(ts) // 3600000000) % 24) / 24.0 AS x1,
+             value / 100.0 AS x2,
+             CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+      FROM events
+    ),
+    bs0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    m{i} AS (
+      SELECT sum(w) AS s00, sum(w*x1) AS s01, sum(w*x2) AS s02,
+             sum(w*x1*x1) AS s11, sum(w*x1*x2) AS s12,
+             sum(w*x2*x2) AS s22,
+             sum(w*z) AS t0, sum(w*x1*z) AS t1, sum(w*x2*z) AS t2
+      FROM (
+        SELECT x1, x2, y,
+               p * (1.0 - p) AS w,
+               u + (y - p) / (p * (1.0 - p)) AS z
+        FROM (
+          SELECT x1, x2, y, u, 1.0 / (1.0 + exp(-u)) AS p
+          FROM (
+            SELECT e.x1, e.x2, e.y,
+                   b.b0 + b.b1 * e.x1 + b.b2 * e.x2 AS u
+            FROM e CROSS JOIN bs{i - 1} b
+          )
+        )
+      )
+    ),
+    c{i} AS (
+      SELECT *,
+             s11*s22 - s12*s12 AS c00, s02*s12 - s01*s22 AS c01,
+             s01*s12 - s02*s11 AS c02, s00*s22 - s02*s02 AS c11,
+             s02*s01 - s00*s12 AS c12, s00*s11 - s01*s01 AS c22
+      FROM m{i}
+    ),
+    bs{i} AS (
+      SELECT (c00*t0 + c01*t1 + c02*t2) / (s00*c00 + s01*c01 + s02*c02)
+               AS b0,
+             (c01*t0 + c11*t1 + c12*t2) / (s00*c00 + s01*c01 + s02*c02)
+               AS b1,
+             (c02*t0 + c12*t1 + c22*t2) / (s00*c00 + s01*c01 + s02*c02)
+               AS b2
+      FROM c{i}
+    )""")
+    parts.append(f""",
+    fs AS (
+      SELECT sum(-2.0 * (y * ln(p) + (1.0 - y) * ln(1.0 - p))) AS dev,
+             CAST(sum(CASE WHEN u > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS npos
+      FROM (
+        SELECT y, u, 1.0 / (1.0 + exp(-u)) AS p
+        FROM (
+          SELECT e.y, b.b0 + b.b1 * e.x1 + b.b2 * e.x2 AS u
+          FROM e CROSS JOIN bs{iters} b
+        )
+      )
+    )
+              SELECT 'intercept' AS term, round(b0, 6) AS coef FROM bs{iters}
+    UNION ALL SELECT 'hour_norm', round(b1, 6) FROM bs{iters}
+    UNION ALL SELECT 'value_norm', round(b2, 6) FROM bs{iters}
+    UNION ALL SELECT 'deviance', round(dev, 6) FROM fs
+    UNION ALL SELECT 'n_pos_pred', CAST(npos AS DOUBLE) FROM fs
+    """)
+    return "".join(parts)
+
+
+@register(
+    "logistic_regression_irls",
+    _irls_oracle(),
+    tags=("ml", "clickhouse-parity", "iterative"),
+    doc="stochasticLogisticRegression analog (ClickHouse "
+    "AggregateFunctionMLMethod): logit(P(type='purchase')) on "
+    "(1, hour-of-day/24, value/100), fit by THREE deterministic IRLS "
+    "(Newton) steps instead of CH's SGD — CH's state is update-order-"
+    "dependent (merge order changes the fit); IRLS needs only the 9 "
+    "Gram/response moments per step, every one a map-side-combinable "
+    "sum over one pruned projection, so each iteration is an "
+    "embarrassingly parallel scan and the only driver work is a "
+    "closed-form 3x3 cofactor solve between passes (operators/"
+    "logistic.py; the k-means execution contract). Output: final "
+    "coefficients + residual deviance (6 dp) + count predicted "
+    "positive at the 0.5 threshold. Betas are deliberately NOT "
+    "quantized between iterations (cross-engine round() can itself "
+    "diverge); the oracle unrolls all three iterations as CTEs with "
+    "identical expression trees, and the ~1e-10 order-of-summation "
+    "beta drift sits far inside the 6 dp bucket.",
+)
+def logistic_regression_irls(spark, sf_dir):
+    from ..operators.logistic import fit_result_long, irls_fit
+
+    ev = t(spark, sf_dir, "events").select(
+        (F.expr("(ts_us div 3600000000) % 24") / F.lit(24.0)).alias("x1"),
+        (F.col("value") / F.lit(100.0)).alias("x2"),
+        F.when(F.col("event_type") == "purchase", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    beta, dev, npos = irls_fit(ev)
+    return fit_result_long(spark, beta, dev, npos)
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401

@@ -108,7 +108,7 @@ SAMPLED_PRIOR: frozenset[str] = frozenset(
 # never-driver-sampled entries in registration order — after this
 # rotation every registry entry has >=1 driver-green row (zero evidence
 # debt) — + this round's brand-new entries, + re-verification filler:
-# the full TPC-H battery and the core text/dedup surface, whose last
+# the full TPC-H battery and core count/dedup entries, whose last
 # driver check was r1 (oldest evidence in the artifact set).
 DRIVER_SAMPLE: tuple[str, ...] = (
     "user_activity",
@@ -156,14 +156,14 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "events_per_type",
     "most_used_word",
     "missing_hours",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "lang_id",
-    "text_quality",
     # --- brand new / changed this round: driver must see immediately ---
     "sequence_count_timed",
     "anova_value_by_type",
     "sequence_match_compiled",
+    "sequence_next_node_matrix",
+    "time_decayed_user_stats",
+    "session_window_counts",
+    "logistic_regression_irls",
 )
 
 

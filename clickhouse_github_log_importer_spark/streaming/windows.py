@@ -56,3 +56,53 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def sessionized_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per (user, session) counts/value totals via native session windows
+    — the third window kind next to tumbling/sliding, same
+    batch/streaming dual path.
+
+    A session extends while consecutive events are <= ``gap`` apart —
+    the merge test is against the session's closed end (last event +
+    gap), so an event landing EXACTLY on the end extends the session
+    (pinned by test_streaming_windows.py; the oracle's island boundary
+    is strictly-greater-than-gap to match).
+    In streaming mode the state store merges overlapping per-key session
+    candidates at each micro-batch and the watermark closes sessions
+    (append mode emits a session only once it can no longer grow) — the
+    state is O(open sessions), bounded by the horizon. In batch mode the
+    same expression compiles to one (user, session) shuffle, which is
+    what the DuckDB gaps-and-islands oracle checks exactly
+    (``session_window_counts``). The batch sessionizer family
+    (operators/sessions.py) remains the mega-user-safe path for skewed
+    BATCH workloads; this is the streaming-native surface.
+    """
+    src = events
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.session_window(ts_col, gap).alias("win"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )

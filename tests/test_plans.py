@@ -1000,3 +1000,79 @@ def test_sequence_compiler_sliced_passes_no_self_join(spark, sf_smoke):
     low = p.lower().replace(" ", "")
     assert "hashpartitioning(_sl" in low
     assert "sortmergejoin" not in low
+
+
+def test_next_node_matrix_join_free_single_ranked_pass(spark, sf_smoke):
+    # (r8) sequenceNextNode matrix: the naive two-shifted-self-joins
+    # formulation made Spark re-execute the whole ranked subtree per
+    # branch (6 scans). The explode+pivot plan must hold at ONE ranked
+    # pass (2 scans: stream + ranked's tiny offsets subtree), adjacency
+    # via the uniform (user_id, rn) pivot exchange, no event-stream
+    # joins, no Python.
+    p = explain(spark, "sequence_next_node_matrix", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert tree(p).count("Scan parquet") == 2
+    low = p.lower().replace(" ", "")
+    assert "sortmergejoin" not in low
+    assert "hashpartitioning(user_id" in low  # pivot + per-user aggs
+
+
+def test_time_decayed_anchor_join_then_combinable_aggs(spark, sf_smoke):
+    # (r8) exponentialTimeDecayed* analogs: anchor pass is a user-keyed
+    # aggregate joined back (2 scans, pruned columns), every decayed
+    # aggregate a plain combinable sum/max — no window, no Python, no
+    # per-user state.
+    p = explain(spark, "time_decayed_user_stats", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert tree(p).count("Scan parquet") == 2
+    assert "Window" not in tree(p)
+    low = p.lower().replace(" ", "")
+    assert "hashpartitioning(user_id" in low
+
+
+def test_session_windows_single_shuffle_merging_sessions(spark, sf_smoke):
+    # (r8) native session windows: ONE (user, session) shuffle feeding
+    # Spark's MergingSessions operator — the same shape the streaming
+    # mode runs with a state store behind it.
+    p = explain(spark, "session_window_counts", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "MergingSessions" in tree(p)
+    assert tree(p).count("Scan parquet") == 1
+    assert tree(p).count("Exchange") == 1
+
+
+def test_irls_moments_pass_is_one_combinable_agg(spark, sf_smoke):
+    # (r8) logistic IRLS: each iteration's 9 Gram/response moments must
+    # be ONE scan + partial/final HashAggregate pair (map-side
+    # combinable, the only exchange moves 9 numbers) with the
+    # projection pruned to (ts, value, event_type) — no Python, no
+    # join, no window in the per-iteration plan.
+    from clickhouse_github_log_importer_spark.plans.queries import t as _t
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_smoke, "events").select(
+        (F.expr("(ts_us div 3600000000) % 24") / F.lit(24.0)).alias("x1"),
+        (F.col("value") / F.lit(100.0)).alias("x2"),
+        F.when(F.col("event_type") == "purchase", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    u = F.lit(0.1) + F.lit(0.2) * F.col("x1") + F.lit(0.3) * F.col("x2")
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-u))
+    w = p * (F.lit(1.0) - p)
+    df = ev.agg(F.sum(w).alias("s00"), F.sum(w * F.col("x1")).alias("s01"))
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p_str = qe.explainString(mode)
+    t_str = tree(p_str)
+    assert "ArrowEvalPython" not in p_str and "BatchEvalPython" not in p_str
+    assert "Join" not in t_str and "Window" not in t_str
+    assert t_str.count("Scan parquet") == 1
+    assert t_str.count("HashAggregate") == 2  # partial + final
+    read = next(l for l in p_str.splitlines() if "ReadSchema" in l)
+    assert "event_id" not in read and "user_id" not in read

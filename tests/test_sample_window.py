@@ -63,6 +63,10 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "sequence_count_timed",
     "anova_value_by_type",
     "sequence_match_compiled",  # r8: two new patterns (<= / >= operators)
+    "sequence_next_node_matrix",
+    "time_decayed_user_stats",
+    "session_window_counts",
+    "logistic_regression_irls",
 )
 
 

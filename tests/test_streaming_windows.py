@@ -71,6 +71,79 @@ def test_sliding_streaming_matches_batch(spark, src_dir):
     assert batch.agg({"n_events": "sum"}).collect()[0][0] == 2 * len(ROWS)
 
 
+# --- session windows (third window kind: gap-merged, watermark-closed) ----
+
+SESS_ROWS = [
+    # user 1: two sessions split by a >= 30 min gap
+    (1, "click", datetime(2022, 1, 1, 10, 0), 1.0),
+    (1, "view", datetime(2022, 1, 1, 10, 20), 2.0),
+    (1, "click", datetime(2022, 1, 1, 11, 30), 4.0),
+    # user 2: one session; second event exactly 29 min later (in-gap)
+    (2, "view", datetime(2022, 1, 1, 10, 0), 0.5),
+    (2, "view", datetime(2022, 1, 1, 10, 29), 0.25),
+    # user 3: boundary pin — exactly gap apart => still ONE session
+    (3, "click", datetime(2022, 1, 1, 10, 0), 1.0),
+    (3, "click", datetime(2022, 1, 1, 10, 30), 1.0),
+]
+FLUSH_ROW = [(9, "click", datetime(2022, 1, 2, 12, 0), 0.0)]
+
+
+def test_session_windows_batch_semantics(spark):
+    from clickhouse_github_log_importer_spark.streaming.windows import (
+        sessionized_event_counts,
+    )
+
+    df = spark.createDataFrame(SESS_ROWS, DDL)
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["total_value"]
+        )
+        for r in sessionized_event_counts(df, gap="30 minutes").collect()
+    }
+    assert got == {
+        (1, "2022-01-01 10:00:00"): ("2022-01-01 10:50:00", 2, 3.0),
+        (1, "2022-01-01 11:30:00"): ("2022-01-01 12:00:00", 1, 4.0),
+        (2, "2022-01-01 10:00:00"): ("2022-01-01 10:59:00", 2, 0.75),
+        # closed merge boundary: exactly-gap events DO merge
+        (3, "2022-01-01 10:00:00"): ("2022-01-01 11:00:00", 2, 2.0),
+    }
+
+
+def test_session_windows_streaming_matches_batch(spark, tmp_path):
+    from clickhouse_github_log_importer_spark.streaming.windows import (
+        sessionized_event_counts,
+    )
+
+    d = str(tmp_path / "sess_src")
+    spark.createDataFrame(SESS_ROWS, DDL).coalesce(1).write.parquet(d)
+    # later file advances the watermark past every real session's end
+    spark.createDataFrame(FLUSH_ROW, DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+
+    stream = (
+        spark.readStream.schema(DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = sessionized_event_counts(
+        stream, gap="30 minutes", watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("sess_smoke").filter("user_id != 9")
+    batch = sessionized_event_counts(
+        spark.createDataFrame(SESS_ROWS, DDL), gap="30 minutes"
+    )
+    assert _rows(streamed) == _rows(batch)
+
+
 # --- streaming dedup (bounded-state ReplacingMergeTree twin) --------------
 
 DUP_ROWS = [

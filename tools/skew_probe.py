@@ -94,6 +94,14 @@ EVENT_QUERIES = [
     "sequence_count_timed",
     # r8: value/type-keyed, expected dead flat — pinned for the record
     "anova_value_by_type",
+    # r8 batch 2: the join-free next-node matrix (ranked + (user, rn)
+    # pivot must spread the mega-user), the anchored time-decay aggs
+    # (user-keyed join + combinable sums), and the native session
+    # windows (co-located per user LIKE user_sessions_native — its
+    # ratio is pinned for the same contrast)
+    "sequence_next_node_matrix",
+    "time_decayed_user_stats",
+    "session_window_counts",
 ]
 DOC_QUERIES = [
     "source_capped_sample",
