@@ -9257,6 +9257,213 @@ def logistic_regression_irls(spark, sf_dir):
     return fit_result_long(spark, beta, dev, npos)
 
 
+@register(
+    "user_decayed_day_checkpoints",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value,
+             epoch_us(ts) // 86400000000 AS day_id
+      FROM events
+    ),
+    d AS (SELECT DISTINCT user_id, day_id FROM e),
+    j AS (
+      SELECT d.user_id, d.day_id,
+             sum(e.value
+                 * exp((e.ts_us - (d.day_id + 1) * 86400000000)
+                       / 604800000000.0)) AS s,
+             CAST(sum(CASE WHEN e.day_id = d.day_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_events_day
+      FROM d JOIN e
+        ON e.user_id = d.user_id AND e.day_id <= d.day_id
+      GROUP BY d.user_id, d.day_id
+    )
+    SELECT user_id, day_id, n_events_day, round(s, 6) AS decayed_sum
+    FROM j
+    """,
+    tags=("agg", "clickhouse-parity", "scan"),
+    doc="The RUNNING half of the exponentialTimeDecayedSum story "
+    "(time_decayed_user_stats is the final-row evaluation): per user, "
+    "the decayed value sum evaluated at EVERY day boundary (tau = 7 d) "
+    "— the per-row window-function semantics ClickHouse exposes, "
+    "checkpointed on the calendar. Scale shape: the decay recurrence "
+    "telescopes at day boundaries, so stage 1 is one ORDER-FREE "
+    "map-side-combinable aggregate per (user, day) (each event's "
+    "contribution anchors to its own day's end — no sequence scan, no "
+    "window over raw rows); stage 2 assembles checkpoints on the TINY "
+    "(user, day) table via a per-user sorted-array HOF whose O(days^2) "
+    "inner sum is bounded by the calendar span, never the row count "
+    "(the captured array is a plain post-agg column reference — the "
+    "cheap class under the HOF derived-array gate). Cross-engine "
+    "floats: Spark composes exp((t - D_j)/tau) * exp((D_j - D_k)/tau) "
+    "where the oracle computes exp((t - D_k)/tau) directly — "
+    "mathematically identical, drift ~1e-16/term, rounded 6 dp.",
+)
+def user_decayed_day_checkpoints(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    day = F.expr("ts_us div 86400000000")
+    b = ev.groupBy(
+        "user_id", day.alias("day_id")
+    ).agg(
+        F.sum(
+            F.col("value")
+            * F.exp(
+                (
+                    F.col("ts_us")
+                    - (day + F.lit(1)) * F.lit(86400000000)
+                ).cast("double")
+                / F.lit(604800000000.0)
+            )
+        ).alias("b"),
+        F.count("*").cast("long").alias("c"),
+    )
+    u = b.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("day_id").alias("d"),
+                    F.col("b"),
+                    F.col("c"),
+                )
+            )
+        ).alias("days")
+    )
+    days = F.col("days")
+    checkpoints = F.transform(
+        days,
+        lambda r, i: F.struct(
+            r["d"].alias("day_id"),
+            r["c"].alias("n_events_day"),
+            F.round(
+                F.aggregate(
+                    F.slice(days, F.lit(1), i + F.lit(1)),
+                    F.lit(0.0),
+                    lambda acc, s: acc
+                    + s["b"]
+                    * F.exp(
+                        (
+                            (s["d"] - r["d"]) * F.lit(86400000000)
+                        ).cast("double")
+                        / F.lit(604800000000.0)
+                    ),
+                ),
+                6,
+            ).alias("decayed_sum"),
+        ),
+    )
+    return u.select(
+        "user_id", F.explode(checkpoints).alias("x")
+    ).select(
+        "user_id",
+        F.col("x.day_id").alias("day_id"),
+        F.col("x.n_events_day").alias("n_events_day"),
+        F.col("x.decayed_sum").alias("decayed_sum"),
+    )
+
+
+@register(
+    "sequence_match_events",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, ts_us AS tp, event_id AS ep
+      FROM e WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts_us AS tc, event_id AS ec
+      FROM e WHERE event_type = 'click'
+    ),
+    q AS (
+      SELECT p.user_id, p.tp, p.ep, c.tc, c.ec,
+             row_number() OVER (
+               PARTITION BY p.user_id, p.tp, p.ep
+               ORDER BY c.tc DESC, c.ec DESC) AS rn
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND c.tc <= p.tp
+       AND p.tp - c.tc < 86400000000
+    ),
+    first_match AS (
+      SELECT user_id, tp, ep, tc, ec,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY tp, ep) AS prn
+      FROM q WHERE rn = 1
+    )
+    SELECT user_id,
+           tc AS click_ts_us, ec AS click_event_id,
+           tp AS purchase_ts_us, ep AS purchase_event_id
+    FROM first_match WHERE prn = 1
+    """,
+    tags=("agg", "funnel", "clickhouse-parity"),
+    doc="sequenceMatchEvents analog (ClickHouse 24.x): not just WHETHER "
+    "'(?1)(?t<86400)(?2)' (click then purchase within 24 h) matches, "
+    "but the WITNESS — per user, the first matching purchase and its "
+    "chain click (the LATEST click at-or-before it, the same "
+    "greedy-predecessor rule the compiled matcher uses; pinned "
+    "deterministic on ties by event_id; CH leaves the witness choice "
+    "unspecified). Scale shape: one range-sliced running-max pass "
+    "(operators/ranking.running_max_sliced) carries the latest "
+    "(click_ts, event_id) struct to every purchase row — query-row "
+    "idiom, click kind sorts before purchase at equal ts — then the "
+    "first match is a map-side-combinable min(struct) per user. No "
+    "self-join on the event stream (the oracle's join formulation is "
+    "DuckDB-only).",
+)
+def sequence_match_events(spark, sf_dir):
+    from ..operators.ranking import composite_slice_key, running_max_sliced
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    stream = ev.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("kind"),
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(
+                F.col("ts_us").alias("tc"),
+                F.col("event_id").alias("ec"),
+            ),
+        ).alias("click_val"),
+    )
+    r = running_max_sliced(
+        stream,
+        ["user_id"],
+        ["ts_us", "kind", "event_id"],
+        "click_val",
+        slice_col=composite_slice_key("user_id", "ts_us"),
+        broadcast_offsets=False,
+    )
+    qualified = r.filter(
+        (F.col("kind") == 1)
+        & F.col("_rmax").isNotNull()
+        & (F.col("ts_us") - F.col("_rmax.tc") < F.lit(86400000000))
+    )
+    first = qualified.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                F.col("ts_us").alias("tp"),
+                F.col("event_id").alias("ep"),
+                F.col("_rmax.tc").alias("tc"),
+                F.col("_rmax.ec").alias("ec"),
+            )
+        ).alias("m")
+    )
+    return first.select(
+        "user_id",
+        F.col("m.tc").alias("click_ts_us"),
+        F.col("m.ec").alias("click_event_id"),
+        F.col("m.tp").alias("purchase_ts_us"),
+        F.col("m.ep").alias("purchase_event_id"),
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401

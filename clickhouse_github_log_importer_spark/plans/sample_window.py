@@ -154,8 +154,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "q22_idle_customers",
     "record_count",
     "events_per_type",
-    "most_used_word",
-    "missing_hours",
     # --- brand new / changed this round: driver must see immediately ---
     "sequence_count_timed",
     "anova_value_by_type",
@@ -164,6 +162,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "time_decayed_user_stats",
     "session_window_counts",
     "logistic_regression_irls",
+    "user_decayed_day_checkpoints",
+    "sequence_match_events",
 )
 
 

@@ -1076,3 +1076,31 @@ def test_irls_moments_pass_is_one_combinable_agg(spark, sf_smoke):
     assert t_str.count("HashAggregate") == 2  # partial + final
     read = next(l for l in p_str.splitlines() if "ReadSchema" in l)
     assert "event_id" not in read and "user_id" not in read
+
+
+def test_decayed_checkpoints_order_free_stage1(spark, sf_smoke):
+    # (r8) running decay checkpoints: stage 1 must be a plain combinable
+    # (user, day) HashAggregate pair over ONE scan — the telescoping
+    # anchor trick means NO window, NO join, NO sort on raw rows; the
+    # only window-free sequential work happens on the tiny per-user
+    # day array (HOF, post-aggregation).
+    p = explain(spark, "user_decayed_day_checkpoints", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    t_str = tree(p)
+    assert "Join" not in t_str and "Window" not in t_str
+    assert t_str.count("Scan parquet") == 1
+    low = p.lower().replace(" ", "")
+    assert "hashpartitioning(user_id" in low
+
+
+def test_match_events_single_sliced_pass(spark, sf_smoke):
+    # (r8) witness extraction: one range-sliced running-max pass (no
+    # event-stream self-join — the oracle's join is DuckDB-only), the
+    # first-match reduction a combinable min(struct) per user.
+    p = explain(spark, "sequence_match_events", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    low = p.lower().replace(" ", "")
+    assert "hashpartitioning(_slice" in low
+    assert "sortmergejoin" not in low

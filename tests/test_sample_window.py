@@ -67,6 +67,8 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "time_decayed_user_stats",
     "session_window_counts",
     "logistic_regression_irls",
+    "user_decayed_day_checkpoints",
+    "sequence_match_events",
 )
 
 

@@ -94,7 +94,7 @@ EVENT_QUERIES = [
     "sequence_count_timed",
     # r8: value/type-keyed, expected dead flat — pinned for the record
     "anova_value_by_type",
-    # r8 batch 2: the join-free next-node matrix (ranked + (user, rn)
+    # r8 batch 2-3: the join-free next-node matrix (ranked + (user, rn)
     # pivot must spread the mega-user), the anchored time-decay aggs
     # (user-keyed join + combinable sums), and the native session
     # windows (co-located per user LIKE user_sessions_native — its
@@ -102,6 +102,11 @@ EVENT_QUERIES = [
     "sequence_next_node_matrix",
     "time_decayed_user_stats",
     "session_window_counts",
+    # r8 batch 3: day-telescoped decay checkpoints (order-free stage 1
+    # must shrug off the mega-user; the HOF tail is calendar-bounded)
+    # and the witness extractor (one sliced running-max pass)
+    "user_decayed_day_checkpoints",
+    "sequence_match_events",
 ]
 DOC_QUERIES = [
     "source_capped_sample",
