@@ -9464,6 +9464,165 @@ def sequence_match_events(spark, sf_dir):
     )
 
 
+@register(
+    "user_value_derivative_profile",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+      FROM events
+    ),
+    adj AS (
+      SELECT user_id,
+             ts_us - lag(ts_us) OVER w AS dt_us,
+             value - lag(value) OVER w AS dv
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    r AS (
+      SELECT user_id, dt_us, dv,
+             dv / (dt_us / 1000000.0) AS rate
+      FROM adj WHERE dt_us IS NOT NULL AND dt_us > 0
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_steps,
+           CAST(sum(CASE WHEN dv < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg_steps,
+           round(sum(CASE WHEN rate > 0 THEN rate ELSE 0.0 END), 6)
+             AS nonneg_rate_sum,
+           round(max(rate), 6) AS max_rate
+    FROM r GROUP BY user_id
+    """,
+    tags=("agg", "scan", "clickhouse-parity"),
+    doc="runningDifference / nonNegativeDerivative analogs, profiled "
+    "per user: over adjacent event pairs in (ts_us, event_id) order, "
+    "the per-second value rate dv/dt — count of steps, count of "
+    "negative differences (runningDifference sign profile), the "
+    "nonNegativeDerivative sum (negative rates clamp to 0, CH "
+    "semantics) and max rate, 6 dp. Same-timestamp pairs are excluded "
+    "(dt = 0 has no derivative; CH's runningDifference would emit an "
+    "inf rate — deviation pinned here and in MIGRATION.md). Scale "
+    "shape: adjacency reuses the join-free explode+pivot idiom from "
+    "sequence_next_node_matrix — each row contributes (value, ts) to "
+    "anchors rn and rn-1, ONE uniform (user_id, rn) pivot rebuilds "
+    "the pair, the profile is a plain combinable per-user aggregate; "
+    "no per-user window over raw rows anywhere (the lag formulation "
+    "is the DuckDB oracle's).",
+)
+def user_value_derivative_profile(spark, sf_dir):
+    from ..operators.ranking import composite_slice_key, ranked
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    r = ranked(
+        ev,
+        ["user_id"],
+        ["ts_us", "event_id"],
+        slice_col=composite_slice_key("user_id", "ts_us"),
+        broadcast_offsets=False,
+    ).select(
+        "user_id",
+        F.col("_rank").alias("rn"),
+        "ts_us",
+        "value",
+    )
+    contrib = r.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("rn").alias("arn"),
+                    F.lit(0).alias("off"),
+                    F.col("ts_us").alias("t"),
+                    F.col("value").alias("v"),
+                ),
+                F.struct(
+                    (F.col("rn") - 1).alias("arn"),
+                    F.lit(1).alias("off"),
+                    F.col("ts_us").alias("t"),
+                    F.col("value").alias("v"),
+                ),
+            )
+        ).alias("x"),
+    ).filter(F.col("x.arn") >= 1)
+    pairs = (
+        contrib.groupBy("user_id", F.col("x.arn").alias("rn"))
+        .agg(
+            F.max(F.when(F.col("x.off") == 0, F.col("x.t"))).alias("t0"),
+            F.max(F.when(F.col("x.off") == 0, F.col("x.v"))).alias("v0"),
+            F.max(F.when(F.col("x.off") == 1, F.col("x.t"))).alias("t1"),
+            F.max(F.when(F.col("x.off") == 1, F.col("x.v"))).alias("v1"),
+        )
+        .filter(
+            F.col("t1").isNotNull() & (F.col("t1") - F.col("t0") > 0)
+        )
+        .select(
+            "user_id",
+            (F.col("t1") - F.col("t0")).alias("dt_us"),
+            (F.col("v1") - F.col("v0")).alias("dv"),
+        )
+    )
+    rate = F.col("dv") / (F.col("dt_us") / F.lit(1000000.0))
+    return pairs.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_steps"),
+        F.sum(F.when(F.col("dv") < 0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_neg_steps"),
+        F.round(
+            F.sum(F.when(rate > 0, rate).otherwise(F.lit(0.0))), 6
+        ).alias("nonneg_rate_sum"),
+        F.round(F.max(rate), 6).alias("max_rate"),
+    )
+
+
+@register(
+    "top_k_weighted_types_daily",
+    """
+    WITH g AS (
+      SELECT epoch_us(ts) // 86400000000 AS day_id, event_type,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS weight_cents
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT day_id, event_type, weight_cents,
+             row_number() OVER (PARTITION BY day_id
+                                ORDER BY weight_cents DESC,
+                                         event_type ASC) AS rnk
+      FROM g
+    )
+    SELECT day_id, event_type, weight_cents, rnk
+    FROM r WHERE rnk <= 3
+    """,
+    tags=("agg", "topk", "clickhouse-parity"),
+    doc="topKWeighted analog: per day, the top 3 event types by exact "
+    "integer value weight (cents), ties pinned by type name — CH's "
+    "topKWeighted is an approximate sketch with unspecified tie "
+    "order; at bounded key cardinality the exact form is both cheaper "
+    "and deterministic. Scale shape: ONE map-side-combined "
+    "(day, type) aggregation reduces the stream to a "
+    "days x types control-plane-sized table; the ranking window runs "
+    "on THAT (domain-bounded, never raw rows), so the per-day "
+    "partition is at most |types| rows regardless of data scale.",
+)
+def top_k_weighted_types_daily(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.expr("ts_us div 86400000000").alias("day_id"), "event_type"
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("weight_cents")
+    )
+    w = Window.partitionBy("day_id").orderBy(
+        F.col("weight_cents").desc(), F.col("event_type").asc()
+    )
+    return (
+        g.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("day_id", "event_type", "weight_cents", "rnk")
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401

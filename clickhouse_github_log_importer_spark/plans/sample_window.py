@@ -152,8 +152,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "q20_excess_suppliers",
     "q21_sole_blame_suppliers",
     "q22_idle_customers",
-    "record_count",
-    "events_per_type",
     # --- brand new / changed this round: driver must see immediately ---
     "sequence_count_timed",
     "anova_value_by_type",
@@ -164,6 +162,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "logistic_regression_irls",
     "user_decayed_day_checkpoints",
     "sequence_match_events",
+    "user_value_derivative_profile",
+    "top_k_weighted_types_daily",
 )
 
 

@@ -1104,3 +1104,29 @@ def test_match_events_single_sliced_pass(spark, sf_smoke):
     low = p.lower().replace(" ", "")
     assert "hashpartitioning(_slice" in low
     assert "sortmergejoin" not in low
+
+
+def test_derivative_profile_join_free_adjacency(spark, sf_smoke):
+    # (r8) derivative scan: same contract as the next-node matrix —
+    # one ranked pass (2 scans incl. the offsets subtree), adjacency by
+    # the (user_id, rn) pivot, no event-stream join, no Python.
+    p = explain(spark, "user_value_derivative_profile", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert tree(p).count("Scan parquet") == 2
+    low = p.lower().replace(" ", "")
+    assert "sortmergejoin" not in low
+    assert "hashpartitioning(user_id" in low
+
+
+def test_topk_weighted_window_on_reduced_table(spark, sf_smoke):
+    # (r8) topKWeighted: the ranking window must sit ABOVE the (day,
+    # type) aggregation (domain-bounded partitions), never on raw rows
+    # — in the tree the Window's child chain contains the aggregate.
+    p = explain(spark, "top_k_weighted_types_daily", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    t_str = tree(p)
+    assert t_str.count("Scan parquet") == 1
+    win_pos = t_str.index("Window")
+    agg_pos = t_str.index("HashAggregate")
+    assert win_pos < agg_pos  # tree prints top-down: window above agg

@@ -69,6 +69,8 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "logistic_regression_irls",
     "user_decayed_day_checkpoints",
     "sequence_match_events",
+    "user_value_derivative_profile",
+    "top_k_weighted_types_daily",
 )
 
 

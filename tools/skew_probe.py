@@ -107,6 +107,9 @@ EVENT_QUERIES = [
     # and the witness extractor (one sliced running-max pass)
     "user_decayed_day_checkpoints",
     "sequence_match_events",
+    # r8 batch 4: derivative profile rides the same explode+pivot
+    # adjacency as the next-node matrix — same flatness expected
+    "user_value_derivative_profile",
 ]
 DOC_QUERIES = [
     "source_capped_sample",
