@@ -55,11 +55,26 @@ def _solve3(s, t):
     )
 
 
+#: |u| clamp before the sigmoid: at |u| >= ~38, p saturates to exactly
+#: 1.0 (or 0.0) in doubles, so w = p*(1-p) hits 0 — Spark's non-ANSI
+#: z = (y-p)/w silently NULLs rows out of the moments while DuckDB
+#: produces inf, and the deviance ln(1-p) RAISES in DuckDB (the repo's
+#: pinned ln(0) gotcha). Clamping at +-30 keeps every expression finite
+#: and IDENTICAL in both engines (p within [9.4e-14, 1 - 9.4e-14]);
+#: the oracle applies the same greatest/least tree.
+U_CLAMP = 30.0
+
+
+def _u(beta):
+    b0, b1, b2 = beta
+    raw = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+    return F.greatest(F.lit(-U_CLAMP), F.least(F.lit(U_CLAMP), raw))
+
+
 def _moments(ev: DataFrame, beta):
     """One IRLS pass: the 9 Gram/response moments under the current
     beta, as a single map-side-combinable aggregation."""
-    b0, b1, b2 = beta
-    u = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+    u = _u(beta)
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-u))
     w = p * (F.lit(1.0) - p)
     z = u + (F.col("y") - p) / w
@@ -90,8 +105,7 @@ def irls_fit(ev: DataFrame, iters: int = ITERS):
     for _ in range(iters):
         s, t_vec = _moments(ev, beta)
         beta = _solve3(s, t_vec)
-    b0, b1, b2 = beta
-    u = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+    u = _u(beta)
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-u))
     stats = ev.agg(
         F.sum(

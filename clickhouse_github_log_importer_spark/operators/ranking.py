@@ -385,3 +385,63 @@ def rank_profile(
         .withColumn("quartile" if ntile == 4 else f"ntile{ntile}", tile.cast("long"))
         .drop("_rank", "_n")
     )
+
+
+def anchored_pivot(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    payload_cols: list[str],
+    n_offsets: int,
+    slice_col: Column | None = None,
+    broadcast_offsets: bool = True,
+) -> DataFrame:
+    """Join-free adjacency: rank rows within ``part_cols`` by
+    ``order_cols`` (via :func:`ranked`), then give every anchor
+    position ``_rank`` the payloads of rows ``_rank .. _rank +
+    n_offsets - 1`` as columns ``<payload>_0 .. <payload>_{k}``, plus
+    ``_n`` (the partition row count).
+
+    The naive formulation — ``n_offsets - 1`` shifted self-joins on
+    (key, rank) — makes Spark re-execute the entire ranked subtree per
+    join branch (measured: 6 scans for a 3-wide window). Here each row
+    instead EXPLODES to its ``n_offsets`` anchor positions and ONE
+    uniform (key, rank) pivot re-assembles the window: one extra narrow
+    pass over n_offsets x rows, one exchange, no joins — and a mega-key
+    spreads across ranks instead of serializing. Anchors whose window
+    runs past the partition's end carry NULL payloads (callers filter
+    or coalesce). Used by ``sequence_next_node_matrix`` (3-wide type
+    window) and ``user_value_derivative_profile`` (adjacent pairs).
+    """
+    r = ranked(
+        df,
+        part_cols,
+        order_cols,
+        slice_col=slice_col,
+        broadcast_offsets=broadcast_offsets,
+    )
+    structs = [
+        F.struct(
+            (F.col("_rank") - k).alias("_arn"),
+            F.lit(k).alias("_off"),
+            *[F.col(c).alias(c) for c in payload_cols],
+            F.col("_n").alias("_cnt"),
+        )
+        for k in range(n_offsets)
+    ]
+    contrib = r.select(
+        *part_cols, F.explode(F.array(*structs)).alias("_x")
+    ).filter(F.col("_x._arn") >= 1)
+    aggs = [
+        F.max(F.when(F.col("_x._off") == k, F.col(f"_x.{c}"))).alias(
+            f"{c}_{k}"
+        )
+        for k in range(n_offsets)
+        for c in payload_cols
+    ]
+    aggs.append(
+        F.max(F.when(F.col("_x._off") == 0, F.col("_x._cnt"))).alias("_n")
+    )
+    return contrib.groupBy(
+        *part_cols, F.col("_x._arn").alias("_rank")
+    ).agg(*aggs)

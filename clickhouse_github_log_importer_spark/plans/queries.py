@@ -8926,61 +8926,29 @@ def score_calibration_curve(spark, sf_dir):
     "(forward, head) against an independent rank-1 oracle.",
 )
 def sequence_next_node_matrix(spark, sf_dir):
-    from ..operators.ranking import composite_slice_key, ranked
+    from ..operators.ranking import anchored_pivot, composite_slice_key
 
     ev = t(spark, sf_dir, "events").select(
         "user_id", "ts_us", "event_id", "event_type"
     )
-    r = ranked(
+    # adjacency without a join: anchored_pivot gives every anchor rn the
+    # types at rn / rn+1 / rn+2 plus the partition count (for the
+    # tail-anchor predicate) in ONE uniform (user_id, rn) pivot.
+    j = anchored_pivot(
         ev,
         ["user_id"],
         ["ts_us", "event_id"],
+        ["event_type"],
+        n_offsets=3,
         slice_col=composite_slice_key("user_id", "ts_us"),
         broadcast_offsets=False,
     ).select(
         "user_id",
         F.col("_rank").alias("rn"),
+        F.col("event_type_0").alias("event_type"),
         F.col("_n").alias("cnt"),
-        "event_type",
-    )
-    # adjacency without a join: each row contributes its type to anchor
-    # positions rn (as t0), rn-1 (as t1), rn-2 (as t2); one uniform
-    # (user_id, rn) pivot re-assembles the 3-wide view per anchor. The
-    # t0 contribution also carries (cnt) for the tail-anchor predicate.
-    contrib = r.select(
-        "user_id",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("rn").alias("arn"),
-                    F.lit(0).alias("off"),
-                    F.col("event_type").alias("tp"),
-                    F.col("cnt").alias("c"),
-                ),
-                F.struct(
-                    (F.col("rn") - 1).alias("arn"),
-                    F.lit(1).alias("off"),
-                    F.col("event_type").alias("tp"),
-                    F.col("cnt").alias("c"),
-                ),
-                F.struct(
-                    (F.col("rn") - 2).alias("arn"),
-                    F.lit(2).alias("off"),
-                    F.col("event_type").alias("tp"),
-                    F.col("cnt").alias("c"),
-                ),
-            )
-        ).alias("x"),
-    ).filter(F.col("x.arn") >= 1)
-    j = contrib.groupBy(
-        "user_id", F.col("x.arn").alias("rn")
-    ).agg(
-        F.max(F.when(F.col("x.off") == 0, F.col("x.tp"))).alias(
-            "event_type"
-        ),
-        F.max(F.when(F.col("x.off") == 0, F.col("x.c"))).alias("cnt"),
-        F.max(F.when(F.col("x.off") == 1, F.col("x.tp"))).alias("t1"),
-        F.max(F.when(F.col("x.off") == 2, F.col("x.tp"))).alias("t2"),
+        F.col("event_type_1").alias("t1"),
+        F.col("event_type_2").alias("t2"),
     )
 
     none = F.lit("(none)")
@@ -9178,7 +9146,8 @@ def _irls_oracle(iters: int = 3) -> str:
           SELECT x1, x2, y, u, 1.0 / (1.0 + exp(-u)) AS p
           FROM (
             SELECT e.x1, e.x2, e.y,
-                   b.b0 + b.b1 * e.x1 + b.b2 * e.x2 AS u
+                   greatest(-30.0, least(30.0,
+                     b.b0 + b.b1 * e.x1 + b.b2 * e.x2)) AS u
             FROM e CROSS JOIN bs{i - 1} b
           )
         )
@@ -9208,7 +9177,9 @@ def _irls_oracle(iters: int = 3) -> str:
       FROM (
         SELECT y, u, 1.0 / (1.0 + exp(-u)) AS p
         FROM (
-          SELECT e.y, b.b0 + b.b1 * e.x1 + b.b2 * e.x2 AS u
+          SELECT e.y,
+                 greatest(-30.0, least(30.0,
+                   b.b0 + b.b1 * e.x1 + b.b2 * e.x2)) AS u
           FROM e CROSS JOIN bs{iters} b
         )
       )
@@ -9241,7 +9212,11 @@ def _irls_oracle(iters: int = 3) -> str:
     "quantized between iterations (cross-engine round() can itself "
     "diverge); the oracle unrolls all three iterations as CTEs with "
     "identical expression trees, and the ~1e-10 order-of-summation "
-    "beta drift sits far inside the 6 dp bucket.",
+    "beta drift sits far inside the 6 dp bucket. The linear term "
+    "clamps at |u| <= 30 in BOTH engines before the sigmoid (review "
+    "r8): past ~38 p saturates to an exact 0/1 double, zeroing the "
+    "IRLS weight (silent NULL rows in Spark, inf in DuckDB) and "
+    "feeding ln(0) to the deviance — which RAISES in DuckDB.",
 )
 def logistic_regression_irls(spark, sf_dir):
     from ..operators.logistic import fit_result_long, irls_fit
@@ -9412,11 +9387,18 @@ def user_decayed_day_checkpoints(spark, sf_dir):
     "DuckDB-only).",
 )
 def sequence_match_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return match_events_frame(ev)
+
+
+def match_events_frame(ev, bound_us: int = 86400000000):
+    """Frame-level first-match witness extraction (the
+    sequence_match_events plan over any (user_id, ts_us, event_id,
+    event_type) frame) — shared with the streaming twin's
+    stream==batch equality pin (tests/test_sequence_stream.py)."""
     from ..operators.ranking import composite_slice_key, running_max_sliced
 
-    ev = t(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
-    )
+    ev = ev.filter(F.col("event_type").isin("click", "purchase"))
     stream = ev.select(
         "user_id",
         "ts_us",
@@ -9443,7 +9425,7 @@ def sequence_match_events(spark, sf_dir):
     qualified = r.filter(
         (F.col("kind") == 1)
         & F.col("_rmax").isNotNull()
-        & (F.col("ts_us") - F.col("_rmax.tc") < F.lit(86400000000))
+        & (F.col("ts_us") - F.col("_rmax.tc") < F.lit(bound_us))
     )
     first = qualified.groupBy("user_id").agg(
         F.min(
@@ -9508,57 +9490,29 @@ def sequence_match_events(spark, sf_dir):
     "is the DuckDB oracle's).",
 )
 def user_value_derivative_profile(spark, sf_dir):
-    from ..operators.ranking import composite_slice_key, ranked
+    from ..operators.ranking import anchored_pivot, composite_slice_key
 
     ev = t(spark, sf_dir, "events").select(
         "user_id", "ts_us", "event_id", "value"
     )
-    r = ranked(
-        ev,
-        ["user_id"],
-        ["ts_us", "event_id"],
-        slice_col=composite_slice_key("user_id", "ts_us"),
-        broadcast_offsets=False,
-    ).select(
-        "user_id",
-        F.col("_rank").alias("rn"),
-        "ts_us",
-        "value",
-    )
-    contrib = r.select(
-        "user_id",
-        F.explode(
-            F.array(
-                F.struct(
-                    F.col("rn").alias("arn"),
-                    F.lit(0).alias("off"),
-                    F.col("ts_us").alias("t"),
-                    F.col("value").alias("v"),
-                ),
-                F.struct(
-                    (F.col("rn") - 1).alias("arn"),
-                    F.lit(1).alias("off"),
-                    F.col("ts_us").alias("t"),
-                    F.col("value").alias("v"),
-                ),
-            )
-        ).alias("x"),
-    ).filter(F.col("x.arn") >= 1)
     pairs = (
-        contrib.groupBy("user_id", F.col("x.arn").alias("rn"))
-        .agg(
-            F.max(F.when(F.col("x.off") == 0, F.col("x.t"))).alias("t0"),
-            F.max(F.when(F.col("x.off") == 0, F.col("x.v"))).alias("v0"),
-            F.max(F.when(F.col("x.off") == 1, F.col("x.t"))).alias("t1"),
-            F.max(F.when(F.col("x.off") == 1, F.col("x.v"))).alias("v1"),
+        anchored_pivot(
+            ev,
+            ["user_id"],
+            ["ts_us", "event_id"],
+            ["ts_us", "value"],
+            n_offsets=2,
+            slice_col=composite_slice_key("user_id", "ts_us"),
+            broadcast_offsets=False,
         )
         .filter(
-            F.col("t1").isNotNull() & (F.col("t1") - F.col("t0") > 0)
+            F.col("ts_us_1").isNotNull()
+            & (F.col("ts_us_1") - F.col("ts_us_0") > 0)
         )
         .select(
             "user_id",
-            (F.col("t1") - F.col("t0")).alias("dt_us"),
-            (F.col("v1") - F.col("v0")).alias("dv"),
+            (F.col("ts_us_1") - F.col("ts_us_0")).alias("dt_us"),
+            (F.col("value_1") - F.col("value_0")).alias("dv"),
         )
     )
     rate = F.col("dv") / (F.col("dt_us") / F.lit(1000000.0))

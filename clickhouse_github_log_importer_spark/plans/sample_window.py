@@ -107,9 +107,11 @@ SAMPLED_PRIOR: frozenset[str] = frozenset(
 # round-8 window: user_activity (entry() names it) + the FINAL 16
 # never-driver-sampled entries in registration order — after this
 # rotation every registry entry has >=1 driver-green row (zero evidence
-# debt) — + this round's brand-new entries, + re-verification filler:
-# the full TPC-H battery and core count/dedup entries, whose last
-# driver check was r1 (oldest evidence in the artifact set).
+# debt) — + this round's brand-new entries (11 by round's end, which
+# displaced all non-TPC-H filler), + re-verification filler: the full
+# TPC-H battery, whose last driver check was r1 (oldest evidence in
+# the artifact set). The displaced count/dedup/text entries keep their
+# r1 evidence; they head the r9 re-verification queue.
 DRIVER_SAMPLE: tuple[str, ...] = (
     "user_activity",
     # --- never driver-sampled (the last 16), registration order ---

@@ -124,6 +124,14 @@ def match_events_streaming(
                 for tc, ec in clicks
                 if tc > wm_ms * 1000 - bound_us
             ]
+            if not keep and not undecided:
+                # nothing left that could ever match: evict immediately
+                # (review r8: re-storing an all-empty state re-armed a
+                # wm+1 timeout and burned one extra wakeup per
+                # unmatched user)
+                if state.exists:
+                    state.remove()
+                return
             state.update(
                 (
                     [c[0] for c in keep],

@@ -28,7 +28,7 @@ def test_solve3_matches_numpy():
 def _numpy_irls(X, y, iters=3):
     beta = np.zeros(3)
     for _ in range(iters):
-        u = X @ beta
+        u = np.clip(X @ beta, -30.0, 30.0)  # the engines' saturation clamp
         p = 1.0 / (1.0 + np.exp(-u))
         w = p * (1.0 - p)
         z = u + (y - p) / w
@@ -39,15 +39,15 @@ def _numpy_irls(X, y, iters=3):
 
 
 @pytest.fixture(scope="module")
-def design(spark):
+def design(spark, sf_smoke):
     import duckdb
 
     rows = duckdb.sql(
-        """
+        f"""
         SELECT ((epoch_us(ts) // 3600000000) % 24) / 24.0 AS x1,
                value / 100.0 AS x2,
                CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
-        FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+        FROM read_parquet('{sf_smoke}/events.parquet')
         """
     ).fetchnumpy()
     # duckdb returns masked arrays for nullable columns; densify
@@ -58,11 +58,11 @@ def design(spark):
     return X, y
 
 
-def test_distributed_irls_matches_dense_numpy(spark, design):
+def test_distributed_irls_matches_dense_numpy(spark, design, sf_smoke):
     from clickhouse_github_log_importer_spark.plans.queries import t as _t
     from pyspark.sql import functions as F
 
-    ev = _t(spark, "/root/testdata/sf0.001", "events").select(
+    ev = _t(spark, sf_smoke, "events").select(
         (F.expr("(ts_us div 3600000000) % 24") / F.lit(24.0)).alias("x1"),
         (F.col("value") / F.lit(100.0)).alias("x2"),
         F.when(F.col("event_type") == "purchase", F.lit(1.0))

@@ -116,3 +116,33 @@ def test_streaming_first_match_witnesses(spark, tmp_path):
         for r in spark.table("seq_match_smoke").collect()
     }
     assert got == EXPECT  # u3 absent (click after purchase), u9 flush-only
+
+
+def test_streaming_equals_batch_operator(spark):
+    # the README claim, executable: the streaming extractor over the
+    # full (in-watermark) event set equals the batch plan on the same
+    # rows — same bound, same tie rules, same witness choice. The flush
+    # user is excluded: its session is still open when the stream ends.
+    from pyspark.sql import functions as F
+
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        match_events_frame,
+    )
+
+    all_rows = F1 + F2 + F3
+    ev = spark.createDataFrame(all_rows, DDL).select(
+        "user_id",
+        (F.unix_timestamp("ts") * 1_000_000).alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    batch = {
+        r["user_id"]: (
+            r["click_ts_us"],
+            r["click_event_id"],
+            r["purchase_ts_us"],
+            r["purchase_event_id"],
+        )
+        for r in match_events_frame(ev, bound_us=BOUND_US).collect()
+    }
+    assert batch == EXPECT
