@@ -8377,14 +8377,21 @@ def _sequence_count_timed_users(spark, sf_dir, pattern: str, conds=_SEQ_CONDS):
     from ..operators.ranking import composite_slice_key, slice_expr
 
     steps, edges = _parse_seq_pattern(pattern)
+    # (?t<=T) reduces exactly to (?t<T+1us) on integer-microsecond
+    # timestamps (gap <= T_us <=> gap < T_us + 1) — pinned by the
+    # exact-gap boundary test in tests/test_sequence_compiler.py
+    edges = [
+        ("<", e[1] + 1) if e is not None and e[0] == "<=" else e
+        for e in edges
+    ]
     for e in edges:
         if e is not None and e[0] != "<":
             raise ValueError(
                 f"sequence_count_timed: (?t{e[0]}T) edges are not "
-                "supported under restart semantics — only strict upper "
-                "bounds (?t<T) collapse the carried timestamp to one "
-                "threshold per slice ((?t>T)/(?t>=T) wait-until-"
-                "satisfied is O(slice)-piecewise; (?t<=T)/(?t==T) are "
+                "supported under restart semantics — only upper "
+                "bounds (?t<T / ?t<=T) collapse the carried timestamp "
+                "to one threshold per slice ((?t>T)/(?t>=T) wait-"
+                "until-satisfied is O(slice)-piecewise; (?t==T) is "
                 "not pinned); the existence-semantics compiler covers "
                 "the other operators"
             )
@@ -8580,6 +8587,12 @@ def _seq_count_timed_oracle() -> str:
     selects = []
     for idx, pat in enumerate(_SEQ_COUNT_TIMED_PATTERNS):
         steps, edges = _parse_seq_pattern(pat)
+        # same integer-microsecond (?t<=T) -> (?t<T+1us) reduction as
+        # _sequence_count_timed_users (one rule, two engines)
+        edges = [
+            ("<", e[1] + 1) if e is not None and e[0] == "<=" else e
+            for e in edges
+        ]
         types = [_SEQ_CONDS[i - 1] for i in steps]
         k = len(types)
         expected = " ".join(
@@ -8658,7 +8671,9 @@ def _seq_count_timed_oracle() -> str:
     "whose inbound edge is (?t<T), an expected event either advances "
     "(strict gap < T) or — since an upper bound can never be satisfied "
     "later — RESTARTS the chain at that event, re-anchoring iff its "
-    "condition equals condition 1; (?t>T) raises (covered by the "
+    "condition equals condition 1; (?t<=T) reduces exactly to "
+    "(?t<T+1us) on integer-microsecond timestamps (boundary "
+    "pytest-pinned); (?t>T) raises (covered by the "
     "existence compiler). Distributes because the carried timestamp "
     "enters the per-slice transfer function ONLY through one threshold "
     "test at the slice's first expected event: the slice-level Arrow "

@@ -468,12 +468,14 @@ def test_equal_edge_composes_with_running_edges(spark, tmp_path):
     assert got == {1}
 
 
-def test_timed_count_rejects_non_strict_upper_ops(spark):
+def test_timed_count_rejects_lower_and_exact_ops(spark):
+    # (?t<=T) is supported since r8 (integer-us reduction to <T+1us);
+    # lower bounds and exact offsets still raise loudly
     from clickhouse_github_log_importer_spark.plans.queries import (
         _sequence_count_timed_users,
     )
 
-    for pat in ("(?1)(?t<=10)(?2)", "(?1)(?t>=10)(?2)", "(?1)(?t==10)(?2)"):
+    for pat in ("(?1)(?t>10)(?2)", "(?1)(?t>=10)(?2)", "(?1)(?t==10)(?2)"):
         with pytest.raises(ValueError, match="not\\s+supported"):
             _sequence_count_timed_users(spark, "/root/testdata/sf0.001", pat)
 
@@ -619,3 +621,31 @@ def test_compiler_matches_quadratic_dp_on_random_streams(spark, tmp_path):
             for r in _sequence_match_users(spark, sf, pattern).collect()
         }
         assert got == dp_users(pattern), pattern
+
+
+def test_timed_count_le_boundary_exact_gap(spark, tmp_path):
+    # gap EXACTLY T: (?t<T) restarts, (?t<=T) advances — the integer-
+    # microsecond reduction (<=T <=> <T+1us) at its only observable
+    # boundary. u2 control sits strictly inside both bounds.
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _sequence_count_timed_users,
+    )
+    from tests.test_behavioral import _write_events
+
+    S = 1_000_000
+    rows = [
+        (1, 0, 1, "signup"), (2, 5 * S, 1, "click"),   # gap exactly 5 s
+        (3, 0, 2, "signup"), (4, 2 * S, 2, "click"),
+    ]
+    sf = _write_events(tmp_path, rows)
+
+    def counts(pattern):
+        return {
+            r["user_id"]: r["seq_count"]
+            for r in _sequence_count_timed_users(
+                spark, sf, pattern
+            ).collect()
+        }
+
+    assert counts("(?1)(?t<5)(?2)") == {2: 1}
+    assert counts("(?1)(?t<=5)(?2)") == {1: 1, 2: 1}
