@@ -291,8 +291,13 @@ def main() -> None:
     # variance across rounds (38.0k -> 27.9k rec/s on identical parser
     # code — pure host noise), and r7's median-of-3 still reported a
     # 17.2% spread; five runs tighten the median's own variance at the
-    # cost of ~2 extra ingest passes, spread still reported alongside
+    # cost of ~2 extra ingest passes, spread still reported alongside.
+    # r9: one DISCARDED warm-up ingest first — the r8 canonical run's
+    # 38.5% spread vs the driver's 12.7% traced to run 1 being a cold
+    # outlier (gzip codec + shuffle paths first-touch); the query
+    # warm-up above doesn't exercise the ingest write path.
     try:
+        bench_ingest(spark, n_events=16_000, n_files=8)  # discarded
         runs = [bench_ingest(spark) for _ in range(5)]
         runs.sort(key=lambda r: r["ingest_records_per_sec"])
         ingest = dict(runs[2])  # median run's records/sec + sec

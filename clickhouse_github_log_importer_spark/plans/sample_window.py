@@ -32,10 +32,23 @@ from pathlib import Path
 
 _LOG = logging.getLogger(__name__)
 
-# union of CORRECTNESS_r01..r07 keys: entries with >=1 driver-green row
+# union of CORRECTNESS_r01..r08 keys: entries with >=1 driver-green row
 # (pinned against sampled_from_artifacts() by tests/test_sample_window.py)
 SAMPLED_PRIOR: frozenset[str] = frozenset(
     {
+        "anova_value_by_type", "bitmap_state_rollup",
+        "categorical_information_value", "feature_corr_matrix",
+        "gopher_rules_report", "hourly_series_decomposition",
+        "hourly_sparkbar_by_type", "lang_id_confusion",
+        "logistic_regression_irls", "score_auc", "score_calibration_curve",
+        "sequence_count_timed", "sequence_match_events",
+        "sequence_match_min_gap", "sequence_next_node",
+        "sequence_next_node_matrix", "session_window_counts",
+        "source_overlap_matrix", "tfidf_doc_keywords",
+        "time_decayed_user_stats", "top_k_weighted_types_daily",
+        "topk_state_rollup", "user_decayed_day_checkpoints",
+        "user_value_derivative_profile", "value_equidepth_histogram",
+        "window_funnel_strict_order",
         "ann_cosine_topk", "ann_ivf_lists", "ann_ivf_topk",
         "ann_ivfpq_recall_report", "ann_ivfpq_topk", "ann_lsh_buckets",
         "ann_lsh_topk", "ann_pq_code_histogram", "ann_pq_topk",
@@ -104,68 +117,69 @@ SAMPLED_PRIOR: frozenset[str] = frozenset(
     }
 )
 
-# round-8 window: user_activity (entry() names it) + the FINAL 16
-# never-driver-sampled entries in registration order — after this
-# rotation every registry entry has >=1 driver-green row (zero evidence
-# debt) — + this round's brand-new entries (11 by round's end, which
-# displaced all non-TPC-H filler), + re-verification filler: the full
-# TPC-H battery, whose last driver check was r1 (oldest evidence in
-# the artifact set). The displaced count/dedup/text entries keep their
-# r1 evidence; they head the r9 re-verification queue.
+# round-9 window: zero evidence debt was reached in r8, so from here on
+# the window is (a) user_activity (entry() names it), (b) every entry
+# that is brand-new or whose plan changed this round, (c) re-verification
+# filler ordered by OLDEST latest-green driver evidence: the 8 entries
+# the r8 rotation displaced (r1/r5 evidence, flagged by the r8 verdict
+# as the head of the r9 queue), then the rest of the r1 block, the r3
+# block, and the r5 block in registration order.
 DRIVER_SAMPLE: tuple[str, ...] = (
     "user_activity",
-    # --- never driver-sampled (the last 16), registration order ---
-    "sequence_next_node",
-    "window_funnel_strict_order",
-    "hourly_sparkbar_by_type",
-    "value_equidepth_histogram",
-    "categorical_information_value",
-    "bitmap_state_rollup",
-    "topk_state_rollup",
-    "hourly_series_decomposition",
-    "feature_corr_matrix",
-    "sequence_match_min_gap",
-    "score_auc",
-    "score_calibration_curve",
-    "tfidf_doc_keywords",
-    "gopher_rules_report",
-    "source_overlap_matrix",
-    "lang_id_confusion",
-    # --- re-verification filler: oldest driver evidence (r1) first ---
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_late_shipments",
-    "q5_region_volume",
-    "q6_forecast_revenue",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_share",
-    "q15_top_suppliers",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q20_excess_suppliers",
-    "q21_sole_blame_suppliers",
-    "q22_idle_customers",
     # --- brand new / changed this round: driver must see immediately ---
-    "sequence_count_timed",
-    "anova_value_by_type",
-    "sequence_match_compiled",
-    "sequence_next_node_matrix",
-    "time_decayed_user_stats",
-    "session_window_counts",
-    "logistic_regression_irls",
-    "user_decayed_day_checkpoints",
-    "sequence_match_events",
-    "user_value_derivative_profile",
-    "top_k_weighted_types_daily",
+    "sequence_count_timed",       # r9: (?t>T)/(?t>=T) lower-bound edges
+    "sequence_match_compiled",    # r9: shared sliced base across patterns
+    "sequence_match_adjacent",    # r9 NEW: ClickHouse-exact adjacency mode
+    "anova_value_by_type",        # r9: zero-group guard (ADVICE fix)
+    # --- re-verification: the 8 displaced entries the verdict queued ---
+    "record_count",
+    "events_per_type",
+    "most_used_word",
+    "missing_hours",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "lang_id",
+    "text_quality",
+    # --- rest of the r1-evidence block, registration order ---
+    "simhash_signatures",
+    "ngram_jaccard_pairs",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "ann_ivf_lists",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "embedding_near_dup_pairs",
+    "dedup_clusters",
+    "token_stats",
+    # --- r3-evidence block ---
+    "purchase_attribution",
+    "concurrent_event_counts",
+    "user_trailing_7d_value",
+    # --- r5-evidence block, registration order (fills to 50) ---
+    "most_used_prop",
+    "user_watermarks",
+    "dedup_last_write_wins",
+    "top_users_by_value",
+    "users_not_customers",
+    "hourly_event_counts",
+    "user_first_events",
+    "gap_filled_hourly_counts",
+    "daily_event_type_pivot",
+    "value_histogram",
+    "top_brands_by_revenue",
+    "nation_customer_rollup",
+    "order_priority_counts",
+    "top_events_per_user",
+    "daily_running_totals",
+    "region_nation_rollup",
+    "order_status_cube",
+    "platform_union_counts",
+    "user_sessions",
+    "value_percentiles",
+    "tumbling_window_counts",
+    "sliding_window_counts",
+    "heavy_hitters_cms",
+    "approx_distinct_users",
 )
 
 

@@ -1130,3 +1130,28 @@ def test_topk_weighted_window_on_reduced_table(spark, sf_smoke):
     win_pos = t_str.index("Window")
     agg_pos = t_str.index("HashAggregate")
     assert win_pos < agg_pos  # tree prints top-down: window above agg
+
+
+def test_sequence_compiled_shares_persisted_base(spark, sf_smoke):
+    # (r9) all six patterns compile against ONE persisted base stream
+    # (before: six re-executions of the scan+filter+quantile subtree,
+    # the suite's most expensive row); the pass structure is unchanged
+    # (the r7 gate above), this pins the sharing itself.
+    p = explain(spark, "sequence_match_compiled", sf_smoke)
+    low = p.lower().replace(" ", "")
+    assert "inmemorytablescan" in low
+
+
+def test_sequence_adjacent_ranked_dp_no_smj(spark, sf_smoke):
+    # (r9) CH-exact adjacency: position DP over the persisted ranked
+    # stream — adjacency edges are (user, rank+1) hash joins, bounded
+    # edges slice-keyed segmented passes; never a sort-merge join or a
+    # per-user serial sort, and no Python anywhere.
+    p = explain(spark, "sequence_match_adjacent", sf_smoke)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    low = p.lower().replace(" ", "")
+    assert "sortmergejoin" not in low
+    assert "hashpartitioning(_sl" in low  # bounded-edge segmented pass
+    assert "inmemorytablescan" in low  # shared ranked base persisted

@@ -45,8 +45,8 @@ def test_queries_surface_complete_and_window_first():
 
 
 def test_window_actually_rotates():
-    # r8 is the final rotation: EVERY entry with no driver-green row yet
-    # must be in this window — after it, cumulative coverage is 183/183.
+    # Zero evidence debt since r8: any entry with no driver-green row is
+    # by definition brand-new this round and MUST be in the window.
     never_sampled = [n for n in REGISTRY if n not in SAMPLED_PRIOR]
     missing = [n for n in never_sampled if n not in DRIVER_SAMPLE]
     assert not missing, missing
@@ -60,17 +60,10 @@ def test_window_actually_rotates():
 
 # brand-new or plan-changed entries this round; grows as the round does
 NEW_THIS_ROUND: tuple[str, ...] = (
-    "sequence_count_timed",
-    "anova_value_by_type",
-    "sequence_match_compiled",  # r8: two new patterns (<= / >= operators)
-    "sequence_next_node_matrix",
-    "time_decayed_user_stats",
-    "session_window_counts",
-    "logistic_regression_irls",
-    "user_decayed_day_checkpoints",
-    "sequence_match_events",
-    "user_value_derivative_profile",
-    "top_k_weighted_types_daily",
+    "sequence_count_timed",      # r9: (?t>T)/(?t>=T) lower-bound edges
+    "sequence_match_compiled",   # r9: shared sliced base across patterns
+    "sequence_match_adjacent",   # r9 NEW: ClickHouse-exact adjacency mode
+    "anova_value_by_type",       # r9: zero-group guard (ADVICE fix)
 )
 
 

@@ -339,11 +339,15 @@ def test_timed_composition_across_slices_matches_reference(spark, tmp_path):
                 if r[3] != tl[s]:
                     continue
                 e = edges[s - 1] if s >= 1 else None
-                if e is None or r[1] - tp < e[1]:
+                if e is None or (
+                    r[1] - tp < e[1] if e[0] == "<" else r[1] - tp > e[1]
+                ):
                     s, tp = s + 1, r[1]
                     if s == len(tl):
                         cnt += 1
                         s = 0
+                elif e[0] == ">":
+                    continue  # wait-until-satisfied: skip the event
                 elif tl[s] == tl[0]:
                     s, tp = 1, r[1]
                 else:
@@ -357,6 +361,12 @@ def test_timed_composition_across_slices_matches_reference(spark, tmp_path):
         "(?2)(?t<60)(?3)",
         "(?1)(?2)(?t<15)(?3)",
         "(?2)(?t<25)(?2)",
+        # r9: lower-bound (wait) edges, incl. mixed with '<' and a
+        # repeated-condition wait
+        "(?1)(?t>30)(?2)(?3)",
+        "(?2)(?t>40)(?3)",
+        "(?1)(?t>10)(?2)(?t<60)(?3)",
+        "(?2)(?t>25)(?2)",
     ):
         got = {
             r["user_id"]: r["seq_count"]
@@ -365,15 +375,68 @@ def test_timed_composition_across_slices_matches_reference(spark, tmp_path):
         assert got == reference(pattern), pattern
 
 
-def test_timed_rejects_lower_bound(spark):
+def test_timed_rejects_exact_offset_edge(spark):
+    # (?t<) and (r9) (?t>) are pinned; (?t==) is not — must raise, not
+    # silently mis-handle
     from clickhouse_github_log_importer_spark.plans.queries import (
         _sequence_count_timed_users,
     )
 
-    with pytest.raises(ValueError, match="t>T"):
+    with pytest.raises(ValueError, match="t==T"):
         _sequence_count_timed_users(
-            spark, "/root/testdata/sf0.001", "(?1)(?t>10)(?2)"
+            spark, "/root/testdata/sf0.001", "(?1)(?t==10)(?2)"
         )
+
+
+def test_timed_lower_bound_waits_not_restarts(spark, tmp_path):
+    # s(0) c(+1h) c(+13h), bound (?t>12h): the pinned rule SKIPS the
+    # too-early click and advances at the later one (count 1). A
+    # restart-at-violating-event rule (the '<' behavior) would kill the
+    # chain at c(+1h) and count 0 — this fixture discriminates.
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _sequence_count_timed_users,
+    )
+    from tests.test_behavioral import _write_events
+
+    S = 1_000_000
+    rows = [
+        (1, 0, 1, "signup"), (2, 3600 * S, 1, "click"),
+        (3, 13 * 3600 * S, 1, "click"),
+        # u2: only the too-early click -> waiting runs out, count 0
+        (4, 0, 2, "signup"), (5, 3600 * S, 2, "click"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {
+        r["user_id"]: r["seq_count"]
+        for r in _sequence_count_timed_users(
+            spark, sf, "(?1)(?t>43200)(?2)"
+        ).collect()
+    }
+    assert got == {1: 1}
+
+
+def test_timed_lower_bound_boundary_exact_gap(spark, tmp_path):
+    # gap EXACTLY T fails '>' and passes '>=' ((?t>=T) == (?t>T-1us)
+    # on integer micros)
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _sequence_count_timed_users,
+    )
+    from tests.test_behavioral import _write_events
+
+    S = 1_000_000
+    rows = [(1, 0, 1, "signup"), (2, 43200 * S, 1, "click")]
+    sf = _write_events(tmp_path, rows)
+    strict = _sequence_count_timed_users(
+        spark, sf, "(?1)(?t>43200)(?2)"
+    ).collect()
+    inclusive = {
+        r["user_id"]: r["seq_count"]
+        for r in _sequence_count_timed_users(
+            spark, sf, "(?1)(?t>=43200)(?2)"
+        ).collect()
+    }
+    assert strict == []
+    assert inclusive == {1: 1}
 
 
 def test_window_funnel_dispatcher_validates(spark):
@@ -466,18 +529,6 @@ def test_equal_edge_composes_with_running_edges(spark, tmp_path):
         ).collect()
     }
     assert got == {1}
-
-
-def test_timed_count_rejects_lower_and_exact_ops(spark):
-    # (?t<=T) is supported since r8 (integer-us reduction to <T+1us);
-    # lower bounds and exact offsets still raise loudly
-    from clickhouse_github_log_importer_spark.plans.queries import (
-        _sequence_count_timed_users,
-    )
-
-    for pat in ("(?1)(?t>10)(?2)", "(?1)(?t>=10)(?2)", "(?1)(?t==10)(?2)"):
-        with pytest.raises(ValueError, match="not\\s+supported"):
-            _sequence_count_timed_users(spark, "/root/testdata/sf0.001", pat)
 
 
 def test_parse_fuzz_roundtrip_and_rejection():

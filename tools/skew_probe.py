@@ -92,6 +92,9 @@ EVENT_QUERIES = [
     "sequence_next_node",
     "hourly_sparkbar_by_type",
     "sequence_count_timed",
+    # r9: adjacency DP — the ranked stream and (user, rank) joins must
+    # spread a mega-user across the hash space
+    "sequence_match_adjacent",
     # r8: value/type-keyed, expected dead flat — pinned for the record
     "anova_value_by_type",
     # r8 batch 2-3: the join-free next-node matrix (ranked + (user, rn)
