@@ -4437,23 +4437,28 @@ _ANOVA_TYPES = ("click", "error", "purchase", "signup", "view")
     v AS (
       SELECT
         {" + ".join(f"n_{g}" for g in _ANOVA_TYPES)} AS n_total,
+        {" + ".join(
+            f"CASE WHEN n_{g} > 0 THEN 1 ELSE 0 END"
+            for g in _ANOVA_TYPES
+        )} AS k,
         CAST({" + ".join(f"s_{g}" for g in _ANOVA_TYPES)} AS DOUBLE)
           AS s_all,
         CAST({" + ".join(f"ss_{g}" for g in _ANOVA_TYPES)} AS DOUBLE)
           AS ss_all,
         {" + ".join(
-            f"CAST(s_{g} AS DOUBLE) * CAST(s_{g} AS DOUBLE)"
-            f" / CAST(n_{g} AS DOUBLE)"
+            f"CASE WHEN n_{g} > 0 THEN CAST(s_{g} AS DOUBLE)"
+            f" * CAST(s_{g} AS DOUBLE) / CAST(n_{g} AS DOUBLE)"
+            f" ELSE CAST(0 AS DOUBLE) END"
             for g in _ANOVA_TYPES
         )} AS grp
       FROM m
     )
-    SELECT CAST(5 AS BIGINT) AS n_groups,
+    SELECT CAST(k AS BIGINT) AS n_groups,
            CAST(n_total AS BIGINT) AS n_total,
-           CAST(4 AS BIGINT) AS df_between,
-           CAST(n_total - 5 AS BIGINT) AS df_within,
-           round((grp - s_all * s_all / n_total) / 4
-                 / ((ss_all - grp) / (n_total - 5)), 6) AS f_stat,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n_total - k AS BIGINT) AS df_within,
+           round((grp - s_all * s_all / n_total) / CAST(k - 1 AS DOUBLE)
+                 / ((ss_all - grp) / (n_total - k)), 6) AS f_stat,
            round((grp - s_all * s_all / n_total)
                  / (ss_all - s_all * s_all / n_total), 6) AS eta_sq
     FROM v
@@ -4500,32 +4505,50 @@ def anova_value_by_type(spark, sf_dir):
         return out
 
     n_total = _chain([F.col(f"n_{g}") for g in _ANOVA_TYPES])
+    # r9 (ADVICE): an ABSENT group must not divide by zero — its
+    # S_g^2/n_g term guards to 0 and it drops out of k/df, the same
+    # CASE tree the oracle uses, so small fixtures missing a type stay
+    # engine-portable (with < 2 present groups F is undefined either
+    # way — documented contract)
+    k = _chain(
+        [
+            F.when(F.col(f"n_{g}") > 0, 1).otherwise(0)
+            for g in _ANOVA_TYPES
+        ]
+    )
     s_all = _chain([F.col(f"s_{g}") for g in _ANOVA_TYPES]).cast("double")
     ss_all = _chain([F.col(f"ss_{g}") for g in _ANOVA_TYPES]).cast("double")
     grp = _chain(
         [
-            F.col(f"s_{g}").cast("double")
-            * F.col(f"s_{g}").cast("double")
-            / F.col(f"n_{g}").cast("double")
+            F.when(
+                F.col(f"n_{g}") > 0,
+                F.col(f"s_{g}").cast("double")
+                * F.col(f"s_{g}").cast("double")
+                / F.col(f"n_{g}").cast("double"),
+            ).otherwise(F.lit(0).cast("double"))
             for g in _ANOVA_TYPES
         ]
     )
     v = m.select(
         n_total.alias("n_total"),
+        k.alias("k"),
         s_all.alias("s_all"),
         ss_all.alias("ss_all"),
         grp.alias("grp"),
     )
     nt = F.col("n_total").cast("double")
     return v.select(
-        F.lit(5).cast("long").alias("n_groups"),
+        F.col("k").cast("long").alias("n_groups"),
         F.col("n_total").cast("long").alias("n_total"),
-        F.lit(4).cast("long").alias("df_between"),
-        (F.col("n_total") - 5).cast("long").alias("df_within"),
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n_total") - F.col("k")).cast("long").alias("df_within"),
         F.round(
             (F.col("grp") - F.col("s_all") * F.col("s_all") / nt)
-            / 4
-            / ((F.col("ss_all") - F.col("grp")) / (nt - 5)),
+            / (F.col("k") - 1).cast("double")
+            / (
+                (F.col("ss_all") - F.col("grp"))
+                / (nt - F.col("k"))
+            ),
             6,
         ).alias("f_stat"),
         F.round(

@@ -156,8 +156,15 @@ def match_events_streaming(
                 state.remove()
             else:
                 # re-run the decision under the advanced watermark; if
-                # nothing resolves, the state re-arms its own timeout
-                decide_and_store(clicks, purchases, 0)
+                # nothing resolves, the state re-arms its own timeout.
+                # last_us = the key's latest kept event time (ADVICE
+                # r8: passing 0 made a click-only state compute wake =
+                # epoch+timeout, clamp to wm+1, and re-wake on EVERY
+                # watermark advance until the clicks aged out)
+                last_us = max(
+                    [tc for tc, _ in clicks] + [tp for tp, _ in purchases]
+                )
+                decide_and_store(clicks, purchases, last_us)
         else:
             clicks, purchases, done = unpack()
             last_us = 0

@@ -45,3 +45,39 @@ def test_anova_matches_direct_python(spark, tmp_path):
     assert got["df_within"] == n - 5
     assert abs(got["f_stat"] - round(f, 6)) < 1e-9
     assert abs(got["eta_sq"] - round(eta, 6)) < 1e-9
+
+
+def test_anova_absent_group_drops_out(spark, tmp_path):
+    # r9 (ADVICE fix): a dataset missing one of the five types must not
+    # divide by zero — the absent group's S^2/n term guards to 0 and k
+    # shrinks, in BOTH engines (oracle checked via compare at the
+    # registry gate; here the direct math with k=3)
+    from clickhouse_github_log_importer_spark.plans.queries import REGISTRY
+    from tests.test_behavioral import _write_events
+
+    groups = {
+        "click": [0.10, 0.20, 0.30, 0.40],
+        "purchase": [0.90, 0.95, 1.00],
+        "view": [0.55, 0.45],
+    }
+    rows = []
+    eid = 0
+    for g, vals in groups.items():
+        for v in vals:
+            eid += 1
+            rows.append((eid, eid * 1000, eid, g, v))
+    sf = _write_events(tmp_path, rows)
+    got = REGISTRY["anova_value_by_type"].spark(spark, sf).first()
+
+    cents = {g: [round(v * 100) for v in vals] for g, vals in groups.items()}
+    n = sum(len(c) for c in cents.values())
+    s = sum(sum(c) for c in cents.values())
+    ss = sum(x * x for c in cents.values() for x in c)
+    grp = sum(sum(c) ** 2 / len(c) for c in cents.values())
+    k = 3
+    f = ((grp - s * s / n) / (k - 1)) / ((ss - grp) / (n - k))
+
+    assert got["n_groups"] == k
+    assert got["df_between"] == k - 1
+    assert got["df_within"] == n - k
+    assert abs(got["f_stat"] - round(f, 6)) < 1e-9

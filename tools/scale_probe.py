@@ -317,9 +317,8 @@ def run_probe(scales, names, repeats: int = 2) -> dict:
 
 
 def main():
-    gate = _wait_for_idle()
-    if gate.get("passed") is False:
-        print(f"# WARNING probe load gate timed out: {gate}")
+    # parse FIRST: --help / bad flags must answer immediately, not
+    # block behind the (up to 600 s) load gate on a busy host
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,10,30")
     ap.add_argument("--queries", default="")
@@ -342,6 +341,9 @@ def main():
                 if n not in names:
                     names.append(n)
 
+    gate = _wait_for_idle()
+    if gate.get("passed") is False:
+        print(f"# WARNING probe load gate timed out: {gate}")
     out = run_probe(scales, names, repeats=args.repeats)
     path = os.path.join(REPO, "SCALE_PROBE.json")
     # merge: re-probing a subset (e.g. after a plan fix) refreshes only
