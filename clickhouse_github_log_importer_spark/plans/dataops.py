@@ -3034,3 +3034,235 @@ def lang_id_confusion(spark, sf_dir):
             "frac"
         ),
     )
+
+
+# =====================================================================
+# PCA over embeddings (Gram pass + unrolled power iteration)
+# =====================================================================
+
+PCA_DIMS = 64
+PCA_COMPONENTS = 3
+
+
+def _pca_cells_cte() -> str:
+    """Shared oracle CTE: exact-integer scaled covariance cells over
+    the quantized embeddings (same _QUANT milli-unit rule as the ANN
+    family). cov = N*S_ij - S_i*S_j stays integer, so the covariance
+    entry hashes bit-identically with zero float drift."""
+    return f"""
+    q AS MATERIALIZED (SELECT {_QUANT} AS q FROM embeddings),
+    pdims AS (SELECT unnest(range(1, {PCA_DIMS + 1})) AS i),
+    cells AS MATERIALIZED (
+      SELECT di.i AS i, dj.i AS j,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(q.q[di.i] AS HUGEINT) * q.q[dj.i]) AS HUGEINT)
+               AS s_ij,
+             CAST(sum(q.q[di.i]) AS HUGEINT) AS s_i,
+             CAST(sum(q.q[dj.i]) AS HUGEINT) AS s_j
+      FROM q, pdims di, pdims dj
+      WHERE di.i <= dj.i
+      GROUP BY di.i, dj.i
+    )"""
+
+
+@register(
+    "embedding_covariance",
+    f"""
+    WITH {_pca_cells_cte()}
+    SELECT i, j, n, CAST(n * s_ij - s_i * s_j AS BIGINT) AS cov
+    FROM cells
+    """,
+    tags=("embeddings", "pca", "linear-algebra"),
+    doc="Scaled covariance of the quantized embedding column: "
+    "upper-triangle cells (i <= j, 1-based) with the EXACT integer "
+    "cov = N*sum(q_i q_j) - sum(q_i)*sum(q_j) (real covariance = "
+    "cov / N^2 / 1e6) — the moment pass PCA, whitening, and Mahalanobis "
+    "scoring all start from. One Arrow-batched numpy Gram kernel per "
+    "partition batch (operators/pca.py::covariance_cells; quantization "
+    "happens JVM-side via the repo-wide similarity.quantized rule so "
+    "both engines round identically), merged by a map-side-combinable "
+    "groupBy over d(d+1)/2 = 2080 cells — control-plane-sized output "
+    "regardless of row count, the classic tree-reduce. Integer range "
+    "documented: safe to ~1e16 rows at |x| <= 3 before int64 overflow.",
+)
+def embedding_covariance(spark, sf_dir):
+    from ..operators import pca as P
+
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    return P.covariance_cells(emb, PCA_DIMS)
+
+
+def _pca_power_oracle_parts(k: int = PCA_COMPONENTS, iters: int = 8):
+    """Unrolled power iteration + Hotelling deflation as plain SQL —
+    the IRLS trick applied to eigenvectors: a FIXED number of steps
+    from a FIXED start vector is just arithmetic both engines can run
+    identically; convergence is not assumed, agreement is."""
+    ctes = [
+        f"""
+    c0 AS MATERIALIZED (
+      SELECT i, j,
+             CAST(n * s_ij - s_i * s_j AS DOUBLE)
+               / (CAST(n AS DOUBLE) * n) / 1000000.0 AS v
+      FROM (SELECT i, j, n, s_ij, s_i, s_j FROM cells
+            UNION ALL
+            SELECT j, i, n, s_ij, s_j, s_i FROM cells WHERE i < j)
+    )"""
+    ]
+    selects = []
+    for c in range(1, k + 1):
+        ctes.append(
+            f"""
+    v{c}_0 AS (SELECT i, 1.0 / sqrt({PCA_DIMS}.0) AS x FROM pdims)"""
+        )
+        for s in range(1, iters + 1):
+            ctes.append(
+                f"""
+    w{c}_{s} AS (SELECT m.i AS i, sum(m.v * p.x) AS wx
+               FROM c{c - 1} m JOIN v{c}_{s - 1} p ON p.i = m.j
+               GROUP BY m.i),
+    v{c}_{s} AS MATERIALIZED (
+      SELECT i, wx / sqrt((SELECT sum(wx * wx) FROM w{c}_{s})) AS x
+      FROM w{c}_{s})"""
+            )
+        ctes.append(
+            f"""
+    lam{c} AS (SELECT sum(a.x * m.v * b.x) AS l
+             FROM c{c - 1} m
+             JOIN v{c}_{iters} a ON a.i = m.i
+             JOIN v{c}_{iters} b ON b.i = m.j)"""
+        )
+        if c < k:
+            ctes.append(
+                f"""
+    c{c} AS MATERIALIZED (SELECT m.i, m.j,
+                  m.v - (SELECT l FROM lam{c}) * a.x * b.x AS v
+           FROM c{c - 1} m
+           JOIN v{c}_{iters} a ON a.i = m.i
+           JOIN v{c}_{iters} b ON b.i = m.j)"""
+            )
+        selects.append(
+            f"""
+      SELECT {c} AS component, v.i AS dim_i,
+             round(v.x, 6) AS loading,
+             round((SELECT l FROM lam{c}), 6) AS eigenvalue
+      FROM v{c}_{iters} v"""
+        )
+    return ctes, selects
+
+
+def _pca_power_sql(k: int = PCA_COMPONENTS, iters: int = 8) -> str:
+    ctes, selects = _pca_power_oracle_parts(k, iters)
+    return (
+        "\n    WITH "
+        + _pca_cells_cte()
+        + ","
+        + ",".join(ctes)
+        + "\n    SELECT CAST(component AS INT) AS component,"
+        + " CAST(dim_i AS INT) AS dim_i, loading, eigenvalue FROM ("
+        + " UNION ALL ".join(selects)
+        + "\n    )"
+    )
+
+
+@register(
+    "embedding_pca_power",
+    _pca_power_sql(),
+    tags=("embeddings", "pca", "linear-algebra"),
+    doc="Top-3 principal components of the embedding covariance via "
+    "EXACTLY 8 unrolled power-iteration steps per component from the "
+    "all-ones start vector, with Hotelling deflation between "
+    "components (C <- C - lambda v v^T) — eigen-decomposition is not "
+    "SQL-expressible, but a fixed unrolling is just arithmetic, so "
+    "the DuckDB oracle runs the IDENTICAL steps and the comparison is "
+    "exact by construction whether or not 8 steps have converged "
+    "(pytest separately checks closeness to numpy.linalg.eigh on a "
+    "well-separated fixture). The distributed work is the exact-"
+    "integer covariance pass (embedding_covariance); the d x d = "
+    "64 x 64 matrix is control-plane-sized, so the iteration itself "
+    "runs on driver-collected cells — the IVF-codebook / IRLS "
+    "precedent — and loadings return as literals. Rounding via "
+    "F.round (HALF_UP) mirrors DuckDB round(). Library surface: "
+    "operators/pca.py (covariance_cells / power_components / "
+    "pca_project — projection is a codegen dot product against "
+    "inlined component literals, no shuffle).",
+)
+def embedding_pca_power(spark, sf_dir):
+    from ..operators import pca as P
+
+    emb = _spread(spark, t(spark, sf_dir, "embeddings"))
+    rows = P.covariance_cells(emb, PCA_DIMS).collect()
+    comps, lams = P.power_components(rows, PCA_DIMS, k=PCA_COMPONENTS)
+    data = [
+        (c + 1, i + 1, float(comps[c][i]), float(lams[c]))
+        for c in range(PCA_COMPONENTS)
+        for i in range(PCA_DIMS)
+    ]
+    df = spark.createDataFrame(
+        data, "component int, dim_i int, loading double, eigenvalue double"
+    )
+    return df.select(
+        "component",
+        "dim_i",
+        F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+    )
+
+
+def _pca_projection_sql(k: int = PCA_COMPONENTS, iters: int = 8) -> str:
+    """Projection oracle: the unrolled-component CTEs plus one
+    ORDER-DETERMINISTIC dot product per (row, component) —
+    SUM(... ORDER BY dim) accumulates left-to-right exactly like the
+    Spark side's F.aggregate fold over zip_with, so the double
+    expression trees match term-for-term before the 6 dp round."""
+    ctes, _ = _pca_power_oracle_parts(k, iters)
+    pcs = ",\n        ".join(
+        f"round((SELECT sum(CAST(e.embedding[v.i] AS DOUBLE) * v.x "
+        f"ORDER BY v.i) FROM v{c}_{iters} v), 6) AS pc{c}"
+        for c in range(1, k + 1)
+    )
+    return (
+        "\n    WITH "
+        + _pca_cells_cte()
+        + ","
+        + ",".join(ctes)
+        + f"""
+    SELECT e.vec_id,
+        {pcs}
+    FROM embeddings e
+    """
+    )
+
+
+@register(
+    "embedding_pca_projection",
+    _pca_projection_sql(),
+    tags=("embeddings", "pca", "linear-algebra"),
+    doc="Every embedding projected onto the unrolled power-iteration "
+    "components (pc1..pc3) — the actual dimensionality-reduction "
+    "output a pipeline materializes before ANN indexing or semantic "
+    "dedup, completing the PCA family (moments -> components -> "
+    "projection). The projection is operators/pca.py::pca_project: a "
+    "LEFT-TO-RIGHT F.aggregate fold over zip_with against the "
+    "driver-inlined component literals — sequential order chosen "
+    "deliberately so the oracle's SUM(... ORDER BY dim) accumulates "
+    "the IDENTICAL double tree (engine-parity over raw floats; a "
+    "batched einsum kernel is the drop-in when throughput matters "
+    "more than bit-parity, per the similarity._dot_pairs precedent). "
+    "No shuffle: the component literals ride the task closure.",
+)
+def embedding_pca_projection(spark, sf_dir):
+    from ..operators import pca as P
+
+    emb = t(spark, sf_dir, "embeddings")
+    rows = P.covariance_cells(_spread(spark, emb), PCA_DIMS).collect()
+    comps, _ = P.power_components(rows, PCA_DIMS, k=PCA_COMPONENTS)
+    # the projection itself needs no _spread: it must stay a bare
+    # scan + project (zero exchanges, plan-gated)
+    out = P.pca_project(emb.select("vec_id", "embedding"), comps)
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("pca", c + 1), 6).alias(f"pc{c + 1}")
+            for c in range(PCA_COMPONENTS)
+        ],
+    )

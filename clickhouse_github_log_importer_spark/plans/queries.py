@@ -8207,6 +8207,10 @@ def _adjacent_event_stream(spark, sf_dir, conds=_SEQ_CONDS, events=None):
         ["user_id"],
         ["_ets", "event_type"],
         slice_col=composite_slice_key("user_id", "_ets"),
+        # the offsets table is O(distinct users) — it GROWS with the
+        # data, so broadcasting it is the super-linear trap the first
+        # scale probe caught (x30 ratio 4.6); AQE picks the join
+        broadcast_offsets=False,
     ).drop("_n")
     n_slices = spark.sparkContext.defaultParallelism
     return base.withColumn(

@@ -131,6 +131,9 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "sequence_match_compiled",    # r9: shared sliced base across patterns
     "sequence_match_adjacent",    # r9 NEW: ClickHouse-exact adjacency mode
     "anova_value_by_type",        # r9: zero-group guard (ADVICE fix)
+    "embedding_covariance",       # r9 NEW: exact-integer Gram pass
+    "embedding_pca_power",        # r9 NEW: unrolled power iteration
+    "embedding_pca_projection",   # r9 NEW: order-deterministic projection
     # --- re-verification: the 8 displaced entries the verdict queued ---
     "record_count",
     "events_per_type",
@@ -177,9 +180,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "user_sessions",
     "value_percentiles",
     "tumbling_window_counts",
-    "sliding_window_counts",
-    "heavy_hitters_cms",
-    "approx_distinct_users",
 )
 
 

@@ -1155,3 +1155,29 @@ def test_sequence_adjacent_ranked_dp_no_smj(spark, sf_smoke):
     assert "sortmergejoin" not in low
     assert "hashpartitioning(_sl" in low  # bounded-edge segmented pass
     assert "inmemorytablescan" in low  # shared ranked base persisted
+
+
+def test_embedding_covariance_single_kernel_pass(spark, sf_smoke):
+    # (r9) the Gram pass: quantization JVM-side, ONE Arrow-batched
+    # kernel (MapInPandas), one map-side-combinable groupBy over the
+    # d(d+1)/2 cells — no joins, no per-row Python, one scan.
+    p = explain(spark, "embedding_covariance", sf_smoke)
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p  # never row-at-a-time Python
+    t = tree(p)
+    assert t.count("Scan parquet") == 1
+    assert t.count("Join") == 0
+    low = p.lower().replace(" ", "")
+    assert "hashpartitioning(i" in low  # the tiny cell merge
+
+
+def test_pca_projection_is_shuffle_free(spark, sf_smoke):
+    # (r9) the projection plan: component literals ride the task
+    # closure, so the RETURNED frame is scan + project — zero
+    # exchanges, zero joins, zero Python (the covariance collect runs
+    # eagerly at entry-build time and is not part of this plan).
+    p = explain(spark, "embedding_pca_projection", sf_smoke)
+    t = tree(p)
+    assert t.count("Exchange") == 0
+    assert t.count("Join") == 0
+    assert "MapInPandas" not in t and "EvalPython" not in t

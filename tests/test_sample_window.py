@@ -64,6 +64,9 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "sequence_match_compiled",   # r9: shared sliced base across patterns
     "sequence_match_adjacent",   # r9 NEW: ClickHouse-exact adjacency mode
     "anova_value_by_type",       # r9: zero-group guard (ADVICE fix)
+    "embedding_covariance",      # r9 NEW: exact-integer Gram pass
+    "embedding_pca_power",       # r9 NEW: unrolled power iteration
+    "embedding_pca_projection",  # r9 NEW: order-deterministic projection
 )
 
 
