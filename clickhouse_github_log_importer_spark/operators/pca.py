@@ -27,8 +27,9 @@ Design, engine-portable by construction (the IRLS / kmeans discipline):
    (both engines compute the same iterate, converged or not; pytest
    separately checks closeness to numpy's eigh on the fixture).
 3. **Projection** is a per-row dot product against driver-inlined
-   component literals (the IVF-codebook pattern) — a plain projection,
-   free at any scale, no shuffle.
+   component literals (the IVF-codebook pattern) — a projection, no
+   shuffle; sequential-fold form for oracle bit-parity (see
+   :func:`pca_project`).
 """
 
 from __future__ import annotations
@@ -144,7 +145,12 @@ def pca_project(
 ) -> DataFrame:
     """Append ``pca`` (array<double>, one value per component): the
     embedding's dot product with each driver-inlined component literal.
-    Plain whole-stage-codegen projection — no shuffle, no Python."""
+    No shuffle, no Python workers. The fold is a LEFT-TO-RIGHT
+    F.aggregate over zip_with — an interpreted HOF (CodegenFallback),
+    chosen deliberately because sequential accumulation matches the
+    oracle's SUM(... ORDER BY dim) double tree term-for-term; when
+    throughput outranks bit-parity, swap in a batched einsum kernel
+    (the similarity._dot_pairs precedent)."""
     proj = F.array(
         *[
             F.aggregate(

@@ -189,13 +189,10 @@ def naive_capped_sample(spark, sf_dir, cap=40):
 
 
 def main():
-    gate = _wait_for_idle()
-    if gate.get("passed") is False:
-        print(f"# WARNING probe load gate timed out: {gate}")
+    # parse FIRST: --help / bad flags must answer immediately, not
+    # block behind the (up to 600 s) load gate on a busy host (the
+    # same r9 ADVICE fix as scale_probe.py)
     import argparse
-
-    from clickhouse_github_log_importer_spark.plans.queries import REGISTRY
-    from clickhouse_github_log_importer_spark.session import get_spark
 
     ap = argparse.ArgumentParser()
     ap.add_argument(
@@ -207,6 +204,13 @@ def main():
     )
     args = ap.parse_args()
     subset = [q for q in args.queries.split(",") if q]
+
+    gate = _wait_for_idle()
+    if gate.get("passed") is False:
+        print(f"# WARNING probe load gate timed out: {gate}")
+
+    from clickhouse_github_log_importer_spark.plans.queries import REGISTRY
+    from clickhouse_github_log_importer_spark.session import get_spark
 
     spark = get_spark(
         app_name="skew_probe",
