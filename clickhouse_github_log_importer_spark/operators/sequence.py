@@ -87,26 +87,42 @@ def sequence_match(
 
 
 def sequence_count(
-    events: DataFrame, pattern: str, conds: tuple[str, ...]
+    events: DataFrame,
+    pattern: str,
+    conds: tuple[str, ...],
+    semantics: str = "existence",
 ) -> DataFrame:
     """Per-user greedy non-overlapping match counts for ``pattern``
     under ClickHouse sequenceCount's restart semantics. Returns
-    (user_id, seq_count) for users with count >= 1. Unconstrained
-    patterns run the untimed FST-composition automaton; patterns with
-    '<'/'<='/'>'/'>=' edges dispatch to the timed automaton (pinned
-    greedy rules: an upper-bound violation restarts at the violating
-    event, a lower-bound violation waits for a later candidate);
-    '(?t==T)' raises.
+    (user_id, seq_count) for users with count >= 1.
+
+    ``semantics='existence'`` (default): every edge behaves like '.*'
+    over the condition-filtered stream. Unconstrained patterns run the
+    untimed FST-composition automaton; patterns with '<'/'<='/'>'/'>='
+    edges dispatch to the timed automaton (pinned greedy rules: an
+    upper-bound violation restarts at the violating event, a
+    lower-bound violation waits for a later candidate); '(?t==T)'
+    raises. ``semantics='adjacency'``: the ClickHouse-exact reading —
+    bare edges require consecutive positions among declared-condition
+    events, '.*' separates words (KMP search DFA, non-overlapping
+    leftmost); time edges raise there.
 
     >>> sequence_count(ev, "(?1)(?3)", ("signup", "click", "purchase"))
     >>> sequence_count(ev, "(?1)(?t>3600)(?2)", ("signup", "click"))
+    >>> sequence_count(ev, "(?1)(?2)", ("signup", "click", "view"),
+    ...                semantics="adjacency")
     """
     from ..plans.queries import (
         _parse_seq_pattern,
+        _sequence_count_adjacent_users,
         _sequence_count_timed_users,
         _sequence_count_users,
     )
 
+    if semantics not in SEQUENCE_SEMANTICS:
+        raise ValueError(
+            f"unknown semantics {semantics!r}; one of {SEQUENCE_SEMANTICS}"
+        )
     _, edges = _parse_seq_pattern(pattern)
     ev = _normalized(events)
     if "event_id" not in ev.columns:
@@ -115,6 +131,10 @@ def sequence_count(
             "same-timestamp tie-breaker)"
         )
     spark = events.sparkSession
+    if semantics == "adjacency":
+        return _sequence_count_adjacent_users(
+            spark, None, pattern, conds=conds, events=ev
+        )
     if any(e is not None for e in edges):
         return _sequence_count_timed_users(
             spark, None, pattern, conds=conds, events=ev

@@ -9095,6 +9095,291 @@ def sequence_count_timed(spark, sf_dir):
     return out
 
 
+def _seq_count_dfa(pattern: str, conds):
+    """Compile an unconstrained adjacency-aware sequenceCount pattern
+    into the leftmost-search counting DFA: words = maximal runs of
+    adjacent steps; between words '.*' searches; within a word,
+    mismatches fall back via the word's OWN KMP failure function
+    (earlier words are locked in — '.*' re-searches only the current
+    word). Returns (delta, emit): ``delta[q][a]`` is the next state
+    after reading alphabet symbol ``a`` (conds index) in state ``q``
+    (0..L-1, L = total steps), and ``emit[q][a]`` is 1 when that read
+    completes the final word (count one match, restart at 0 — the
+    non-overlapping countAll rule)."""
+    steps, edges, adjacent = _parse_seq_pattern(pattern, with_adjacency=True)
+    if any(e is not None for e in edges):
+        raise ValueError(
+            "sequence_count_adjacent: time-constrained edges are not "
+            "pinned under adjacency counting; sequence_count_timed "
+            "covers timed patterns (existence semantics)"
+        )
+    bad = [i for i in steps if i > len(conds)]
+    if bad:
+        raise ValueError(
+            f"sequenceMatch pattern: condition index (?{bad[0]}) out of "
+            f"range — {len(conds)} conditions defined"
+        )
+    types = [conds[i - 1] for i in steps]
+    words: list[list[int]] = [[0]]
+    for k in range(1, len(steps)):
+        if adjacent[k - 1]:
+            words[-1].append(k)
+        else:
+            words.append([k])
+    sym = {c: a for a, c in enumerate(conds)}
+    L = len(steps)
+    delta = [[0] * len(conds) for _ in range(L)]
+    emit = [[0] * len(conds) for _ in range(L)]
+    w_start = 0
+    for w in words:
+        word = [sym[types[k]] for k in w]
+        # prefix function of the word
+        pi = [0] * len(word)
+        for j in range(1, len(word)):
+            g = pi[j - 1]
+            while g and word[j] != word[g]:
+                g = pi[g - 1]
+            pi[j] = g + 1 if word[j] == word[g] else 0
+        for j in range(len(word)):
+            q = w_start + j
+            for a in range(len(conds)):
+                if a == word[j]:
+                    nxt = q + 1
+                    if nxt == L:
+                        emit[q][a] = 1
+                        nxt = 0
+                else:
+                    # standard KMP search-automaton fallback: longest
+                    # proper suffix of (matched prefix + a) that is a
+                    # word prefix; never completes the word (g < j)
+                    g = j
+                    while g > 0 and word[g] != a:
+                        g = pi[g - 1]
+                    nxt = w_start + (g + 1 if word[g] == a else 0)
+                delta[q][a] = nxt
+        w_start += len(word)
+    return delta, emit
+
+
+def _sequence_count_adjacent_users(
+    spark, sf_dir, pattern: str, conds=_SEQ_CONDS, events=None
+):
+    """Per-user greedy non-overlapping ADJACENCY-AWARE match counts —
+    ClickHouse sequenceCount with the real pattern semantics
+    (AggregateFunctionSequenceMatch.h countAll): events matching no
+    declared condition are invisible, a bare edge requires consecutive
+    positions among the remaining events, '.*' permits any gap; after
+    each completed match the automaton restarts (non-overlapping,
+    leftmost via the KMP search DFA — leftmost-first word occurrence
+    equals the backtracking regex's leftmost match end).
+
+    Distributes exactly like the untimed restart automaton: the DFA's
+    action over a time slice is a pure map entry_state -> (exit_state,
+    completed_count), map composition is associative, so one Arrow
+    batch per composite (user, ts) slice folds the slice's events into
+    a state map (an O(L) gather per event — the whole L-state vector
+    advances at once), and the per-user fold over <= n_slices map rows
+    is the same pure-DataFrame HOF as sequence_count_compiled."""
+    import pandas as pd
+
+    from ..operators.ranking import composite_slice_key, slice_expr
+
+    delta_t, emit_t = _seq_count_dfa(pattern, conds)
+    n_states = len(delta_t)
+    sym = {c: a for a, c in enumerate(conds)}
+    ev = (t(spark, sf_dir, "events") if events is None else events).select(
+        "user_id",
+        F.col("ts_us").cast("long").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    ev = ev.filter(F.col("event_type").isin(*set(conds)))
+    n_slices = spark.sparkContext.defaultParallelism
+    st = ev.withColumn(
+        "_sl",
+        slice_expr(ev, composite_slice_key("user_id", "ts_us"), n_slices),
+    )
+
+    def tab(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        delta = np.asarray(delta_t, dtype=np.int64)
+        emit = np.asarray(emit_t, dtype=np.int64)
+        pdf = pdf.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        uid = pdf["user_id"].to_numpy()
+        code = pdf["event_type"].map(sym).to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        out_u, out_e, out_d = [], [], []
+        for a, b in zip(starts, ends):
+            # compose the per-event maps: smap[q] = state after the
+            # slice for entry state q; cnt[q] = matches completed
+            smap = np.arange(n_states, dtype=np.int64)
+            cnt = np.zeros(n_states, dtype=np.int64)
+            for c in code[a:b]:
+                cnt += emit[smap, c]
+                smap = delta[smap, c]
+            out_u.append(int(uid[a]))
+            out_e.append([int(x) for x in smap])
+            out_d.append([int(x) for x in cnt])
+        sl = int(pdf["_sl"].iloc[0]) if len(pdf) else 0
+        return pd.DataFrame(
+            {
+                "user_id": out_u,
+                "_sl": [sl] * len(out_u),
+                "exits": out_e,
+                "deltas": out_d,
+            }
+        )
+
+    funcs = st.groupBy("_sl").applyInPandas(
+        tab, "user_id long, _sl int, exits array<int>, deltas array<long>"
+    )
+    folded = funcs.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("_sl", "exits", "deltas"))
+        ).alias("_fs")
+    )
+    state = F.aggregate(
+        F.col("_fs"),
+        F.struct(F.lit(0).alias("s"), F.lit(0).cast("long").alias("c")),
+        lambda acc, x: F.struct(
+            F.element_at(x["exits"], acc["s"] + 1).alias("s"),
+            (acc["c"] + F.element_at(x["deltas"], acc["s"] + 1)).alias("c"),
+        ),
+    )
+    counts = folded.select("user_id", state["c"].alias("seq_count"))
+    return counts.filter(F.col("seq_count") >= 1)
+
+
+_SEQ_COUNT_ADJ_PATTERNS = (
+    "(?1)(?2)",
+    "(?2)(?2)",
+    "(?1)(?2).*(?3)",
+    "(?2)(?3)(?2)",
+)
+
+
+def _seq_count_adj_oracle() -> str:
+    """DuckDB twin: one recursive CTE per pattern stepping the SAME
+    counting DFA one STATE-CHANGING event per iteration — the LATERAL
+    picks the next event whose type moves or emits from the current
+    state (pure self-loops are skipped, so recursion depth is the
+    number of state changes), and CASE tables generated from the DFA
+    apply delta/emit."""
+    chains = []
+    selects = []
+    conds = _SEQ_CONDS
+    for idx, pat in enumerate(_SEQ_COUNT_ADJ_PATTERNS):
+        delta, emit = _seq_count_dfa(pat, conds)
+        n_states = len(delta)
+        # per state: the set of types that change state or emit
+        move_types = []
+        for q in range(n_states):
+            ts_ = [
+                conds[a]
+                for a in range(len(conds))
+                if delta[q][a] != q or emit[q][a]
+            ]
+            move_types.append(ts_)
+        moves = " ".join(
+            f"WHEN {q} THEN e.et IN ({', '.join(repr(c) for c in move_types[q])})"
+            for q in range(n_states)
+        )
+        nxt = " ".join(
+            f"WHEN aa.s = {q} AND nx.et = '{conds[a]}' THEN {delta[q][a]}"
+            for q in range(n_states)
+            for a in range(len(conds))
+            if delta[q][a] != q or emit[q][a]
+        )
+        em = " ".join(
+            f"WHEN aa.s = {q} AND nx.et = '{conds[a]}' THEN 1"
+            for q in range(n_states)
+            for a in range(len(conds))
+            if emit[q][a]
+        )
+        chains.append(
+            f"""
+    aa{idx} AS (
+      SELECT user_id, CAST(-9223372036854775807 AS BIGINT) AS tu,
+             CAST(-9223372036854775807 AS BIGINT) AS eid,
+             0 AS s, 0 AS cnt
+      FROM (SELECT DISTINCT user_id FROM f)
+      UNION ALL
+      SELECT aa.user_id, nx.tu, nx.eid,
+             CASE {nxt} ELSE aa.s END,
+             aa.cnt + CASE {em} ELSE 0 END
+      FROM aa{idx} aa, LATERAL (
+        SELECT e.tu, e.eid, e.et FROM f e
+        WHERE e.user_id = aa.user_id
+          AND (CASE aa.s {moves} END)
+          AND (e.tu > aa.tu OR (e.tu = aa.tu AND e.eid > aa.eid))
+        ORDER BY e.tu, e.eid LIMIT 1
+      ) nx
+    )"""
+        )
+        selects.append(
+            f"""
+      SELECT '{pat}' AS pattern, user_id,
+             CAST(max(cnt) AS BIGINT) AS seq_count
+      FROM aa{idx} GROUP BY user_id HAVING max(cnt) >= 1"""
+        )
+    return (
+        f"""
+    WITH RECURSIVE f AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id AS eid,
+             event_type AS et
+      FROM events
+      WHERE event_type IN {tuple(conds)!r}
+    ),"""
+        + ",".join(chains)
+        + "\n    SELECT pattern, user_id, seq_count FROM ("
+        + " UNION ALL ".join(selects)
+        + "\n    )"
+    )
+
+
+@register(
+    "sequence_count_adjacent",
+    _seq_count_adj_oracle(),
+    tags=("funnel", "sequence", "clickhouse-parity", "arrow-kernel"),
+    doc="ClickHouse sequenceCount with the REAL adjacency-aware "
+    "pattern semantics — the counting twin of sequence_match_adjacent "
+    "(sequence_count_compiled pins the existence reading where every "
+    "edge is '.*'): undeclared-condition events are invisible, a bare "
+    "edge requires CONSECUTIVE positions among the rest, '.*' "
+    "separates words, matches count non-overlapping with restart "
+    "(countAll). Compiled to a leftmost-search counting DFA: words "
+    "fall back through their own KMP failure function on mismatch "
+    "(locked-in earlier words re-search only the current word), the "
+    "final word's completion emits and restarts — leftmost-first word "
+    "search equals the backtracking matcher's leftmost match end. "
+    "Distributes by DFA-map composition: per composite (user, ts) "
+    "slice one Arrow batch advances the WHOLE L-state vector one O(L) "
+    "gather per event (entry_state -> exit/count maps), and the "
+    "per-user fold over <= n_slices map rows is the exact HOF of the "
+    "untimed automaton. '(?1).*(?2)' adjacency-counts equal "
+    "sequence_count_compiled's '(?1)(?2)' (single-step words reduce "
+    "to the filtered-stream automaton — pytest cross-pin); KMP "
+    "fallback and non-overlap subtleties pinned on constructed "
+    "fixtures. Oracle: recursive CTE stepping the same DFA one "
+    "state-changing event per iteration (self-loops skipped). "
+    "Conditions: 1=signup 2=click 3=purchase 4=view.",
+)
+def sequence_count_adjacent(spark, sf_dir):
+    out = None
+    for pat in _SEQ_COUNT_ADJ_PATTERNS:
+        c = _sequence_count_adjacent_users(spark, sf_dir, pat).select(
+            F.lit(pat).alias("pattern"),
+            "user_id",
+            F.col("seq_count").cast("long").alias("seq_count"),
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
 @register(
     "score_auc",
     """

@@ -130,6 +130,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "sequence_count_timed",       # r9: (?t>T)/(?t>=T) lower-bound edges
     "sequence_match_compiled",    # r9: shared sliced base across patterns
     "sequence_match_adjacent",    # r9 NEW: ClickHouse-exact adjacency mode
+    "sequence_count_adjacent",    # r9 NEW: adjacency-aware counting DFA
     "anova_value_by_type",        # r9: zero-group guard (ADVICE fix)
     "embedding_covariance",       # r9 NEW: exact-integer Gram pass
     "embedding_pca_power",        # r9 NEW: unrolled power iteration
@@ -179,7 +180,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "platform_union_counts",
     "user_sessions",
     "value_percentiles",
-    "tumbling_window_counts",
 )
 
 

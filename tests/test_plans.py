@@ -97,9 +97,16 @@ DECLARED_ARROW = (
     # tabulation and the per-user fold are Arrow group-maps by design —
     # the function-composition operator DataFrame algebra can't express
     "sequence_count_compiled",
-    # timed restart automaton: same slice-level tabulation, two-branch
-    # transfer functions (theta + hi/lo outcomes) — Arrow by design
+    # timed restart automaton: same slice-level tabulation, piecewise
+    # transfer functions (breaks + per-piece outcomes) — Arrow by design
     "sequence_count_timed",
+    # adjacency-aware counting DFA: per-slice map composition is the
+    # same Arrow group-map shape as the restart automaton
+    "sequence_count_adjacent",
+    # the exact-integer Gram pass is ONE batched numpy kernel by design
+    # (operators/pca.py covariance_cells; gated separately for shape)
+    "embedding_covariance",
+    "embedding_pca_power",
     # the ANN leg scores with the Arrow int64-matmul cosine kernel
     "hybrid_rrf_search",
 )

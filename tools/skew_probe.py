@@ -95,6 +95,7 @@ EVENT_QUERIES = [
     # r9: adjacency DP — the ranked stream and (user, rank) joins must
     # spread a mega-user across the hash space
     "sequence_match_adjacent",
+    "sequence_count_adjacent",
     # r8: value/type-keyed, expected dead flat — pinned for the record
     "anova_value_by_type",
     # r8 batch 2-3: the join-free next-node matrix (ranked + (user, rn)
