@@ -3266,3 +3266,166 @@ def embedding_pca_projection(spark, sf_dir):
             for c in range(PCA_COMPONENTS)
         ],
     )
+
+
+# =====================================================================
+# Tokenizer construction: BPE merge learning
+# =====================================================================
+
+BPE_MERGES = 8
+
+
+def _bpe_ctes(merges: int = BPE_MERGES) -> str:
+    """Unrolled BPE training CTEs: one (pairs -> best -> rewrite) trio
+    per merge step, ending at vocabulary generation ``v{merges}``.
+    Token lists ride a unit-separator string encoding
+    (``US US tok US US tok US US``); the rewrite is
+    ``replace(enc, US l US US r US, US l r US)`` — each match consumes
+    one separator per side so back-to-back occurrences still match,
+    reproducing the Spark fold's leftmost non-overlapping scan exactly
+    (pinned in tests/test_bpe.py). The LEFT JOIN ON TRUE keeps the
+    vocabulary alive through a merge-exhausted step on tiny fixtures."""
+    S = "chr(31)"
+    parts = [
+        f"""
+    WITH w0 AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY 1
+    ),
+    v0 AS (
+      SELECT word, cnt,
+             {S} || {S}
+             || array_to_string(list_transform(range(1, length(word) + 1),
+                                               i -> word[i]), {S} || {S})
+             || {S} || {S} AS enc
+      FROM w0
+    )"""
+    ]
+    for s in range(1, merges + 1):
+        parts.append(
+            f""",
+    p{s} AS (
+      SELECT (pr).l AS lhs, (pr).r AS rhs, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (SELECT cnt,
+                   unnest(list_transform(range(1, len(tk)),
+                          i -> struct_pack(l := tk[i], r := tk[i + 1]))) AS pr
+            FROM (SELECT cnt,
+                         list_filter(string_split(enc, {S}), x -> x <> '') AS tk
+                  FROM v{s - 1}))
+      GROUP BY 1, 2
+    ),
+    b{s} AS (SELECT lhs, rhs, c FROM p{s} ORDER BY c DESC, lhs, rhs LIMIT 1),
+    v{s} AS (
+      SELECT word, cnt,
+             CASE WHEN b.lhs IS NULL THEN enc
+                  ELSE replace(enc, {S} || b.lhs || {S} || {S} || b.rhs || {S},
+                               {S} || b.lhs || b.rhs || {S})
+             END AS enc
+      FROM v{s - 1} LEFT JOIN b{s} b ON TRUE
+    )"""
+        )
+    return "".join(parts)
+
+
+def _bpe_oracle(merges: int = BPE_MERGES) -> str:
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT {s} AS step, lhs, rhs, lhs || rhs AS merged, "
+        f"c AS pair_count FROM b{s}"
+        for s in range(1, merges + 1)
+    )
+    return _bpe_ctes(merges) + "\n    " + union + "\n    "
+
+
+@register(
+    "bpe_merge_table",
+    _bpe_oracle(),
+    tags=("tokenizer", "bpe", "text"),
+    doc="BPE merge learning (the tokenizer-training step of an LLM data "
+    "pipeline, subword-nmt / HF-tokenizers trainer shape): the corpus "
+    "aggregates ONCE to a (word, count) vocabulary, then each of the "
+    f"{BPE_MERGES} merge steps is a tiny adjacent-pair-count aggregation "
+    "over the bounded vocabulary, a single-row argmax collect (the "
+    "k-means centroid-collect pattern), and a JVM-side leftmost-non-"
+    "overlapping fold rewriting token arrays. Determinism: pair weight "
+    "= sum of word counts, ties to the lexicographically smallest "
+    "(lhs, rhs). At 100 TB only step 0 touches the corpus; the merge "
+    "loop runs over vocabulary rows (millions, not terabytes) and "
+    "ships one row per step to the driver. Library surface: "
+    "operators/bpe.py (word_vocab / bpe_fit / merge_table_df).",
+)
+def bpe_merge_table(spark, sf_dir):
+    from ..operators import bpe as BPE
+
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    table = BPE.bpe_fit(docs, merges=BPE_MERGES)
+    return BPE.merge_table_df(spark, table)
+
+
+def _bpe_apply_oracle(merges: int = BPE_MERGES) -> str:
+    """Apply-side oracle: per-word token counts from the final
+    vocabulary generation, joined back to per-document word counts —
+    the same lookup-table shape the Spark side broadcasts."""
+    S = "chr(31)"
+    return (
+        _bpe_ctes(merges)
+        + f""",
+    vn AS (
+      SELECT word,
+             len(list_filter(string_split(enc, {S}), x -> x <> ''))
+               AS tok
+      FROM v{merges}
+    ),
+    dw AS (
+      SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY 1, 2
+    )
+    SELECT dw.doc_id,
+           CAST(SUM(dw.cnt) AS BIGINT) AS n_words,
+           CAST(SUM(dw.cnt * length(dw.word)) AS BIGINT) AS n_word_chars,
+           CAST(SUM(dw.cnt * vn.tok) AS BIGINT) AS n_tokens
+    FROM dw JOIN vn USING (word)
+    GROUP BY 1
+    """
+    )
+
+
+@register(
+    "bpe_token_counts",
+    _bpe_apply_oracle(),
+    tags=("tokenizer", "bpe", "text"),
+    doc="BPE APPLY side (train -> tokenize, completing the family with "
+    "bpe_merge_table): per document, exact word / character / "
+    "post-merge token counts under the learned merge table — the "
+    "token-budget accounting a packing or pricing pipeline needs. "
+    "Scale shape: tokenization is a BROADCAST LOOKUP — the final "
+    "vocabulary (word -> token count) is bounded and broadcast-joined "
+    "to per-document word counts, so the corpus is never re-scanned "
+    "per merge and no merge folds run on document rows; all outputs "
+    "exact BIGINT (no floats to drift). Library surface: "
+    "operators/bpe.py::bpe_vocab_after.",
+)
+def bpe_token_counts(spark, sf_dir):
+    from ..operators import bpe as BPE
+
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    table = BPE.bpe_fit(docs, merges=BPE_MERGES)
+    vocab_n = BPE.bpe_vocab_after(docs, table).select(
+        "word", F.size("tokens").cast("long").alias("tok")
+    )
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    # ONE doc_id-keyed shuffle: occurrences broadcast-join the lookup
+    # directly (no (doc_id, word) pre-shuffle — map-side combine on
+    # doc_id already absorbs the fanout)
+    return words.join(F.broadcast(vocab_n), "word").groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.length("word")).cast("long").alias("n_word_chars"),
+        F.sum("tok").cast("long").alias("n_tokens"),
+    )

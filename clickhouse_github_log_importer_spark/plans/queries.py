@@ -10275,6 +10275,126 @@ def top_k_weighted_types_daily(spark, sf_dir):
     )
 
 
+@register(
+    "holt_linear_forecast",
+    """
+    WITH RECURSIVE c0 AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour_id,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT event_type, min(hour_id) AS lo, max(hour_id) AS hi
+             FROM c0 GROUP BY 1 HAVING max(hour_id) > min(hour_id)),
+    grid AS (SELECT event_type, unnest(range(lo, hi + 1)) AS hour_id
+             FROM span),
+    xs AS (SELECT g.event_type, g.hour_id,
+                  CAST(coalesce(c0.n, 0) AS DOUBLE) AS xv,
+                  row_number() OVER (PARTITION BY g.event_type
+                                     ORDER BY g.hour_id) AS rn
+           FROM grid g LEFT JOIN c0 USING (event_type, hour_id)),
+    n_t AS (SELECT event_type, max(rn) AS t_max FROM xs GROUP BY 1),
+    st AS (
+      SELECT a.event_type, CAST(1 AS BIGINT) AS i,
+             a.xv AS l, b2.xv - a.xv AS b
+      FROM xs a JOIN xs b2 ON a.event_type = b2.event_type
+                          AND a.rn = 1 AND b2.rn = 2
+      UNION ALL
+      SELECT st.event_type, st.i + 1,
+             0.5 * xs.xv + 0.5 * (st.l + st.b),
+             0.3 * ((0.5 * xs.xv + 0.5 * (st.l + st.b)) - st.l)
+               + 0.7 * st.b
+      FROM st JOIN xs ON xs.event_type = st.event_type
+                     AND xs.rn = st.i + 1
+    ),
+    fin AS (SELECT st.event_type, st.l, st.b
+            FROM st JOIN n_t USING (event_type) WHERE st.i = n_t.t_max)
+    SELECT event_type, CAST(h AS INTEGER) AS h,
+           round(l, 6) AS level, round(b, 6) AS trend,
+           round(l + CAST(h AS DOUBLE) * b, 6) AS forecast_n_events
+    FROM fin CROSS JOIN (SELECT unnest(range(1, 25)) AS h)
+    """,
+    tags=("timeseries", "forecast", "fold"),
+    doc="Holt two-parameter linear-trend smoothing (alpha=0.5, beta=0.3) "
+    "over each event type's gap-filled hourly count series, emitting "
+    "the fitted terminal (level, trend) and a 24-hour-ahead forecast "
+    "fan — the exponential-smoothing step up from ema_user_value "
+    "(level only) toward trend-aware forecasting. Init "
+    "(l1, b1) = (x1, x2 - x1), updates for t = 2..T: "
+    "l_t = a*x_t + (1-a)(l+b); b_t = g*(l_t - l) + (1-g)*b. The "
+    "recurrence is affine in (l, b), so the Spark side is ONE "
+    "F.aggregate fold per type over the collected series — the same "
+    "float expression tree, literal for literal, as the oracle's "
+    "recursive CTE, so raw doubles match bit-for-bit before the 6 dp "
+    "round. Scale shape: one map-side-combined (type, hour) "
+    "aggregation bounds the stream to a calendar-sized table; the "
+    "per-type collect_list is hours-in-span (time-bounded, never "
+    "data-bounded — the gap_filled_hourly_counts contract) and the "
+    "fold is one linear pass over it. Types with fewer than two grid "
+    "hours are excluded on both engines.",
+)
+def holt_linear_forecast(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.expr("ts_us div 3600000000").alias("hour_id")
+    ).agg(F.count("*").alias("n"))
+    grid = (
+        counts.groupBy("event_type")
+        .agg(F.min("hour_id").alias("lo"), F.max("hour_id").alias("hi"))
+        .filter(F.col("hi") > F.col("lo"))
+        .select(
+            "event_type", F.explode(F.sequence("lo", "hi")).alias("hour_id")
+        )
+    )
+    xs = (
+        grid.join(counts, ["event_type", "hour_id"], "left")
+        .select(
+            "event_type",
+            "hour_id",
+            F.coalesce("n", F.lit(0)).cast("double").alias("xv"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(hour_id, xv))), "
+                "e -> e.xv)"
+            ).alias("xs")
+        )
+    )
+    upd = lambda acc, x: F.struct(  # noqa: E731 — the Holt update step
+        (F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])).alias("l"),
+        (
+            F.lit(0.3)
+            * ((F.lit(0.5) * x + F.lit(0.5) * (acc["l"] + acc["b"])) - acc["l"])
+            + F.lit(0.7) * acc["b"]
+        ).alias("b"),
+    )
+    fin = xs.select(
+        "event_type",
+        F.aggregate(
+            F.slice(F.col("xs"), F.lit(2), F.size("xs") - 1),
+            F.struct(
+                F.element_at("xs", 1).alias("l"),
+                (F.element_at("xs", 2) - F.element_at("xs", 1)).alias("b"),
+            ),
+            upd,
+        ).alias("st"),
+    )
+    return fin.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(1), F.lit(24))).alias("h"),
+        F.col("st.l").alias("l"),
+        F.col("st.b").alias("b"),
+    ).select(
+        "event_type",
+        F.col("h").cast("int").alias("h"),
+        F.round("l", 6).alias("level"),
+        F.round("b", 6).alias("trend"),
+        F.round(F.col("l") + F.col("h").cast("double") * F.col("b"), 6).alias(
+            "forecast_n_events"
+        ),
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401

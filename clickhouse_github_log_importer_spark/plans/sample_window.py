@@ -135,6 +135,9 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "embedding_covariance",       # r9 NEW: exact-integer Gram pass
     "embedding_pca_power",        # r9 NEW: unrolled power iteration
     "embedding_pca_projection",   # r9 NEW: order-deterministic projection
+    "bpe_merge_table",            # r9 NEW: distributed BPE merge learning
+    "bpe_token_counts",           # r9 NEW: BPE apply via broadcast lookup
+    "holt_linear_forecast",       # r9 NEW: Holt trend fold + 24h fan
     # --- re-verification: the 8 displaced entries the verdict queued ---
     "record_count",
     "events_per_type",
@@ -177,9 +180,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "daily_running_totals",
     "region_nation_rollup",
     "order_status_cube",
-    "platform_union_counts",
-    "user_sessions",
-    "value_percentiles",
 )
 
 

@@ -1188,3 +1188,44 @@ def test_pca_projection_is_shuffle_free(spark, sf_smoke):
     assert t.count("Exchange") == 0
     assert t.count("Join") == 0
     assert "MapInPandas" not in t and "EvalPython" not in t
+
+
+def test_holt_fold_calendar_bounded_no_window(spark, sf_smoke):
+    # (r9) Holt linear trend: the fold runs over the per-type collected
+    # series AFTER the (type, hour) aggregation — calendar-bounded —
+    # with the forecast fan as one Generate. No window functions, no
+    # Python, and the gap-fill grid comes from aggregated spans (two
+    # Generates total: grid explode + forecast fan), never raw rows.
+    p = explain(spark, "holt_linear_forecast", sf_smoke)
+    assert "Window" not in tree(p)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert tree(p).count("Generate") == 2
+    assert "CartesianProduct" not in tree(p)
+
+
+def test_bpe_word_vocab_single_scan_mapside(spark, sf_smoke):
+    # (r9) BPE step 0 (the only corpus-scale job): one documents scan,
+    # one keyed exchange with map-side partial aggregation, zero Python
+    from clickhouse_github_log_importer_spark.operators import bpe as B
+    from clickhouse_github_log_importer_spark.plans.queries import t
+
+    df = B.word_vocab(t(spark, sf_smoke, "documents"))
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = qe.explainString(mode)
+    assert tree(p).count("Scan parquet") == 1
+    assert tree(p).count("Exchange") == 1
+    assert tree(p).count("HashAggregate") == 2  # partial + final
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_bpe_apply_is_broadcast_lookup_one_doc_shuffle(spark, sf_smoke):
+    # (r9) tokenization = broadcast vocab lookup: the doc-side path is
+    # explode -> BroadcastHashJoin -> one doc_id-keyed aggregation; no
+    # sort-merge join, no (doc_id, word) pre-shuffle, no Python
+    p = explain(spark, "bpe_token_counts", sf_smoke)
+    assert "BroadcastHashJoin" in tree(p)
+    assert "SortMergeJoin" not in tree(p)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
