@@ -3429,3 +3429,137 @@ def bpe_token_counts(spark, sf_dir):
         F.sum(F.length("word")).cast("long").alias("n_word_chars"),
         F.sum("tok").cast("long").alias("n_tokens"),
     )
+
+
+ZIPF_TOP = 1000
+
+
+@register(
+    "zipf_fit_words",
+    f"""
+    WITH wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY 1
+    ),
+    rk AS (
+      SELECT word, cnt,
+             row_number() OVER (ORDER BY cnt DESC, word ASC) AS rnk
+      FROM wc QUALIFY rnk <= {ZIPF_TOP}
+    ),
+    pts AS (
+      SELECT rnk, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+      FROM rk
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x ORDER BY rnk) AS sx,
+             SUM(y ORDER BY rnk) AS sy,
+             SUM(x * y ORDER BY rnk) AS sxy,
+             SUM(x * x ORDER BY rnk) AS sxx,
+             SUM(y * y ORDER BY rnk) AS syy
+      FROM pts
+    )
+    SELECT n AS n_words,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / CAST(n AS DOUBLE), 6) AS intercept,
+           round(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r_squared
+    FROM m
+    """,
+    tags=("text", "corpus-stats", "llm-pipeline"),
+    doc="Zipf's-law fit over the word-frequency histogram: OLS of "
+    "ln(count) on ln(rank) for the top-1000 words (slope ~ -1 on "
+    "natural language; a bent or shallow slope is the classic "
+    "boilerplate/spam alarm next to vocab_growth_curve's Heaps "
+    "audit). Float parity by ORDERED ACCUMULATION (the "
+    "embedding_pca_projection precedent): the five OLS moments "
+    "accumulate in rank order on both engines — Spark folds a sorted "
+    "collected array (bounded: top-1000), DuckDB uses "
+    "SUM(.. ORDER BY rnk) — so the doubles agree bit-for-bit before "
+    "the 6 dp round. Scale shape: ONE map-side-combined word count "
+    "(the vocabulary, bounded by language), ranking + fold on the "
+    "top-1000 rows only.",
+)
+def zipf_fit_words(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    # unpartitioned window over the AGGREGATED bounded vocabulary —
+    # never raw rows (the top_k_weighted / equidepth contract)
+    rk = (
+        wc.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("word"))
+            ).cast("long"),
+        )
+        .filter(F.col("rnk") <= ZIPF_TOP)
+        .select(
+            "rnk",
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
+    )
+    pts = rk.groupBy().agg(
+        F.expr(
+            "sort_array(collect_list(struct(rnk, x, y)))"
+        ).alias("pts")
+    )
+    zero = F.lit(0.0)
+    fold = F.aggregate(
+        F.col("pts"),
+        F.struct(
+            zero.alias("sx"), zero.alias("sy"), zero.alias("sxy"),
+            zero.alias("sxx"), zero.alias("syy"),
+        ),
+        lambda a, p: F.struct(
+            (a["sx"] + p["x"]).alias("sx"),
+            (a["sy"] + p["y"]).alias("sy"),
+            (a["sxy"] + p["x"] * p["y"]).alias("sxy"),
+            (a["sxx"] + p["x"] * p["x"]).alias("sxx"),
+            (a["syy"] + p["y"] * p["y"]).alias("syy"),
+        ),
+    )
+    m = pts.select(
+        F.size("pts").cast("long").alias("n"), fold.alias("m")
+    ).select(
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("m.sx").alias("sx"), F.col("m.sy").alias("sy"),
+        F.col("m.sxy").alias("sxy"), F.col("m.sxx").alias("sxx"),
+        F.col("m.syy").alias("syy"),
+    )
+    slope = (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").alias("n_words"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("nd"), 6
+        ).alias("intercept"),
+        F.round(
+            (
+                (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                * (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            )
+            / (
+                (F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("nd") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r_squared"),
+    )

@@ -10395,6 +10395,79 @@ def holt_linear_forecast(spark, sf_dir):
     )
 
 
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH s AS (SELECT user_id, min(epoch_us(ts)) AS s_us FROM events
+               WHERE event_type = 'signup' GROUP BY 1),
+    p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+          FROM events e JOIN s USING (user_id)
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.s_us
+          GROUP BY 1),
+    l AS (SELECT (p.p_us - s.s_us) // 1000000 AS lat
+          FROM p JOIN s USING (user_id))
+    SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup_users,
+           CAST(count(*) AS BIGINT) AS n_converted,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM s), 6) AS conversion_rate,
+           round(quantile_cont(lat, 0.5), 4) AS p50_sec,
+           round(quantile_cont(lat, 0.9), 4) AS p90_sec,
+           round(quantile_cont(lat, 0.99), 4) AS p99_sec
+    FROM l
+    """,
+    tags=("funnel", "behavioral", "timeseries"),
+    doc="Time-to-convert distribution: per user, the latency from the "
+    "FIRST signup to the first purchase strictly after it, summarized "
+    "as exact interpolated percentiles plus the conversion rate — the "
+    "latency companion to event_funnel_conversion's reach counts "
+    "(how LONG conversion takes, not just whether it happens). "
+    "Latencies are exact integer seconds (epoch-us difference, "
+    "truncating div). Scale shape: two type-filtered per-user "
+    "aggregations and one user-keyed join (signup side is |users|, so "
+    "it stays a shuffled hash join under AQE — broadcasting a "
+    "data-growing side is the probe-caught trap); the percentile runs "
+    "over one latency per converted user — at 100 TB swap "
+    "approx_percentile with the same call shape (the "
+    "value_percentiles contract).",
+)
+def funnel_time_to_convert(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("s_us"))
+    )
+    lat = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts_us") > F.col("s_us"))
+        .groupBy("user_id", "s_us")
+        .agg(F.min("ts_us").alias("p_us"))
+        .select(
+            # integer div — a double quotient could round UP across an
+            # integer boundary before the cast truncates
+            F.expr("(p_us - s_us) div 1000000").alias("lat")
+        )
+    )
+    stats = lat.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(lat, 0.5)"), 4).alias("p50_sec"),
+        F.round(F.expr("percentile(lat, 0.9)"), 4).alias("p90_sec"),
+        F.round(F.expr("percentile(lat, 0.99)"), 4).alias("p99_sec"),
+    )
+    nsu = s.agg(F.count("*").cast("long").alias("n_signup_users"))
+    return nsu.crossJoin(stats).select(
+        "n_signup_users",
+        "n_converted",
+        F.round(
+            F.col("n_converted").cast("double") / F.col("n_signup_users"), 6
+        ).alias("conversion_rate"),
+        "p50_sec",
+        "p90_sec",
+        "p99_sec",
+    )
+
+
 # Training-data pipeline queries register themselves on import (uses the
 # register/t defined above; import must stay at module bottom).
 from . import dataops  # noqa: E402,F401

@@ -138,6 +138,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "bpe_merge_table",            # r9 NEW: distributed BPE merge learning
     "bpe_token_counts",           # r9 NEW: BPE apply via broadcast lookup
     "holt_linear_forecast",       # r9 NEW: Holt trend fold + 24h fan
+    "zipf_fit_words",             # r9 NEW: ordered-accumulation OLS fit
+    "funnel_time_to_convert",     # r9 NEW: conversion-latency percentiles
     # --- re-verification: the 8 displaced entries the verdict queued ---
     "record_count",
     "events_per_type",
@@ -178,8 +180,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "order_priority_counts",
     "top_events_per_user",
     "daily_running_totals",
-    "region_nation_rollup",
-    "order_status_cube",
 )
 
 

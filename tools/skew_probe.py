@@ -122,6 +122,10 @@ DOC_QUERIES = [
     # per-hash source sets with in-row pair explode; the mega-source
     # must not reintroduce a doc-pair expansion anywhere
     "source_overlap_matrix",
+    # r9: BPE apply — word-keyed broadcast lookup + doc_id-keyed agg;
+    # a mega-source changes neither the vocabulary nor the per-doc
+    # bound, so this must be dead flat
+    "bpe_token_counts",
 ]
 
 
