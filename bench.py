@@ -219,9 +219,14 @@ def wait_for_idle_host(
     # gate on load1 AND load5: a decaying load1 crosses the threshold
     # while background flush/page-cache churn from the just-finished job
     # is still active (measured: load1 1.8 / load5 6.8 at gate pass ->
-    # 204.6 s vs 168.1 s on the same suite truly idle, a 22% phantom)
+    # 204.6 s vs 168.1 s on the same suite truly idle, a 22% phantom).
+    # r9 tightened the load5 limit 2x -> 1.25x: a run admitted at
+    # load1 1.6 / load5 5.1 (under the old 2x = 6.4 limit) right after
+    # a 27-min pytest still measured 268 s vs the 190 s idle canonical
+    # and a 136% ingest spread — load5 near the core-count tenth is the
+    # contamination signal, not twice it
     def busy(l1: float, l5: float) -> bool:
-        return l1 > threshold or l5 > 2 * threshold
+        return l1 > threshold or l5 > 1.25 * threshold
 
     t0 = _t.monotonic()
     initial = os.getloadavg()
@@ -229,7 +234,7 @@ def wait_for_idle_host(
     while busy(l1, l5) and _t.monotonic() - t0 < timeout_s:
         print(
             f"# bench load gate: host busy (load1={l1:.1f}, "
-            f"load5={l5:.1f}; need <= {threshold}/{2 * threshold}) — "
+            f"load5={l5:.1f}; need <= {threshold}/{1.25 * threshold}) — "
             "waiting for idle...",
             file=sys.stderr,
         )
