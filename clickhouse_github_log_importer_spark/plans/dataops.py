@@ -3274,6 +3274,26 @@ def embedding_pca_projection(spark, sf_dir):
 
 BPE_MERGES = 8
 
+#: learned-merge-table memo, keyed by (documents fingerprint, merges) —
+#: the kmeans fitted-codebook precedent (_KM_CENTS): the fit is
+#: bit-deterministic, so the merge table is a reusable model artifact
+#: shared by the train and apply entries per process instead of
+#: refitting (8 vocab jobs + collects) per query. The fingerprint
+#: (path, mtime, size) invalidates on table regeneration; the SQL
+#: oracle always refits from the data, so a stale memo would break
+#: parity loudly, never silently.
+_BPE_TABLES: dict[tuple, list] = {}
+
+
+def _bpe_table(spark, docs, sf_dir):
+    from ..operators import bpe as BPE
+    from .queries import table_fingerprint
+
+    key = (table_fingerprint(sf_dir, "documents"), BPE_MERGES)
+    if key not in _BPE_TABLES:
+        _BPE_TABLES[key] = BPE.bpe_fit(docs, merges=BPE_MERGES)
+    return _BPE_TABLES[key]
+
 
 def _bpe_ctes(merges: int = BPE_MERGES) -> str:
     """Unrolled BPE training CTEs: one (pairs -> best -> rewrite) trio
@@ -3359,8 +3379,7 @@ def bpe_merge_table(spark, sf_dir):
     from ..operators import bpe as BPE
 
     docs = _spread(spark, t(spark, sf_dir, "documents"))
-    table = BPE.bpe_fit(docs, merges=BPE_MERGES)
-    return BPE.merge_table_df(spark, table)
+    return BPE.merge_table_df(spark, _bpe_table(spark, docs, sf_dir))
 
 
 def _bpe_apply_oracle(merges: int = BPE_MERGES) -> str:
@@ -3414,7 +3433,7 @@ def bpe_token_counts(spark, sf_dir):
     from ..operators import bpe as BPE
 
     docs = _spread(spark, t(spark, sf_dir, "documents"))
-    table = BPE.bpe_fit(docs, merges=BPE_MERGES)
+    table = _bpe_table(spark, docs, sf_dir)
     vocab_n = BPE.bpe_vocab_after(docs, table).select(
         "word", F.size("tokens").cast("long").alias("tok")
     )
