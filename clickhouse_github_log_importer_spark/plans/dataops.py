@@ -3285,6 +3285,19 @@ BPE_MERGES = 8
 _BPE_TABLES: dict[tuple, list] = {}
 
 
+def clear_model_memos() -> None:
+    """Drop every process-level fitted-model memo (BPE merge tables,
+    k-means codebooks, IVF coarse quantizers). Measurement tooling calls
+    this between timed repeats of the TRAIN-side entries so a probe of
+    e.g. ``bpe_merge_table`` times the distributed fit, not a dict
+    lookup (ADVICE r9: min-of-2 with a warm memo keeps the memo hit and
+    makes the scaling verdict vacuous). Production code never needs it —
+    the fingerprint keys already invalidate on data change."""
+    _BPE_TABLES.clear()
+    _KM_CENTS.clear()
+    _IVF_CB.clear()
+
+
 def _bpe_table(spark, docs, sf_dir):
     from ..operators import bpe as BPE
     from .queries import table_fingerprint
@@ -3472,12 +3485,18 @@ ZIPF_TOP = 1000
       FROM rk
     ),
     m AS (
+      -- explicit sequential left fold over rank-ordered lists: DuckDB
+      -- documents ORDER BY inside an aggregate but does NOT guarantee
+      -- sequential accumulation for commutative aggregates across
+      -- versions/thread counts; list_reduce pins the order by
+      -- construction (ADVICE r9), matching Spark's F.aggregate fold
+      -- (the 0.0 + x1 seed is exact: both series are non-negative)
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             SUM(x ORDER BY rnk) AS sx,
-             SUM(y ORDER BY rnk) AS sy,
-             SUM(x * y ORDER BY rnk) AS sxy,
-             SUM(x * x ORDER BY rnk) AS sxx,
-             SUM(y * y ORDER BY rnk) AS syy
+             list_reduce(list(x ORDER BY rnk), (a, b) -> a + b) AS sx,
+             list_reduce(list(y ORDER BY rnk), (a, b) -> a + b) AS sy,
+             list_reduce(list(x * y ORDER BY rnk), (a, b) -> a + b) AS sxy,
+             list_reduce(list(x * x ORDER BY rnk), (a, b) -> a + b) AS sxx,
+             list_reduce(list(y * y ORDER BY rnk), (a, b) -> a + b) AS syy
       FROM pts
     )
     SELECT n AS n_words,
@@ -3501,9 +3520,14 @@ ZIPF_TOP = 1000
     "embedding_pca_projection precedent): the five OLS moments "
     "accumulate in rank order on both engines — Spark folds a sorted "
     "collected array (bounded: top-1000), DuckDB uses "
-    "SUM(.. ORDER BY rnk) — so the doubles agree bit-for-bit before "
-    "the 6 dp round. Scale shape: ONE map-side-combined word count "
-    "(the vocabulary, bounded by language), ranking + fold on the "
+    "DuckDB list_reduce over a rank-ordered list (an explicit "
+    "sequential fold — SUM(.. ORDER BY) does not guarantee "
+    "accumulation order for commutative aggregates) — so the doubles "
+    "agree bit-for-bit before the 6 dp round. Scale shape: ONE "
+    "map-side-combined word count, then an EXACT bucketed pre-top-K "
+    "(per-hash-bucket row_number over B tasks) so the global rank "
+    "window reads <= B * 1000 rows by construction even on a "
+    "web-scale vocabulary (URLs/typos/code), ranking + fold on the "
     "top-1000 rows only.",
 )
 def zipf_fit_words(spark, sf_dir):
@@ -3516,10 +3540,30 @@ def zipf_fit_words(spark, sf_dir):
         .groupBy("word")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
-    # unpartitioned window over the AGGREGATED bounded vocabulary —
-    # never raw rows (the top_k_weighted / equidepth contract)
-    rk = (
+    # bucketed pre-top-K (r10): a web-scale corpus (URLs, typos, code)
+    # breaks the "language-bounded vocabulary" assumption, so the global
+    # rank must never see the raw vocab. Every global top-K word is in
+    # its hash bucket's top-K, so the per-bucket row_number (distributed
+    # over B tasks) is an EXACT prefilter; the unpartitioned window then
+    # reads <= B * ZIPF_TOP rows by construction, whatever the corpus.
+    n_buckets = spark.sparkContext.defaultParallelism
+    pre = (
         wc.withColumn(
+            "_b", F.pmod(F.xxhash64("word"), F.lit(n_buckets))
+        )
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("_b").orderBy(
+                    F.desc("cnt"), F.asc("word")
+                )
+            ),
+        )
+        .filter(F.col("_pr") <= ZIPF_TOP)
+        .drop("_b", "_pr")
+    )
+    rk = (
+        pre.withColumn(
             "rnk",
             F.row_number().over(
                 Window.orderBy(F.desc("cnt"), F.asc("word"))

@@ -10335,7 +10335,15 @@ def top_k_weighted_types_daily(spark, sf_dir):
 def holt_linear_forecast(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     counts = ev.groupBy(
-        "event_type", F.expr("ts_us div 3600000000").alias("hour_id")
+        "event_type",
+        # FLOOR division to match the oracle's `//` on pre-epoch
+        # (negative) timestamps too — `div` truncates toward zero, which
+        # would shift the whole gap-filled grid by one bucket. Integer
+        # floor-div via pmod keeps the arithmetic exact (a double
+        # quotient could round across the boundary before F.floor).
+        F.expr("(ts_us - pmod(ts_us, 3600000000)) div 3600000000").alias(
+            "hour_id"
+        ),
     ).agg(F.count("*").alias("n"))
     grid = (
         counts.groupBy("event_type")
@@ -10409,7 +10417,8 @@ def holt_linear_forecast(spark, sf_dir):
     SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_signup_users,
            CAST(count(*) AS BIGINT) AS n_converted,
            round(CAST(count(*) AS DOUBLE)
-                 / (SELECT count(*) FROM s), 6) AS conversion_rate,
+                 / NULLIF((SELECT count(*) FROM s), 0), 6)
+             AS conversion_rate,
            round(quantile_cont(lat, 0.5), 4) AS p50_sec,
            round(quantile_cont(lat, 0.9), 4) AS p90_sec,
            round(quantile_cont(lat, 0.99), 4) AS p99_sec
@@ -10459,8 +10468,13 @@ def funnel_time_to_convert(spark, sf_dir):
     return nsu.crossJoin(stats).select(
         "n_signup_users",
         "n_converted",
+        # NULLIF guard: a corpus with zero signup users yields NULL (not
+        # NaN) on BOTH engines, so the entry is well-defined without the
+        # funnel event types (ADVICE r9)
         F.round(
-            F.col("n_converted").cast("double") / F.col("n_signup_users"), 6
+            F.col("n_converted").cast("double")
+            / F.expr("NULLIF(n_signup_users, 0)"),
+            6,
         ).alias("conversion_rate"),
         "p50_sec",
         "p90_sec",

@@ -37,6 +37,19 @@ def test_zipf_matches_numpy_lstsq(spark):
     assert row["zipf_slope"] < 0
 
 
+def test_zipf_global_rank_window_input_is_bounded(spark):
+    """Plan gate (r10): the unpartitioned rank window must read the
+    bucketed pre-top-K, never the raw vocabulary — the physical plan
+    carries TWO row_number windows with a rank filter between them, so
+    the single-task global sort is <= B * ZIPF_TOP rows by construction
+    on any corpus."""
+    df = REGISTRY["zipf_fit_words"].spark(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("row_number()") >= 2, plan
+    # the per-bucket prefilter sits between the two windows
+    assert "_pr" in plan and "_b" in plan, plan
+
+
 def test_funnel_latency_matches_bruteforce(spark):
     rows = (
         t(spark, SF, "events")
