@@ -30,7 +30,8 @@ Semantics — each pinned in pytest and MIGRATION.md:
   events are invisible. Position DP over the skew-safe ranked stream.
 - ``sequence_count``: ClickHouse countAll RESTART semantics (greedy
   non-overlapping chains); time-bounded patterns dispatch to the timed
-  automaton ('<' violation restarts, '>' violation waits).
+  automaton ('<' violation restarts, '>' violation waits) — under
+  adjacency, to the timed-adjacency product automaton (r10).
 """
 
 from __future__ import annotations
@@ -101,19 +102,22 @@ def sequence_count(
     untimed FST-composition automaton; patterns with '<'/'<='/'>'/'>='
     edges dispatch to the timed automaton (pinned greedy rules: an
     upper-bound violation restarts at the violating event, a
-    lower-bound violation waits for a later candidate); '(?t==T)'
-    raises. ``semantics='adjacency'``: the ClickHouse-exact reading —
-    bare edges require consecutive positions among declared-condition
-    events, '.*' separates words (KMP search DFA, non-overlapping
-    leftmost); time edges raise there.
+    lower-bound violation waits for a later candidate).
+    ``semantics='adjacency'``: the ClickHouse-exact reading — bare
+    edges require consecutive positions among declared-condition
+    events, '.*' and time edges separate words (KMP search DFA,
+    non-overlapping leftmost); time-bounded patterns dispatch to the
+    timed-adjacency PRODUCT automaton (r10: gates at the occurrence's
+    true start, '<' restart / '>' wait / '==' exact).
 
     >>> sequence_count(ev, "(?1)(?3)", ("signup", "click", "purchase"))
     >>> sequence_count(ev, "(?1)(?t>3600)(?2)", ("signup", "click"))
-    >>> sequence_count(ev, "(?1)(?2)", ("signup", "click", "view"),
-    ...                semantics="adjacency")
+    >>> sequence_count(ev, "(?1)(?t<3600)(?2)", ("signup", "click",
+    ...                "view"), semantics="adjacency")
     """
     from ..plans.queries import (
         _parse_seq_pattern,
+        _sequence_count_adjacent_timed_users,
         _sequence_count_adjacent_users,
         _sequence_count_timed_users,
         _sequence_count_users,
@@ -124,6 +128,7 @@ def sequence_count(
             f"unknown semantics {semantics!r}; one of {SEQUENCE_SEMANTICS}"
         )
     _, edges = _parse_seq_pattern(pattern)
+    timed = any(e is not None for e in edges)
     ev = _normalized(events)
     if "event_id" not in ev.columns:
         raise ValueError(
@@ -132,10 +137,14 @@ def sequence_count(
         )
     spark = events.sparkSession
     if semantics == "adjacency":
+        if timed:
+            return _sequence_count_adjacent_timed_users(
+                spark, None, pattern, conds=conds, events=ev
+            )
         return _sequence_count_adjacent_users(
             spark, None, pattern, conds=conds, events=ev
         )
-    if any(e is not None for e in edges):
+    if timed:
         return _sequence_count_timed_users(
             spark, None, pattern, conds=conds, events=ev
         )

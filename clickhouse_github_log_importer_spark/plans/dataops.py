@@ -3395,6 +3395,34 @@ def bpe_merge_table(spark, sf_dir):
     return BPE.merge_table_df(spark, _bpe_table(spark, docs, sf_dir))
 
 
+@register(
+    "bpe_merge_table_incremental",
+    _bpe_oracle(),
+    tags=("tokenizer", "bpe", "text"),
+    doc="BPE merge learning with INCREMENTALLY MAINTAINED pair counts "
+    "(r10; the classic delta update a real 32k-merge trainer needs — "
+    "only pairs overlapping the merged pair change): per step, argmax "
+    "the persisted pair-count table, rewrite ONLY the words containing "
+    "the winning pair (a predicate scan of the in-memory vocabulary, "
+    "no shuffle for the untouched rest), and fold the (new − old) "
+    "pair-count delta of those words into the table — the per-step "
+    "shuffle is delta-sized, not vocabulary-sized, while the "
+    "single-row argmax collect remains the loop head exactly as in "
+    "every production trainer. Integer arithmetic end-to-end makes "
+    "the maintained counts equal a full recount EXACTLY, so the "
+    "learned table is bit-identical to bpe_merge_table's "
+    "(pytest-pinned; the oracle is the same DuckDB refit). Library "
+    "surface: operators/bpe.py::bpe_fit_incremental.",
+)
+def bpe_merge_table_incremental(spark, sf_dir):
+    from ..operators import bpe as BPE
+
+    docs = _spread(spark, t(spark, sf_dir, "documents"))
+    return BPE.merge_table_df(
+        spark, BPE.bpe_fit_incremental(docs, merges=BPE_MERGES)
+    )
+
+
 def _bpe_apply_oracle(merges: int = BPE_MERGES) -> str:
     """Apply-side oracle: per-word token counts from the final
     vocabulary generation, joined back to per-document word counts —

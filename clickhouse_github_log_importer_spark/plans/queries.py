@@ -8695,10 +8695,12 @@ def _sequence_count_timed_users(
     (r9): an expected event with gap <= T is SKIPPED (state and carried
     timestamp unchanged — a later candidate can only have a larger gap,
     so waiting strictly dominates restarting), and the chain advances
-    at the first expected event with gap > T. ``(?t<=T)`` reduces to
-    ``(?t<T+1us)`` and ``(?t>=T)`` to ``(?t>T-1us)`` exactly on
-    integer-microsecond timestamps; ``(?t==T)`` is not pinned and
-    raises.
+    at the first expected event with gap > T. At a state whose inbound
+    edge is ('==', T) the rule composes both (r10): an undershot
+    expected event (gap < T) WAITS, an overshot one (gap > T) RESTARTS
+    — the first expected event with gap >= T decides, locking on exact
+    equality. ``(?t<=T)`` reduces to ``(?t<T+1us)`` and ``(?t>=T)`` to
+    ``(?t>T-1us)`` exactly on integer-microsecond timestamps.
 
     Why this still distributes: the per-slice transfer function has
     domain (entry_state, carried t_prev), and is a STEP FUNCTION of
@@ -8735,11 +8737,10 @@ def _sequence_count_timed_users(
         for e in edges
     ]
     for e in edges:
-        if e is not None and e[0] not in ("<", ">"):
-            raise ValueError(
+        if e is not None and e[0] not in ("<", ">", "=="):
+            raise ValueError(  # unreachable after the <=/>= reduction
                 f"sequence_count_timed: (?t{e[0]}T) edges are not "
-                "pinned under restart semantics; the existence-"
-                "semantics compiler covers the other operators"
+                "pinned under restart semantics"
             )
     bad = [i for i in steps if i > len(conds)]
     if bad:
@@ -8783,9 +8784,10 @@ def _sequence_count_timed_users(
 
             def run(p, s, t_prev):
                 # concrete scan from after index p; t_prev concrete.
-                # '<' violated -> restart at the event (re-anchor iff
-                # its condition is condition 1); '>' violated -> SKIP
-                # the event and keep waiting (r9).
+                # '<' violated (or '==' overshot) -> restart at the
+                # event (re-anchor iff its condition is condition 1);
+                # '>' violated (or '==' undershot) -> SKIP the event
+                # and keep waiting (r9/r10).
                 cnt = 0
                 while True:
                     arr = pos[types[s]]
@@ -8794,17 +8796,20 @@ def _sequence_count_timed_users(
                         return s, t_prev, cnt
                     i = int(arr[j])
                     e = edges[s - 1] if s >= 1 else None
+                    gap = int(sts[i]) - t_prev
                     if (
                         e is None
-                        or (e[0] == "<" and int(sts[i]) - t_prev < e[1])
-                        or (e[0] == ">" and int(sts[i]) - t_prev > e[1])
+                        or (e[0] == "<" and gap < e[1])
+                        or (e[0] == ">" and gap > e[1])
+                        or (e[0] == "==" and gap == e[1])
                     ):
                         s += 1
                         t_prev = int(sts[i])
                         if s == k_states:
                             cnt += 1
                             s = 0
-                    elif e[0] == "<":  # dead chain: restart at event
+                    elif e[0] == "<" or (e[0] == "==" and gap > e[1]):
+                        # dead chain: restart at event
                         if types[s] == types[0]:
                             s, t_prev = 1, int(sts[i])
                             if k_states == 1:
@@ -8812,7 +8817,7 @@ def _sequence_count_timed_users(
                                 s = 0
                         else:
                             s = 0
-                    # else '>' violated: wait (state, t_prev unchanged)
+                    # else too early: wait (state, t_prev unchanged)
                     p = i
 
             def advance_from(entry, j0):
@@ -8823,6 +8828,18 @@ def _sequence_count_timed_users(
                     c_hi, s_hi = 1, 0
                 s1, t1, c1 = run(j0, s_hi, t_hi)
                 return s1, t1, c_hi + c1
+
+            def restart_from(entry, j0):
+                # outcome of a dead-chain RESTART at event index j0
+                # (re-anchor iff its condition equals condition 1)
+                if types[entry] == types[0]:
+                    s_lo, t_lo, c_lo = 1, int(sts[j0]), 0
+                    if k_states == 1:
+                        c_lo, s_lo = 1, 0
+                else:
+                    s_lo, t_lo, c_lo = 0, _SEQ_TIMED_SENT, 0
+                s2, t2, c2 = run(j0, s_lo, t_lo)
+                return s2, t2, c_lo + c2
 
             # per entry state: a step function of entry t_prev —
             # pieces[i] applies when exactly i breaks are < t_prev
@@ -8849,18 +8866,32 @@ def _sequence_count_timed_users(
                     # one threshold at the first expected event:
                     # advance iff t_prev > ts0 - T, else restart there
                     j0 = int(arr[0])
-                    if types[entry] == types[0]:
-                        s_lo, t_lo, c_lo = 1, int(sts[j0]), 0
-                        if k_states == 1:
-                            c_lo, s_lo = 1, 0
-                    else:
-                        s_lo, t_lo, c_lo = 0, _SEQ_TIMED_SENT, 0
-                    s2, t2, c2 = run(j0, s_lo, t_lo)
                     pieces = [
-                        (s2, t2, c_lo + c2),  # t_prev <= ts0 - T
+                        restart_from(entry, j0),  # t_prev <= ts0 - T
                         advance_from(entry, j0),  # t_prev > ts0 - T
                     ]
                     breaks = [int(sts[j0]) - e[1]]
+                elif e[0] == "==":
+                    # exact offset (r10): scanning expected events in
+                    # order, the FIRST with gap >= T decides — lock on
+                    # equality, restart past it, wait below. Pieces
+                    # alternate restart intervals with single-point
+                    # locks at t_prev == ts_j - T (integer micros make
+                    # the point the interval (ts_j-T-1, ts_j-T]); the
+                    # tail (every event too early) waits out the slice.
+                    # Equal-ts runs collapse to their first event.
+                    uniq: list = []
+                    for j0 in arr:
+                        if not uniq or int(sts[int(j0)]) != uniq[-1][1]:
+                            uniq.append((int(j0), int(sts[int(j0)])))
+                    pieces = []
+                    breaks = []
+                    for j0, ts0 in uniq:
+                        pieces.append(restart_from(entry, j0))
+                        breaks.append(ts0 - e[1] - 1)
+                        pieces.append(advance_from(entry, j0))
+                        breaks.append(ts0 - e[1])
+                    pieces.append((entry, None, 0))
                 else:
                     # '>' wait-until-satisfied: the automaton advances
                     # at the FIRST expected event with ts > t_prev + T,
@@ -8901,15 +8932,25 @@ def _sequence_count_timed_users(
         "user_id long, brk array<array<long>>, exs array<array<int>>, "
         "ext array<array<long>>, exd array<array<long>>, _sl int",
     )
+    return _piecewise_fold_counts(funcs)
 
+
+def _piecewise_fold_counts(funcs):
+    """Fold per-slice piecewise transfer-function rows (user_id, brk,
+    exs, ext, exd, _sl) into per-user match counts: acc = (state,
+    carried t_prev, count); per slice the piece index is the number of
+    breaks strictly below the carried t_prev (breaks ascending; tiny
+    compressed arrays, re-filtered per field — the operands are
+    lambda-variable fields, cheap under the HOF rule); a null exit
+    timestamp carries the entry t_prev through. Shared by
+    _sequence_count_timed_users and the timed-adjacency product
+    automaton (identical algebra, different transfer construction)."""
     folded = funcs.groupBy("user_id").agg(
         F.sort_array(
             F.collect_list(F.struct("_sl", "brk", "exs", "ext", "exd"))
         ).alias("_fs")
     )
-    # piece index = number of breaks strictly below the carried t_prev
-    # (breaks ascending; tiny compressed arrays, re-filtered per field —
-    # the operands are lambda-variable fields, cheap under the HOF rule)
+
     def _piece(x, acc, field):
         idx = F.size(
             F.filter(
@@ -8942,6 +8983,10 @@ _SEQ_COUNT_TIMED_PATTERNS = (
     # r9: lower-bound (wait-until-satisfied) edges
     "(?1)(?t>43200)(?2)",
     "(?1)(?t>3600)(?2)(?t<86400)(?3)",
+    # r10: exact-offset edge (undershot waits, overshot restarts) —
+    # near-certainly 0 matches on continuous-microsecond data (both
+    # engines agree); the bite is pinned on constructed fixtures
+    "(?1)(?t==86400)(?2)",
 )
 
 
@@ -8981,7 +9026,7 @@ def _seq_count_timed_oracle() -> str:
             cond = (
                 "TRUE"
                 if e is None
-                else f"nx.tu - tt.tp {e[0]} {e[1]}"
+                else f"nx.tu - tt.tp {'=' if e[0] == '==' else e[0]} {e[1]}"
             )
             ok_whens.append(f"WHEN {s} THEN {cond}")
         ok = f"CASE tt.s {' '.join(ok_whens)} END"
@@ -8990,13 +9035,26 @@ def _seq_count_timed_oracle() -> str:
             e = edges[s - 1] if s >= 1 else None
             if e is not None and e[0] == ">":
                 return str(s)  # wait: state unchanged
-            return "1" if types[s] == types[0] else "0"
+            anchor_s = "1" if types[s] == types[0] else "0"
+            if e is not None and e[0] == "==":
+                # undershot waits, overshot restarts (r10)
+                return (
+                    f"CASE WHEN nx.tu - tt.tp < {e[1]} "
+                    f"THEN {s} ELSE {anchor_s} END"
+                )
+            return anchor_s
 
         def _violate_tp(s):
             e = edges[s - 1] if s >= 1 else None
             if e is not None and e[0] == ">":
                 return "tt.tp"  # wait: carry unchanged
-            return "nx.tu" if types[s] == types[0] else "tt.tp"
+            anchor_tp = "nx.tu" if types[s] == types[0] else "tt.tp"
+            if e is not None and e[0] == "==":
+                return (
+                    f"CASE WHEN nx.tu - tt.tp < {e[1]} "
+                    f"THEN tt.tp ELSE {anchor_tp} END"
+                )
+            return anchor_tp
 
         anchor = " ".join(
             f"WHEN {s} THEN {_violate_s(s)}" for s in range(k)
@@ -9066,15 +9124,19 @@ def _seq_count_timed_oracle() -> str:
     "at a (?t>T) state the rule is WAIT-UNTIL-SATISFIED: a too-early "
     "expected event is SKIPPED (waiting strictly dominates — a later "
     "candidate can only widen the gap) and the chain advances at the "
-    "first event clearing the bound. (?t<=T)/(?t>=T) reduce exactly "
+    "first event clearing the bound; at a (?t==T) state (r10) the "
+    "rule composes both: an undershot expected event (gap < T) WAITS, "
+    "an overshot one (gap > T) RESTARTS — the first expected event "
+    "with gap >= T decides. (?t<=T)/(?t>=T) reduce exactly "
     "to (?t<T+1us)/(?t>T-1us) on integer-microsecond timestamps "
-    "(boundaries pytest-pinned); (?t==T) raises. Distributes because "
+    "(boundaries pytest-pinned). Distributes because "
     "the per-slice transfer function is a STEP FUNCTION of the "
     "carried timestamp: 2 pieces at a '<' entry state (one threshold "
     "at the first expected event), one piece per candidate "
     "first-advance event at a '>' entry state (breaks ts_j - T, "
-    "adjacent equal outcomes compressed), everything concrete after "
-    "the first advance. Per user the <= n_slices function rows fold "
+    "adjacent equal outcomes compressed), restart intervals "
+    "alternating with single-point locks at a '==' entry state, "
+    "everything concrete after the first advance. Per user the <= n_slices function rows fold "
     "associatively (acc = state, t_prev, count; piece = #breaks "
     "below t_prev; null exit-ts = carry). Oracle: recursive CTE "
     "stepping the same automaton one touch per iteration ('>' "
@@ -9095,23 +9157,37 @@ def sequence_count_timed(spark, sf_dir):
     return out
 
 
-def _seq_count_dfa(pattern: str, conds):
-    """Compile an unconstrained adjacency-aware sequenceCount pattern
-    into the leftmost-search counting DFA: words = maximal runs of
-    adjacent steps; between words '.*' searches; within a word,
-    mismatches fall back via the word's OWN KMP failure function
-    (earlier words are locked in — '.*' re-searches only the current
-    word). Returns (delta, emit): ``delta[q][a]`` is the next state
-    after reading alphabet symbol ``a`` (conds index) in state ``q``
-    (0..L-1, L = total steps), and ``emit[q][a]`` is 1 when that read
-    completes the final word (count one match, restart at 0 — the
-    non-overlapping countAll rule)."""
+def _seq_count_dfa_meta(pattern: str, conds, allow_timed: bool = False):
+    """Compile an adjacency-aware sequenceCount pattern into the
+    leftmost-search counting DFA plus the word metadata the TIMED
+    product automaton needs: words = maximal runs of adjacent steps;
+    between words '.*' (or a time constraint — a constraint is a
+    separator, so every timed edge is a BETWEEN-WORD edge) searches;
+    within a word, mismatches fall back via the word's OWN KMP failure
+    function (earlier words are locked in — '.*' re-searches only the
+    current word).
+
+    Returns a dict with:
+      delta[q][a]   next state reading symbol ``a`` in state ``q``
+                    (0..L-1, L = total steps)
+      emit[q][a]    1 when that read completes the FINAL word
+      complete[q][a]  word index the read completes, else -1
+      w_start[j]    first state of word j;  wlen[j] its length
+      wedge[j]      inbound time edge of word j (None / (op, T_us),
+                    '<='/'>=' reduced to strict on integer micros)
+      wcont[j]      KMP continuation state after a FULL occurrence of
+                    word j is found but rejected (wait semantics):
+                    w_start[j] + prefix_function(full word)
+      w1c[a]        reprocessing symbol ``a`` from state 0 completes
+                    word 0 (single-symbol first word) — restart helper
+    With ``allow_timed=False`` any time edge raises (the untimed
+    entry's contract)."""
     steps, edges, adjacent = _parse_seq_pattern(pattern, with_adjacency=True)
-    if any(e is not None for e in edges):
+    if not allow_timed and any(e is not None for e in edges):
         raise ValueError(
             "sequence_count_adjacent: time-constrained edges are not "
-            "pinned under adjacency counting; sequence_count_timed "
-            "covers timed patterns (existence semantics)"
+            "pinned under adjacency counting; "
+            "sequence_count_adjacent_timed covers them"
         )
     bad = [i for i in steps if i > len(conds)]
     if bad:
@@ -9121,17 +9197,32 @@ def _seq_count_dfa(pattern: str, conds):
         )
     types = [conds[i - 1] for i in steps]
     words: list[list[int]] = [[0]]
+    wedge: list[tuple[str, int] | None] = [None]
     for k in range(1, len(steps)):
         if adjacent[k - 1]:
+            if edges[k - 1] is not None:  # unreachable: timed => separator
+                raise ValueError("timed edge inside an adjacent word")
             words[-1].append(k)
         else:
             words.append([k])
+            e = edges[k - 1]
+            # strict reductions exact on integer-microsecond timestamps
+            if e is not None and e[0] == "<=":
+                e = ("<", e[1] + 1)
+            elif e is not None and e[0] == ">=":
+                e = (">", e[1] - 1)
+            wedge.append(e)
     sym = {c: a for a, c in enumerate(conds)}
     L = len(steps)
-    delta = [[0] * len(conds) for _ in range(L)]
-    emit = [[0] * len(conds) for _ in range(L)]
+    A = len(conds)
+    delta = [[0] * A for _ in range(L)]
+    emit = [[0] * A for _ in range(L)]
+    complete = [[-1] * A for _ in range(L)]
+    w_starts: list[int] = []
+    wcont: list[int] = []
     w_start = 0
-    for w in words:
+    for wi, w in enumerate(words):
+        w_starts.append(w_start)
         word = [sym[types[k]] for k in w]
         # prefix function of the word
         pi = [0] * len(word)
@@ -9140,11 +9231,17 @@ def _seq_count_dfa(pattern: str, conds):
             while g and word[j] != word[g]:
                 g = pi[g - 1]
             pi[j] = g + 1 if word[j] == word[g] else 0
+        # continuation after a rejected full occurrence: longest proper
+        # prefix of the word that is also its suffix (KMP search resume)
+        gfull = pi[-1] if len(word) > 1 else 0
+        wcont.append(w_start + gfull)
         for j in range(len(word)):
             q = w_start + j
-            for a in range(len(conds)):
+            for a in range(A):
                 if a == word[j]:
                     nxt = q + 1
+                    if j == len(word) - 1:
+                        complete[q][a] = wi
                     if nxt == L:
                         emit[q][a] = 1
                         nxt = 0
@@ -9158,7 +9255,27 @@ def _seq_count_dfa(pattern: str, conds):
                     nxt = w_start + (g + 1 if word[g] == a else 0)
                 delta[q][a] = nxt
         w_start += len(word)
-    return delta, emit
+    w1c = [complete[0][a] == 0 for a in range(A)]
+    return {
+        "delta": delta,
+        "emit": emit,
+        "complete": complete,
+        "w_start": w_starts,
+        "wlen": [len(w) for w in words],
+        "wedge": wedge,
+        "wcont": wcont,
+        "w1c": w1c,
+        "n_words": len(words),
+        "L": L,
+    }
+
+
+def _seq_count_dfa(pattern: str, conds):
+    """Untimed counting-DFA view (delta, emit) of
+    :func:`_seq_count_dfa_meta` — the sequence_count_adjacent contract
+    (time edges raise)."""
+    meta = _seq_count_dfa_meta(pattern, conds, allow_timed=False)
+    return meta["delta"], meta["emit"]
 
 
 def _sequence_count_adjacent_users(
@@ -9372,6 +9489,521 @@ def sequence_count_adjacent(spark, sf_dir):
     out = None
     for pat in _SEQ_COUNT_ADJ_PATTERNS:
         c = _sequence_count_adjacent_users(spark, sf_dir, pat).select(
+            F.lit(pat).alias("pattern"),
+            "user_id",
+            F.col("seq_count").cast("long").alias("seq_count"),
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def _adjt_lag_depths(meta) -> list[int]:
+    """Occurrence-start lookbacks the product automaton needs: for each
+    timed-inbound word of length L, the completion event must see the
+    timestamp L-1 declared positions back (the word occupies L
+    CONSECUTIVE declared positions, so the start is a fixed lag)."""
+    return sorted(
+        {
+            meta["wlen"][j] - 1
+            for j in range(meta["n_words"])
+            if meta["wedge"][j] is not None and meta["wlen"][j] >= 2
+        }
+    )
+
+
+def _sequence_count_adjacent_timed_users(
+    spark, sf_dir, pattern: str, conds=_SEQ_CONDS, events=None
+):
+    """sequenceCount with TIME CONSTRAINTS under the REAL adjacency
+    semantics — the product of the KMP counting DFA
+    (:func:`_sequence_count_adjacent_users`) and the timed wait/restart
+    automaton (:func:`_sequence_count_timed_users`). ClickHouse accepts
+    ``sequenceCount('(?1)(?t<3600)(?2)')`` (a time constraint compiles
+    to KleeneStar + a gap check in AggregateFunctionSequenceMatch.h, so
+    every timed edge is a BETWEEN-WORD edge; within a word all edges
+    are bare-adjacent and untimed by construction).
+
+    Pinned product semantics (greedy scan, the documented deviation
+    from ClickHouse's backtracking matcher — same pin as the timed
+    restart automaton): declared-condition events scan per user in
+    (ts, event_id) order and drive the counting DFA. Completing word j
+    whose inbound edge is (op, T) checks ``gap = start(occurrence) -
+    t_prev`` where ``start(occurrence)`` is the timestamp of the
+    occurrence's FIRST event (the matched event of the step right
+    after the constraint — the KMP fallback can shift the occurrence
+    later than the first candidate, so the check must be at COMPLETION
+    against the true start, not at word entry) and ``t_prev`` is the
+    completion timestamp of the previously locked word:
+      satisfied  -> LOCK: t_prev := completion ts; advance (final word:
+                    count += 1, restart at state 0, anchor cleared)
+      '<' violated (or '==' with gap > T) -> DEAD: later occurrences
+                    start later, the bound can never hold — RESTART by
+                    reprocessing the completing event from state 0
+                    (re-anchoring iff it completes a single-symbol
+                    first word)
+      '>' violated (or '==' with gap < T) -> WAIT: later occurrences
+                    only widen the gap toward the bound, so waiting
+                    dominates — resume the KMP search of word j at its
+                    full-occurrence continuation state (w_start +
+                    prefix_function(word)), anchor unchanged
+    Untimed ('.*') boundaries lock unconditionally; '<='/'>=' reduce
+    to strict bounds exactly on integer microseconds.
+
+    Distribution is the timed machine's step-function algebra over the
+    counting DFA's state space: per composite (user, ts) slice, the
+    transfer out of each entry state is piecewise-constant in the
+    carried t_prev — the DFA advances deterministically until the
+    first word completion; an untimed completion makes everything
+    after it concrete (1 piece); a '<' gate has one threshold at the
+    first completion's start (2 pieces); a '>' gate one piece per
+    candidate completion in its wait chain plus a never-advances tail;
+    '==' alternates restart intervals with single-point lock pieces.
+    Cross-slice occurrence starts are carried as DATA, not state: a
+    per-user positional LAG column (skew-safe operators/ranking.ranked
+    join on (user, rank-d)) gives every event its occurrence-start
+    timestamp locally, so the fold stays the shared
+    (state, t_prev, count) HOF of _piecewise_fold_counts."""
+    import pandas as pd
+
+    from ..operators.ranking import composite_slice_key, ranked, slice_expr
+
+    meta = _seq_count_dfa_meta(pattern, conds, allow_timed=True)
+    delta_t = meta["delta"]
+    complete_t = meta["complete"]
+    w_start_t = meta["w_start"]
+    wlen_t = meta["wlen"]
+    wedge_t = meta["wedge"]
+    wcont_t = meta["wcont"]
+    n_words = meta["n_words"]
+    L = meta["L"]
+    sym = {c: a for a, c in enumerate(conds)}
+    depths = _adjt_lag_depths(meta)
+
+    ev = (t(spark, sf_dir, "events") if events is None else events).select(
+        "user_id",
+        F.col("ts_us").cast("long").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    ev = ev.filter(F.col("event_type").isin(*set(conds)))
+    if depths:
+        base = ranked(
+            ev.withColumnRenamed("ts_us", "_ets"),
+            ["user_id"],
+            ["_ets", "event_id"],
+            slice_col=composite_slice_key("user_id", "_ets"),
+            broadcast_offsets=False,  # offsets grow with data (r9 trap)
+        ).drop("_n")
+        for d in depths:
+            lagd = base.select(
+                F.col("user_id").alias("_lu"),
+                (F.col("_rank") + F.lit(d)).alias("_lr"),
+                F.col("_ets").alias(f"_lag{d}"),
+            )
+            base = base.join(
+                lagd,
+                (F.col("user_id") == F.col("_lu"))
+                & (F.col("_rank") == F.col("_lr")),
+                "left",
+            ).drop("_lu", "_lr")
+        st = base.withColumnRenamed("_ets", "ts_us").drop("_rank")
+    else:
+        st = ev
+    n_slices = spark.sparkContext.defaultParallelism
+    st = st.withColumn(
+        "_sl",
+        slice_expr(st, composite_slice_key("user_id", "ts_us"), n_slices),
+    )
+    lag_cols = [f"_lag{d}" for d in depths]
+
+    def tab(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        uid = pdf["user_id"].to_numpy()
+        code_all = pdf["event_type"].map(sym).to_numpy(dtype=np.int64)
+        ts_all = pdf["ts_us"].to_numpy(dtype=np.int64)
+        lag_all = {}
+        for d, c in zip(depths, lag_cols):
+            v = pdf[c].to_numpy(dtype="float64")
+            # null lag = fewer than d prior events: unreachable at a
+            # genuine completion (an occurrence needs d+1 consecutive
+            # declared events); fill with the sentinel for determinism
+            lag_all[d] = np.where(
+                np.isnan(v), float(_SEQ_TIMED_SENT), v
+            ).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        cols: dict[str, list] = {
+            k: [] for k in ("user_id", "brk", "exs", "ext", "exd")
+        }
+        for ua, ub in zip(starts, ends):
+            code = code_all[ua:ub]
+            tsv = ts_all[ua:ub]
+            lag = {d: lag_all[d][ua:ub] for d in depths}
+            n = len(code)
+
+            def occ_start(i: int, j: int) -> int:
+                d = wlen_t[j] - 1
+                return int(tsv[i]) if d == 0 else int(lag[d][i])
+
+            def lock(j: int, i: int):
+                # outcome of LOCKING word j at completing event i
+                if j == n_words - 1:
+                    return 0, _SEQ_TIMED_SENT, 1
+                return w_start_t[j + 1], int(tsv[i]), 0
+
+            def restart(i: int):
+                # reprocess event i from state 0 with the anchor cleared
+                a = int(code[i])
+                if complete_t[0][a] == 0:  # single-symbol first word
+                    return w_start_t[1], int(tsv[i]), 0
+                return delta_t[0][a], _SEQ_TIMED_SENT, 0
+
+            def cstep(q: int, i: int, tp: int):
+                a = int(code[i])
+                j = complete_t[q][a]
+                if j < 0:
+                    return delta_t[q][a], tp, 0
+                e = wedge_t[j]
+                if e is not None:
+                    gap = occ_start(i, j) - tp
+                    op, tb = e
+                    ok = (
+                        gap < tb
+                        if op == "<"
+                        else gap > tb
+                        if op == ">"
+                        else gap == tb
+                    )
+                    if not ok:
+                        if op == ">" or (op == "==" and gap < tb):
+                            return wcont_t[j], tp, 0  # wait
+                        return restart(i)  # dead chain
+                return lock(j, i)
+
+            def crun(i0: int, q: int, tp: int):
+                c = 0
+                for k in range(i0, n):
+                    q, tp, dc = cstep(q, k, tp)
+                    c += dc
+                return q, tp, c
+
+            def lock_run(j: int, i: int):
+                q2, tp2, dc = lock(j, i)
+                qe, te, ce = crun(i + 1, q2, tp2)
+                return qe, te, dc + ce
+
+            def restart_run(i: int):
+                q2, tp2, dc = restart(i)
+                qe, te, ce = crun(i + 1, q2, tp2)
+                return qe, te, dc + ce
+
+            brk: list = []
+            exs: list = []
+            ext: list = []
+            exd: list = []
+            for entry in range(L):
+                # symbolic prefix: the DFA advances t_prev-free until
+                # the first word completion
+                q, i = entry, 0
+                while i < n and complete_t[q][int(code[i])] < 0:
+                    q = delta_t[q][int(code[i])]
+                    i += 1
+                if i == n:
+                    brk.append([])
+                    exs.append([q]); ext.append([None]); exd.append([0])
+                    continue
+                j = complete_t[q][int(code[i])]
+                e = wedge_t[j]
+                if e is None:
+                    # untimed lock/emit: concrete from here on
+                    pieces = [lock_run(j, i)]
+                    breaks: list = []
+                elif e[0] == "<":
+                    s0 = occ_start(i, j)
+                    pieces = [restart_run(i), lock_run(j, i)]
+                    breaks = [s0 - e[1]]
+                else:
+                    # enumerate the wait chain: successive completions
+                    # of word j under KMP-search resume
+                    comps = [(i, occ_start(i, j))]
+                    qq, k = wcont_t[j], i + 1
+                    while k < n:
+                        a2 = int(code[k])
+                        if complete_t[qq][a2] == j:
+                            comps.append((k, occ_start(k, j)))
+                            qq = wcont_t[j]
+                        else:
+                            qq = delta_t[qq][a2]
+                        k += 1
+                    if e[0] == ">":
+                        pieces = [lock_run(j, c) for c, _ in comps]
+                        pieces.append((qq, None, 0))  # wait out the slice
+                        breaks = [s - e[1] - 1 for _, s in comps]
+                    else:  # '==': restart intervals + point locks
+                        uniq = []
+                        for c, s in comps:
+                            if not uniq or s != uniq[-1][1]:
+                                uniq.append((c, s))
+                        pieces, breaks = [], []
+                        for c, s in uniq:
+                            pieces.append(restart_run(c))
+                            breaks.append(s - e[1] - 1)
+                            pieces.append(lock_run(j, c))
+                            breaks.append(s - e[1])
+                        pieces.append((qq, None, 0))
+                # compress: merge adjacent pieces with equal outcomes
+                cb: list = []
+                cp: list = [pieces[0]]
+                for bval, piece in zip(breaks, pieces[1:]):
+                    if piece == cp[-1]:
+                        continue
+                    cb.append(bval)
+                    cp.append(piece)
+                brk.append(cb)
+                exs.append([p_[0] for p_ in cp])
+                ext.append([p_[1] for p_ in cp])
+                exd.append([p_[2] for p_ in cp])
+            cols["user_id"].append(int(uid[ua]))
+            cols["brk"].append(brk)
+            cols["exs"].append(exs)
+            cols["ext"].append(ext)
+            cols["exd"].append(exd)
+        sl = int(pdf["_sl"].iloc[0]) if len(pdf) else 0
+        cols["_sl"] = [sl] * len(cols["user_id"])
+        return pd.DataFrame(cols)
+
+    funcs = st.groupBy("_sl").applyInPandas(
+        tab,
+        "user_id long, brk array<array<long>>, exs array<array<int>>, "
+        "ext array<array<long>>, exd array<array<long>>, _sl int",
+    )
+    return _piecewise_fold_counts(funcs)
+
+
+_SEQ_COUNT_ADJT_PATTERNS = (
+    "(?1)(?t<86400)(?2)",
+    "(?2)(?t>43200)(?3)",
+    "(?1)(?t<86400)(?2)(?3)",
+    "(?2)(?2)(?t<86400)(?3)",
+)
+
+
+def _seq_count_adjt_oracle() -> str:
+    """DuckDB twin of the timed-adjacency product automaton: one
+    recursive CTE per pattern stepping the SAME machine one
+    state-changing touch per iteration. The base CTE precomputes each
+    event's occurrence-start LAG per needed depth (window over the full
+    declared stream, so cross-touch starts are plain data exactly as on
+    the Spark side); generated CASE tables apply delta / completion /
+    gate rules, with the gate branches (lock / wait / restart) expanded
+    inline per (state, symbol)."""
+    sent = "CAST(-4611686018427387904 AS BIGINT)"
+    chains = []
+    selects = []
+    conds = _SEQ_CONDS
+    all_depths: set[int] = set()
+    metas = []
+    for pat in _SEQ_COUNT_ADJT_PATTERNS:
+        m = _seq_count_dfa_meta(pat, conds, allow_timed=True)
+        metas.append(m)
+        all_depths.update(_adjt_lag_depths(m))
+    lag_sql = "".join(
+        f",\n             COALESCE(LAG(epoch_us(ts), {d}) OVER "
+        f"(PARTITION BY user_id ORDER BY epoch_us(ts), event_id), "
+        f"{sent}) AS lg{d}"
+        for d in sorted(all_depths)
+    )
+    for idx, (pat, m) in enumerate(
+        zip(_SEQ_COUNT_ADJT_PATTERNS, metas)
+    ):
+        delta, complete = m["delta"], m["complete"]
+        w_start, wlen, wedge, wcont = (
+            m["w_start"], m["wlen"], m["wedge"], m["wcont"],
+        )
+        n_words, L = m["n_words"], m["L"]
+        A = len(conds)
+
+        def _lock(j, tu="nx.tu"):
+            if j == n_words - 1:
+                return ("0", sent, "1")
+            return (str(w_start[j + 1]), tu, "0")
+
+        def _restart(a):
+            if complete[0][a] == 0:
+                return (str(w_start[1]), "nx.tu", "0")
+            return (str(delta[0][a]), sent, "0")
+
+        # per (state, symbol): is it a touch, and the outcome SQL
+        move_types: list[list[str]] = []
+        s_cases, tp_cases, dc_cases = [], [], []
+        for q in range(L):
+            touch = []
+            for a in range(A):
+                j = complete[q][a]
+                if j < 0:
+                    if delta[q][a] == q:
+                        continue  # static self-loop: not a touch
+                    touch.append(conds[a])
+                    s_cases.append(
+                        f"WHEN tt.s = {q} AND nx.et = '{conds[a]}' "
+                        f"THEN {delta[q][a]}"
+                    )
+                    continue
+                touch.append(conds[a])
+                e = wedge[j]
+                pre = f"WHEN tt.s = {q} AND nx.et = '{conds[a]}'"
+                if e is None:
+                    ls, lt, lc = _lock(j)
+                    s_cases.append(f"{pre} THEN {ls}")
+                    if lt != "tt.tp":
+                        tp_cases.append(f"{pre} THEN {lt}")
+                    if lc != "0":
+                        dc_cases.append(f"{pre} THEN {lc}")
+                    continue
+                op, tb = e
+                d = wlen[j] - 1
+                start = "nx.tu" if d == 0 else f"nx.lg{d}"
+                gap = f"({start} - tt.tp)"
+                ls, lt, lc = _lock(j)
+                rs, rt, rc = _restart(a)
+                ws, wt = str(wcont[j]), "tt.tp"
+                if op == "<":
+                    ok = f"{gap} < {tb}"
+                    s_cases.append(
+                        f"{pre} THEN CASE WHEN {ok} THEN {ls} "
+                        f"ELSE {rs} END"
+                    )
+                    tp_cases.append(
+                        f"{pre} THEN CASE WHEN {ok} THEN {lt} "
+                        f"ELSE {rt} END"
+                    )
+                    if lc != "0" or rc != "0":
+                        dc_cases.append(
+                            f"{pre} THEN CASE WHEN {ok} THEN {lc} "
+                            f"ELSE {rc} END"
+                        )
+                elif op == ">":
+                    ok = f"{gap} > {tb}"
+                    s_cases.append(
+                        f"{pre} THEN CASE WHEN {ok} THEN {ls} "
+                        f"ELSE {ws} END"
+                    )
+                    tp_cases.append(
+                        f"{pre} THEN CASE WHEN {ok} THEN {lt} "
+                        f"ELSE {wt} END"
+                    )
+                    if lc != "0":
+                        dc_cases.append(
+                            f"{pre} THEN CASE WHEN {ok} THEN {lc} "
+                            "ELSE 0 END"
+                        )
+                else:  # '=='
+                    s_cases.append(
+                        f"{pre} THEN CASE WHEN {gap} = {tb} THEN {ls} "
+                        f"WHEN {gap} < {tb} THEN {ws} ELSE {rs} END"
+                    )
+                    tp_cases.append(
+                        f"{pre} THEN CASE WHEN {gap} = {tb} THEN {lt} "
+                        f"WHEN {gap} < {tb} THEN {wt} ELSE {rt} END"
+                    )
+                    if lc != "0":
+                        dc_cases.append(
+                            f"{pre} THEN CASE WHEN {gap} = {tb} "
+                            f"THEN {lc} ELSE 0 END"
+                        )
+            move_types.append(touch)
+        moves = " ".join(
+            f"WHEN {q} THEN e.et IN "
+            f"({', '.join(repr(c) for c in move_types[q])})"
+            if move_types[q]
+            else f"WHEN {q} THEN FALSE"
+            for q in range(L)
+        )
+        s_sql = " ".join(s_cases) or "WHEN FALSE THEN 0"
+        tp_sql = " ".join(tp_cases) or "WHEN FALSE THEN tt.tp"
+        dc_sql = " ".join(dc_cases) or "WHEN FALSE THEN 0"
+        chains.append(
+            f"""
+    pt{idx} AS (
+      SELECT user_id, CAST(-9223372036854775807 AS BIGINT) AS tu,
+             CAST(-9223372036854775807 AS BIGINT) AS eid,
+             0 AS s, {sent} AS tp, 0 AS cnt
+      FROM (SELECT DISTINCT user_id FROM f)
+      UNION ALL
+      SELECT tt.user_id, nx.tu, nx.eid,
+             CASE {s_sql} ELSE tt.s END,
+             CASE {tp_sql} ELSE tt.tp END,
+             tt.cnt + CASE {dc_sql} ELSE 0 END
+      FROM pt{idx} tt, LATERAL (
+        SELECT e.tu, e.eid, e.et{"".join(f", e.lg{d}" for d in sorted(all_depths))}
+        FROM f e
+        WHERE e.user_id = tt.user_id
+          AND (CASE tt.s {moves} END)
+          AND (e.tu > tt.tu OR (e.tu = tt.tu AND e.eid > tt.eid))
+        ORDER BY e.tu, e.eid LIMIT 1
+      ) nx
+    )"""
+        )
+        selects.append(
+            f"""
+      SELECT '{pat}' AS pattern, user_id,
+             CAST(max(cnt) AS BIGINT) AS seq_count
+      FROM pt{idx} GROUP BY user_id HAVING max(cnt) >= 1"""
+        )
+    return (
+        f"""
+    WITH RECURSIVE f AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_id AS eid,
+             event_type AS et{lag_sql}
+      FROM events
+      WHERE event_type IN {tuple(conds)!r}
+    ),"""
+        + ",".join(chains)
+        + "\n    SELECT pattern, user_id, seq_count FROM ("
+        + " UNION ALL ".join(selects)
+        + "\n    )"
+    )
+
+
+@register(
+    "sequence_count_adjacent_timed",
+    _seq_count_adjt_oracle(),
+    tags=("funnel", "sequence", "clickhouse-parity", "arrow-kernel"),
+    doc="ClickHouse sequenceCount with TIME CONSTRAINTS under the REAL "
+    "adjacency semantics — the product of sequence_count_adjacent's "
+    "KMP counting DFA and sequence_count_timed's wait/restart "
+    "automaton (r9 verdict #1: 'sequenceCount(\\'(?1)(?t<3600)(?2)\\')' "
+    "is week-one for a ported funnel dashboard; a time constraint is "
+    "a separator in AggregateFunctionSequenceMatch.h, so every timed "
+    "edge sits BETWEEN words). Pinned greedy product rule (deviation "
+    "from ClickHouse's backtracking matcher, documented in "
+    "MIGRATION.md): completing word j checks the gap from the LOCKED "
+    "previous word's completion to the occurrence's FIRST event (the "
+    "KMP fallback can shift an occurrence later than its first "
+    "candidate, so the gate is at completion against the true start "
+    "via a per-user positional LAG, never at word entry); satisfied "
+    "locks, a dead '<' restarts at the completing event, a too-early "
+    "'>' waits at the word's KMP continuation state. Distributes by "
+    "the shared step-function algebra: per composite (user, ts) slice "
+    "the transfer out of each DFA state is piecewise-constant in the "
+    "carried anchor (untimed lock = 1 piece, '<' gate = 2, '>' gate = "
+    "one per wait-chain completion + tail), cross-slice occurrence "
+    "starts ride as LAG data, and the per-user fold is the exact "
+    "(state, t_prev, count) HOF of the timed machine. Oracle: "
+    "recursive CTE stepping the same product automaton one "
+    "state-changing touch per iteration with the same LAG columns. "
+    "Patterns chosen so the bounds BITE at this data's ~17 h median "
+    "inter-event gap (pytest pins timed < untimed per pattern). "
+    "Conditions: 1=signup 2=click 3=purchase 4=view.",
+)
+def sequence_count_adjacent_timed(spark, sf_dir):
+    out = None
+    for pat in _SEQ_COUNT_ADJT_PATTERNS:
+        c = _sequence_count_adjacent_timed_users(spark, sf_dir, pat).select(
             F.lit(pat).alias("pattern"),
             "user_id",
             F.col("seq_count").cast("long").alias("seq_count"),

@@ -32,10 +32,15 @@ from pathlib import Path
 
 _LOG = logging.getLogger(__name__)
 
-# union of CORRECTNESS_r01..r08 keys: entries with >=1 driver-green row
+# union of CORRECTNESS_r01..r09 keys: entries with >=1 driver-green row
 # (pinned against sampled_from_artifacts() by tests/test_sample_window.py)
 SAMPLED_PRIOR: frozenset[str] = frozenset(
     {
+        "bpe_merge_table", "bpe_token_counts", "embedding_covariance",
+        "embedding_pca_power", "embedding_pca_projection",
+        "funnel_time_to_convert", "holt_linear_forecast",
+        "sequence_count_adjacent", "sequence_match_adjacent",
+        "zipf_fit_words",
         "anova_value_by_type", "bitmap_state_rollup",
         "categorical_information_value", "feature_corr_matrix",
         "gopher_rules_report", "hourly_series_decomposition",
@@ -117,69 +122,65 @@ SAMPLED_PRIOR: frozenset[str] = frozenset(
     }
 )
 
-# round-9 window: zero evidence debt was reached in r8, so from here on
-# the window is (a) user_activity (entry() names it), (b) every entry
+# round-10 window: (a) user_activity (entry() names it), (b) every entry
 # that is brand-new or whose plan changed this round, (c) re-verification
-# filler ordered by OLDEST latest-green driver evidence: the 8 entries
-# the r8 rotation displaced (r1/r5 evidence, flagged by the r8 verdict
-# as the head of the r9 queue), then the rest of the r1 block, the r3
-# block, and the r5 block in registration order.
+# filler ordered by OLDEST latest-green driver evidence: the 10 entries
+# whose latest green is r5, then the r6-evidence block in registration
+# order (fills to 50).
 DRIVER_SAMPLE: tuple[str, ...] = (
     "user_activity",
     # --- brand new / changed this round: driver must see immediately ---
-    "sequence_count_timed",       # r9: (?t>T)/(?t>=T) lower-bound edges
-    "sequence_match_compiled",    # r9: shared sliced base across patterns
-    "sequence_match_adjacent",    # r9 NEW: ClickHouse-exact adjacency mode
-    "sequence_count_adjacent",    # r9 NEW: adjacency-aware counting DFA
-    "anova_value_by_type",        # r9: zero-group guard (ADVICE fix)
-    "embedding_covariance",       # r9 NEW: exact-integer Gram pass
-    "embedding_pca_power",        # r9 NEW: unrolled power iteration
-    "embedding_pca_projection",   # r9 NEW: order-deterministic projection
-    "bpe_merge_table",            # r9 NEW: distributed BPE merge learning
-    "bpe_token_counts",           # r9 NEW: BPE apply via broadcast lookup
-    "holt_linear_forecast",       # r9 NEW: Holt trend fold + 24h fan
-    "zipf_fit_words",             # r9 NEW: ordered-accumulation OLS fit
-    "funnel_time_to_convert",     # r9 NEW: conversion-latency percentiles
-    # --- re-verification: the 8 displaced entries the verdict queued ---
-    "record_count",
-    "events_per_type",
-    "most_used_word",
-    "missing_hours",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "lang_id",
-    "text_quality",
-    # --- rest of the r1-evidence block, registration order ---
-    "simhash_signatures",
-    "ngram_jaccard_pairs",
-    "ann_cosine_topk",
-    "ann_lsh_buckets",
-    "ann_ivf_lists",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "embedding_near_dup_pairs",
-    "dedup_clusters",
-    "token_stats",
-    # --- r3-evidence block ---
-    "purchase_attribution",
-    "concurrent_event_counts",
-    "user_trailing_7d_value",
-    # --- r5-evidence block, registration order (fills to 50) ---
-    "most_used_prop",
-    "user_watermarks",
-    "dedup_last_write_wins",
-    "top_users_by_value",
-    "users_not_customers",
-    "hourly_event_counts",
-    "user_first_events",
-    "gap_filled_hourly_counts",
-    "daily_event_type_pivot",
-    "value_histogram",
-    "top_brands_by_revenue",
-    "nation_customer_rollup",
-    "order_priority_counts",
-    "top_events_per_user",
-    "daily_running_totals",
+    "sequence_count_adjacent_timed",  # r10 NEW: timed×adjacency product DFA
+    "sequence_count_timed",       # r10: (?t==T) exact-offset edges
+    "zipf_fit_words",             # r10: bounded rank-window prefilter
+    "funnel_time_to_convert",     # r10: empty-funnel NULLIF guard
+    "holt_linear_forecast",       # r10: floor-consistent hour bucketing
+    "bpe_merge_table_incremental",  # r10 NEW: delta-update pair counts
+    # --- re-verification filler: r5-evidence block, registration order ---
+    "region_nation_rollup",
+    "order_status_cube",
+    "platform_union_counts",
+    "user_sessions",
+    "value_percentiles",
+    "tumbling_window_counts",
+    "sliding_window_counts",
+    "heavy_hitters_cms",
+    "approx_distinct_users",
+    "approx_value_percentiles",
+    # --- r6-evidence block, registration order (fills to 50) ---
+    "concurrent_event_counts_linear",
+    "event_rank_profile",
+    "pagerank_user_item",
+    "coactivity_triangles",
+    "coactivity_clustering",
+    "ema_user_value",
+    "quantile_state_rollup",
+    "sequence_match_pattern",
+    "user_moving_sum_arrays",
+    "dup_span_report",
+    "ann_pq_code_histogram",
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall_report",
+    "doc_fingerprints",
+    "corpus_quality_summary",
+    "multimodal_features",
+    "multimodal_image_features",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    "docs_hash_sample",
+    "source_capped_sample",
+    "dataset_split_summary",
+    "pii_scan",
+    "cross_modal_near_dups",
+    "cluster_keepers",
+    "decontamination_report",
+    "doc_token_rarity",
+    "doc_chunk_plan",
+    "bloom_contamination_report",
+    "corpus_mixture_weights",
+    "doc_repetition_profile",
+    "sequence_packing_plan",
 )
 
 

@@ -81,3 +81,39 @@ def test_vocab_after_applies_merges_in_order(spark):
         "ab": ["ab"],
         "ba": ["b", "a"],
     }
+
+
+def test_incremental_fit_is_bit_identical_to_classic(spark):
+    # the delta-maintained pair counts must equal a full recount
+    # EXACTLY, including argmax tie-breaks (integer arithmetic
+    # end-to-end) — same table, same order, same pair_count values
+    docs = spark.createDataFrame(
+        [
+            (0, "low lower lowest low low"),
+            (1, "new newer newest new"),
+            (2, "wide wider widest"),
+            (3, "ab ab abab ba"),
+        ],
+        "doc_id long, text string",
+    )
+    assert B.bpe_fit_incremental(docs, merges=6) == B.bpe_fit(
+        docs, merges=6
+    )
+
+
+def test_incremental_fit_matches_classic_on_corpus(spark):
+    from clickhouse_github_log_importer_spark.plans.queries import t as T
+
+    docs = T(spark, "/root/testdata/sf0.001", "documents")
+    assert B.bpe_fit_incremental(docs, merges=8) == B.bpe_fit(
+        docs, merges=8
+    )
+
+
+def test_incremental_early_stop_when_merges_exhausted(spark):
+    # single-char words fuse to one token quickly; both trainers stop
+    # early with the same (short) table
+    docs = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    assert B.bpe_fit_incremental(docs, merges=5) == B.bpe_fit(
+        docs, merges=5
+    )

@@ -60,14 +60,12 @@ def test_window_actually_rotates():
 
 # brand-new or plan-changed entries this round; grows as the round does
 NEW_THIS_ROUND: tuple[str, ...] = (
-    "sequence_count_timed",      # r9: (?t>T)/(?t>=T) lower-bound edges
-    "sequence_match_compiled",   # r9: shared sliced base across patterns
-    "sequence_match_adjacent",   # r9 NEW: ClickHouse-exact adjacency mode
-    "sequence_count_adjacent",   # r9 NEW: adjacency-aware counting DFA
-    "anova_value_by_type",       # r9: zero-group guard (ADVICE fix)
-    "embedding_covariance",      # r9 NEW: exact-integer Gram pass
-    "embedding_pca_power",       # r9 NEW: unrolled power iteration
-    "embedding_pca_projection",  # r9 NEW: order-deterministic projection
+    "sequence_count_adjacent_timed",  # r10 NEW: timed×adjacency product DFA
+    "sequence_count_timed",       # r10: (?t==T) exact-offset edges
+    "zipf_fit_words",             # r10: bounded rank-window prefilter
+    "funnel_time_to_convert",     # r10: empty-funnel NULLIF guard
+    "holt_linear_forecast",       # r10: floor-consistent hour bucketing
+    "bpe_merge_table_incremental",  # r10 NEW: delta-update pair counts
 )
 
 

@@ -375,17 +375,37 @@ def test_timed_composition_across_slices_matches_reference(spark, tmp_path):
         assert got == reference(pattern), pattern
 
 
-def test_timed_rejects_exact_offset_edge(spark):
-    # (?t<) and (r9) (?t>) are pinned; (?t==) is not — must raise, not
-    # silently mis-handle
+def test_timed_exact_offset_lock_wait_restart(spark, tmp_path):
+    # (r10) (?t==T) under restart semantics: the first expected event
+    # with gap >= T decides — lock on equality, restart past it, wait
+    # (skip) below it.
     from clickhouse_github_log_importer_spark.plans.queries import (
         _sequence_count_timed_users,
     )
+    from tests.test_behavioral import _write_events
 
-    with pytest.raises(ValueError, match="t==T"):
-        _sequence_count_timed_users(
-            spark, "/root/testdata/sf0.001", "(?1)(?t==10)(?2)"
-        )
+    S = 1_000_000
+    rows = [
+        # u1: c at exactly +100 s -> lock: 1
+        (1, 0, 1, "signup"), (2, 100 * S, 1, "click"),
+        # u2: c(+40s) undershoots (wait), c(exactly +100s) locks: 1
+        (3, 0, 2, "signup"), (4, 40 * S, 2, "click"),
+        (5, 100 * S, 2, "click"),
+        # u3: c(+150s) overshoots -> dead, restart (click != cond 1),
+        # then s(+200s), c(+300s) gap exactly 100 -> 1
+        (6, 0, 3, "signup"), (7, 150 * S, 3, "click"),
+        (8, 200 * S, 3, "signup"), (9, 300 * S, 3, "click"),
+        # u4: only an overshot candidate -> 0
+        (10, 0, 4, "signup"), (11, 150 * S, 4, "click"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {
+        r["user_id"]: r["seq_count"]
+        for r in _sequence_count_timed_users(
+            spark, sf, "(?1)(?t==100)(?2)"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
 
 
 def test_timed_lower_bound_waits_not_restarts(spark, tmp_path):
