@@ -114,6 +114,10 @@ EVENT_QUERIES = [
     # r8 batch 4: derivative profile rides the same explode+pivot
     # adjacency as the next-node matrix — same flatness expected
     "user_value_derivative_profile",
+    # r10: timed-adjacency product automaton — the ranked LAG join and
+    # the per-slice piecewise tabulation must both stay slice-bounded
+    # on the mega-user (the occurrence-start lag spreads with rank)
+    "sequence_count_adjacent_timed",
 ]
 DOC_QUERIES = [
     "source_capped_sample",
