@@ -375,7 +375,12 @@ def main() -> None:
     # JIT costs so the figure reflects steady-state execution (what a
     # long-running cluster sees)
     timings: dict[str, float] = {}
+    # per-pass totals: min-of-2 conceals WHICH pass a contention burst
+    # hit — a 2x spread between pass totals on identical code is the
+    # external-host signature (SCALE.md r9 record), visible per artifact
+    pass_totals: list[float] = []
     for _pass in range(2):
+        pt = 0.0
         for name in headline_names():
             if name in errors:
                 continue  # failed on pass 1; don't pay the crash twice
@@ -383,10 +388,12 @@ def main() -> None:
                 t0 = time.monotonic()
                 REGISTRY[name].spark(spark, sf_dir).collect()
                 dt = round(time.monotonic() - t0, 3)
+                pt += dt
                 if name not in timings or dt < timings[name]:
                     timings[name] = dt
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:500]
+        pass_totals.append(round(pt, 3))
         loads.append(os.getloadavg()[0])
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -418,6 +425,7 @@ def main() -> None:
             "max": round(max(loads), 1),
         },
         "uptime_s": uptime_s,
+        "pass_totals_sec": pass_totals,
         "benched_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         **gate,
         **refcheck,

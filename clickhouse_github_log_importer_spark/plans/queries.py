@@ -8675,7 +8675,8 @@ _SEQ_TIMED_SENT = -(2**62)  # t_prev sentinel; never compared at state 0
 
 
 def _sequence_count_timed_users(
-    spark, sf_dir, pattern: str, conds=_SEQ_CONDS, events=None
+    spark, sf_dir, pattern: str, conds=_SEQ_CONDS, events=None,
+    _sliced=None,
 ):
     """Restart-semantics sequenceCount with ``(?t<T)`` / ``(?t>T)``
     edges — the timed extension of :func:`_sequence_count_users`
@@ -8750,18 +8751,29 @@ def _sequence_count_timed_users(
         )
     types = [conds[i - 1] for i in steps]
     k_states = len(types)
-    ev = (t(spark, sf_dir, "events") if events is None else events).select(
-        "user_id",
-        F.col("ts_us").cast("long").alias("ts_us"),
-        "event_id",
-        "event_type",
-    )
-    ev = ev.filter(F.col("event_type").isin(*set(types)))
-    n_slices = spark.sparkContext.defaultParallelism
-    st = ev.withColumn(
-        "_sl",
-        slice_expr(ev, composite_slice_key("user_id", "ts_us"), n_slices),
-    )
+    if _sliced is not None:
+        # shared pattern-independent sliced base (the entry persists ONE
+        # stream over the battery's type union — the r9 compiled-family
+        # hoist): slice ids stay valid under any per-pattern subset
+        # because composite slices are contiguous key ranges
+        st = _sliced.filter(F.col("event_type").isin(*set(types)))
+    else:
+        ev = (
+            t(spark, sf_dir, "events") if events is None else events
+        ).select(
+            "user_id",
+            F.col("ts_us").cast("long").alias("ts_us"),
+            "event_id",
+            "event_type",
+        )
+        ev = ev.filter(F.col("event_type").isin(*set(types)))
+        n_slices = spark.sparkContext.defaultParallelism
+        st = ev.withColumn(
+            "_sl",
+            slice_expr(
+                ev, composite_slice_key("user_id", "ts_us"), n_slices
+            ),
+        )
 
     def tab(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -8977,6 +8989,29 @@ def _piecewise_fold_counts(funcs):
     return counts.filter(F.col("seq_count") >= 1)
 
 
+def _seq_count_sliced_base(spark, sf_dir, all_types, events=None):
+    """Pattern-independent sliced event stream the count batteries
+    share (the r9 compiled-family hoist applied to the count side):
+    one parquet scan + one slice-quantile job for the whole battery;
+    per-pattern machines filter to their own type subsets keeping the
+    shared slice ids (composite slices are contiguous key ranges, so
+    any subset remains contiguously sliced)."""
+    from ..operators.ranking import composite_slice_key, slice_expr
+
+    ev = (t(spark, sf_dir, "events") if events is None else events).select(
+        "user_id",
+        F.col("ts_us").cast("long").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    ev = ev.filter(F.col("event_type").isin(*set(all_types)))
+    n_slices = spark.sparkContext.defaultParallelism
+    return ev.withColumn(
+        "_sl",
+        slice_expr(ev, composite_slice_key("user_id", "ts_us"), n_slices),
+    )
+
+
 _SEQ_COUNT_TIMED_PATTERNS = (
     "(?1)(?t<86400)(?2)(?3)",
     "(?2)(?t<43200)(?3)",
@@ -9146,9 +9181,22 @@ def _seq_count_timed_oracle() -> str:
     "and where waiting beats restarting).",
 )
 def sequence_count_timed(spark, sf_dir):
+    from ..operators.cache import persist_in, rotating_scope
+
+    union_types = {
+        _SEQ_CONDS[i - 1]
+        for pat in _SEQ_COUNT_TIMED_PATTERNS
+        for i in _parse_seq_pattern(pat)[0]
+    }
+    base = persist_in(
+        rotating_scope("sequence_count_timed"),
+        _seq_count_sliced_base(spark, sf_dir, union_types),
+    )
     out = None
     for pat in _SEQ_COUNT_TIMED_PATTERNS:
-        c = _sequence_count_timed_users(spark, sf_dir, pat).select(
+        c = _sequence_count_timed_users(
+            spark, sf_dir, pat, _sliced=base
+        ).select(
             F.lit(pat).alias("pattern"),
             "user_id",
             F.col("seq_count").cast("long").alias("seq_count"),
@@ -9279,7 +9327,8 @@ def _seq_count_dfa(pattern: str, conds):
 
 
 def _sequence_count_adjacent_users(
-    spark, sf_dir, pattern: str, conds=_SEQ_CONDS, events=None
+    spark, sf_dir, pattern: str, conds=_SEQ_CONDS, events=None,
+    _sliced=None,
 ):
     """Per-user greedy non-overlapping ADJACENCY-AWARE match counts —
     ClickHouse sequenceCount with the real pattern semantics
@@ -9304,18 +9353,27 @@ def _sequence_count_adjacent_users(
     delta_t, emit_t = _seq_count_dfa(pattern, conds)
     n_states = len(delta_t)
     sym = {c: a for a, c in enumerate(conds)}
-    ev = (t(spark, sf_dir, "events") if events is None else events).select(
-        "user_id",
-        F.col("ts_us").cast("long").alias("ts_us"),
-        "event_id",
-        "event_type",
-    )
-    ev = ev.filter(F.col("event_type").isin(*set(conds)))
-    n_slices = spark.sparkContext.defaultParallelism
-    st = ev.withColumn(
-        "_sl",
-        slice_expr(ev, composite_slice_key("user_id", "ts_us"), n_slices),
-    )
+    if _sliced is not None:
+        # entry-shared base: every pattern reads the SAME conds-filtered
+        # sliced stream (the count-side compiled-family hoist)
+        st = _sliced
+    else:
+        ev = (
+            t(spark, sf_dir, "events") if events is None else events
+        ).select(
+            "user_id",
+            F.col("ts_us").cast("long").alias("ts_us"),
+            "event_id",
+            "event_type",
+        )
+        ev = ev.filter(F.col("event_type").isin(*set(conds)))
+        n_slices = spark.sparkContext.defaultParallelism
+        st = ev.withColumn(
+            "_sl",
+            slice_expr(
+                ev, composite_slice_key("user_id", "ts_us"), n_slices
+            ),
+        )
 
     def tab(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -9486,9 +9544,20 @@ def _seq_count_adj_oracle() -> str:
     "Conditions: 1=signup 2=click 3=purchase 4=view.",
 )
 def sequence_count_adjacent(spark, sf_dir):
+    from ..operators.cache import persist_in, rotating_scope
+
+    # the adjacency machines all read the FULL conds-filtered stream
+    # (undeclared types invisible, everything else position-relevant),
+    # so one persisted sliced base serves every pattern
+    base = persist_in(
+        rotating_scope("sequence_count_adjacent"),
+        _seq_count_sliced_base(spark, sf_dir, _SEQ_CONDS),
+    )
     out = None
     for pat in _SEQ_COUNT_ADJ_PATTERNS:
-        c = _sequence_count_adjacent_users(spark, sf_dir, pat).select(
+        c = _sequence_count_adjacent_users(
+            spark, sf_dir, pat, _sliced=base
+        ).select(
             F.lit(pat).alias("pattern"),
             "user_id",
             F.col("seq_count").cast("long").alias("seq_count"),
@@ -9512,7 +9581,8 @@ def _adjt_lag_depths(meta) -> list[int]:
 
 
 def _sequence_count_adjacent_timed_users(
-    spark, sf_dir, pattern: str, conds=_SEQ_CONDS, events=None
+    spark, sf_dir, pattern: str, conds=_SEQ_CONDS, events=None,
+    _sliced=None,
 ):
     """sequenceCount with TIME CONSTRAINTS under the REAL adjacency
     semantics — the product of the KMP counting DFA
@@ -9579,41 +9649,56 @@ def _sequence_count_adjacent_timed_users(
     sym = {c: a for a, c in enumerate(conds)}
     depths = _adjt_lag_depths(meta)
 
-    ev = (t(spark, sf_dir, "events") if events is None else events).select(
-        "user_id",
-        F.col("ts_us").cast("long").alias("ts_us"),
-        "event_id",
-        "event_type",
-    )
-    ev = ev.filter(F.col("event_type").isin(*set(conds)))
-    if depths:
-        base = ranked(
-            ev.withColumnRenamed("ts_us", "_ets"),
-            ["user_id"],
-            ["_ets", "event_id"],
-            slice_col=composite_slice_key("user_id", "_ets"),
-            broadcast_offsets=False,  # offsets grow with data (r9 trap)
-        ).drop("_n")
-        for d in depths:
-            lagd = base.select(
-                F.col("user_id").alias("_lu"),
-                (F.col("_rank") + F.lit(d)).alias("_lr"),
-                F.col("_ets").alias(f"_lag{d}"),
-            )
-            base = base.join(
-                lagd,
-                (F.col("user_id") == F.col("_lu"))
-                & (F.col("_rank") == F.col("_lr")),
-                "left",
-            ).drop("_lu", "_lr")
-        st = base.withColumnRenamed("_ets", "ts_us").drop("_rank")
+    if _sliced is not None and not depths:
+        # a depth-free pattern reads the entry-shared sliced base as-is
+        st = _sliced
     else:
-        st = ev
-    n_slices = spark.sparkContext.defaultParallelism
-    st = st.withColumn(
-        "_sl",
-        slice_expr(st, composite_slice_key("user_id", "ts_us"), n_slices),
-    )
+        ev = (
+            # a depth pattern still SCANS from the shared persisted base
+            # when available (drop its slice ids — the ranked build and
+            # the lag joins need their own), so the battery pays one
+            # parquet scan total
+            _sliced.drop("_sl")
+            if _sliced is not None
+            else (
+                t(spark, sf_dir, "events") if events is None else events
+            ).select(
+                "user_id",
+                F.col("ts_us").cast("long").alias("ts_us"),
+                "event_id",
+                "event_type",
+            ).filter(F.col("event_type").isin(*set(conds)))
+        )
+        if depths:
+            base = ranked(
+                ev.withColumnRenamed("ts_us", "_ets"),
+                ["user_id"],
+                ["_ets", "event_id"],
+                slice_col=composite_slice_key("user_id", "_ets"),
+                broadcast_offsets=False,  # offsets grow with data (r9 trap)
+            ).drop("_n")
+            for d in depths:
+                lagd = base.select(
+                    F.col("user_id").alias("_lu"),
+                    (F.col("_rank") + F.lit(d)).alias("_lr"),
+                    F.col("_ets").alias(f"_lag{d}"),
+                )
+                base = base.join(
+                    lagd,
+                    (F.col("user_id") == F.col("_lu"))
+                    & (F.col("_rank") == F.col("_lr")),
+                    "left",
+                ).drop("_lu", "_lr")
+            st = base.withColumnRenamed("_ets", "ts_us").drop("_rank")
+        else:
+            st = ev
+        n_slices = spark.sparkContext.defaultParallelism
+        st = st.withColumn(
+            "_sl",
+            slice_expr(
+                st, composite_slice_key("user_id", "ts_us"), n_slices
+            ),
+        )
     lag_cols = [f"_lag{d}" for d in depths]
 
     def tab(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -10001,9 +10086,17 @@ def _seq_count_adjt_oracle() -> str:
     "Conditions: 1=signup 2=click 3=purchase 4=view.",
 )
 def sequence_count_adjacent_timed(spark, sf_dir):
+    from ..operators.cache import persist_in, rotating_scope
+
+    base = persist_in(
+        rotating_scope("sequence_count_adjacent_timed"),
+        _seq_count_sliced_base(spark, sf_dir, _SEQ_CONDS),
+    )
     out = None
     for pat in _SEQ_COUNT_ADJT_PATTERNS:
-        c = _sequence_count_adjacent_timed_users(spark, sf_dir, pat).select(
+        c = _sequence_count_adjacent_timed_users(
+            spark, sf_dir, pat, _sliced=base
+        ).select(
             F.lit(pat).alias("pattern"),
             "user_id",
             F.col("seq_count").cast("long").alias("seq_count"),
