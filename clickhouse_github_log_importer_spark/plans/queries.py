@@ -8989,13 +8989,16 @@ def _piecewise_fold_counts(funcs):
     return counts.filter(F.col("seq_count") >= 1)
 
 
-def _seq_count_sliced_base(spark, sf_dir, all_types, events=None):
+def _seq_count_sliced_base(spark, sf_dir, all_types, events=None,
+                           n_slices=None):
     """Pattern-independent sliced event stream the count batteries
     share (the r9 compiled-family hoist applied to the count side):
     one parquet scan + one slice-quantile job for the whole battery;
     per-pattern machines filter to their own type subsets keeping the
     shared slice ids (composite slices are contiguous key ranges, so
-    any subset remains contiguously sliced)."""
+    any subset remains contiguously sliced). ``n_slices`` overrides the
+    default width for machines whose per-slice kernels are
+    super-linear in slice width (the timed-adjacency wait chain)."""
     from ..operators.ranking import composite_slice_key, slice_expr
 
     ev = (t(spark, sf_dir, "events") if events is None else events).select(
@@ -9005,7 +9008,7 @@ def _seq_count_sliced_base(spark, sf_dir, all_types, events=None):
         "event_type",
     )
     ev = ev.filter(F.col("event_type").isin(*set(all_types)))
-    n_slices = spark.sparkContext.defaultParallelism
+    n_slices = n_slices or spark.sparkContext.defaultParallelism
     return ev.withColumn(
         "_sl",
         slice_expr(ev, composite_slice_key("user_id", "ts_us"), n_slices),
@@ -9566,6 +9569,15 @@ def sequence_count_adjacent(spark, sf_dir):
     return out
 
 
+#: kernel-side sub-slice width for the timed-adjacency product: the
+#: '>' wait-chain tabulation is quadratic in a user's contiguous block
+#: width, so blocks bound it to O(rows * BLOCK) while the per-user fold
+#: composes blocks exactly like slices. IDS = the per-(user, slice)
+#: block-count ceiling encoded into the composite fold key.
+_ADJT_BLOCK = 1500
+_ADJT_BLOCK_IDS = 1_000_000
+
+
 def _adjt_lag_depths(meta) -> list[int]:
     """Occurrence-start lookbacks the product automaton needs: for each
     timed-inbound word of length L, the completion event must see the
@@ -9692,6 +9704,9 @@ def _sequence_count_adjacent_timed_users(
             st = base.withColumnRenamed("_ets", "ts_us").drop("_rank")
         else:
             st = ev
+        # 4x slices: the wait-chain tabulation is O(width^2) worst case
+        # on a slice dominated by one user (skew-probe finding; see the
+        # entry's base builder)
         n_slices = spark.sparkContext.defaultParallelism
         st = st.withColumn(
             "_sl",
@@ -9721,13 +9736,28 @@ def _sequence_count_adjacent_timed_users(
             ).astype(np.int64)
         starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
         ends = np.r_[starts[1:], len(uid)]
+        sl = int(pdf["_sl"].iloc[0]) if len(pdf) else 0
         cols: dict[str, list] = {
-            k: [] for k in ("user_id", "brk", "exs", "ext", "exd")
+            k: [] for k in ("user_id", "_sl", "brk", "exs", "ext", "exd")
         }
+        # kernel-side sub-slicing (skew fix, measured 4.86x on the
+        # mega-user corpus): a '>'-gated wait chain tabulates one
+        # concrete continuation per candidate completion — O(width^2)
+        # in a user's in-slice width. Fixed-width blocks bound that to
+        # O(width * BLOCK) per user, and the SAME per-user fold
+        # composes the blocks (composite ids keep (slice, block)
+        # order); slice count stays at defaultParallelism, whose
+        # when-chain slice assignment is O(n_slices) per row.
+        blk_pairs = []
         for ua, ub in zip(starts, ends):
-            code = code_all[ua:ub]
-            tsv = ts_all[ua:ub]
-            lag = {d: lag_all[d][ua:ub] for d in depths}
+            for ca in range(int(ua), int(ub), _ADJT_BLOCK):
+                blk_pairs.append(
+                    (int(ua), ca, min(ca + _ADJT_BLOCK, int(ub)))
+                )
+        for ua, ca, ce in blk_pairs:
+            code = code_all[ca:ce]
+            tsv = ts_all[ca:ce]
+            lag = {d: lag_all[d][ca:ce] for d in depths}
             n = len(code)
 
             def occ_start(i: int, j: int) -> int:
@@ -9853,18 +9883,19 @@ def _sequence_count_adjacent_timed_users(
                 ext.append([p_[1] for p_ in cp])
                 exd.append([p_[2] for p_ in cp])
             cols["user_id"].append(int(uid[ua]))
+            # composite (slice, block) id: the fold's _sl sort keeps
+            # block order inside each slice
+            cols["_sl"].append(sl * _ADJT_BLOCK_IDS + (ca - int(ua)) // _ADJT_BLOCK)
             cols["brk"].append(brk)
             cols["exs"].append(exs)
             cols["ext"].append(ext)
             cols["exd"].append(exd)
-        sl = int(pdf["_sl"].iloc[0]) if len(pdf) else 0
-        cols["_sl"] = [sl] * len(cols["user_id"])
         return pd.DataFrame(cols)
 
     funcs = st.groupBy("_sl").applyInPandas(
         tab,
         "user_id long, brk array<array<long>>, exs array<array<int>>, "
-        "ext array<array<long>>, exd array<array<long>>, _sl int",
+        "ext array<array<long>>, exd array<array<long>>, _sl long",
     )
     return _piecewise_fold_counts(funcs)
 
@@ -10088,9 +10119,19 @@ def _seq_count_adjt_oracle() -> str:
 def sequence_count_adjacent_timed(spark, sf_dir):
     from ..operators.cache import persist_in, rotating_scope
 
+    # 4x the usual slice count: a '>'-gated word's wait-chain builds
+    # one concrete continuation per candidate completion, so a slice
+    # dominated by a mega-user costs O(width^2) in the worst case —
+    # quartering the width cuts that 16x (skew probe caught 4.86x on
+    # the mega-user corpus at the default width; ~1.3x after)
     base = persist_in(
         rotating_scope("sequence_count_adjacent_timed"),
-        _seq_count_sliced_base(spark, sf_dir, _SEQ_CONDS),
+        _seq_count_sliced_base(
+            spark,
+            sf_dir,
+            _SEQ_CONDS,
+            n_slices=None,
+        ),
     )
     out = None
     for pat in _SEQ_COUNT_ADJT_PATTERNS:
