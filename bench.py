@@ -100,6 +100,29 @@ def _write_event_files(dirpath: str, rel_names: list[str], per_file: int) -> Non
                 f.write(json.dumps(_synth_event(fi * per_file + i)) + "\n")
 
 
+def _cpu_ticks():
+    """(total, steal) jiffies from /proc/stat — None where unreadable.
+    Steal is the hypervisor running OTHER guests on our vCPUs: SCALE.md
+    r10 proved this host takes 8-10% at times, which is exactly the
+    ingest-spread confounder; embedding per-pass steal lets a reader
+    attribute spread numerically instead of trusting prose (r10 verdict
+    'What's wrong' #3)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError):
+        return None
+
+
+def _steal_pct(before, after):
+    """Steal share of all CPU ticks elapsed between two _cpu_ticks()."""
+    if not before or not after or after[0] <= before[0]:
+        return None
+    return round(100.0 * (after[1] - before[1]) / (after[0] - before[0]), 2)
+
+
 def bench_ingest(spark, n_events: int = 128_000, n_files: int = 32) -> dict:
     """GH-Archive ingest throughput: NDJSON.gz -> parse -> partitioned
     parquet, records/s. Comparable to the reference's published bulk
@@ -352,12 +375,22 @@ def main() -> None:
     # warm-up above doesn't exercise the ingest write path.
     try:
         bench_ingest(spark, n_events=16_000, n_files=8)  # discarded
-        runs = [bench_ingest(spark) for _ in range(5)]
+        runs = []
+        for _ in range(5):
+            c0 = _cpu_ticks()
+            r = bench_ingest(spark)
+            r["ingest_steal_pct"] = _steal_pct(c0, _cpu_ticks())
+            runs.append(r)
+        # per-run steal in RUN ORDER (the sorted list below loses it):
+        # spread at steal < 2% is the write path; spread tracking steal
+        # is the host
+        steal_runs = [r["ingest_steal_pct"] for r in runs]
         runs.sort(key=lambda r: r["ingest_records_per_sec"])
         ingest = dict(runs[2])  # median run's records/sec + sec
         lo = runs[0]["ingest_records_per_sec"]
         hi = runs[-1]["ingest_records_per_sec"]
         ingest["ingest_rps_runs"] = [r["ingest_records_per_sec"] for r in runs]
+        ingest["ingest_steal_pct_runs"] = steal_runs
         ingest["ingest_rps_spread_pct"] = round(
             100.0 * (hi - lo) / ingest["ingest_records_per_sec"], 1
         )
@@ -379,8 +412,10 @@ def main() -> None:
     # hit — a 2x spread between pass totals on identical code is the
     # external-host signature (SCALE.md r9 record), visible per artifact
     pass_totals: list[float] = []
+    pass_steals: list[float | None] = []
     for _pass in range(2):
         pt = 0.0
+        c0 = _cpu_ticks()
         for name in headline_names():
             if name in errors:
                 continue  # failed on pass 1; don't pay the crash twice
@@ -394,6 +429,7 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:500]
         pass_totals.append(round(pt, 3))
+        pass_steals.append(_steal_pct(c0, _cpu_ticks()))
         loads.append(os.getloadavg()[0])
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -426,6 +462,7 @@ def main() -> None:
         },
         "uptime_s": uptime_s,
         "pass_totals_sec": pass_totals,
+        "pass_steal_pct": pass_steals,
         "benched_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         **gate,
         **refcheck,
@@ -473,6 +510,9 @@ def main() -> None:
         "lifecycle_sec": lifecycle.get("lifecycle_sec"),
         "lifecycle_records_per_sec": lifecycle.get("lifecycle_records_per_sec"),
         "load1": round(loads[0], 1),
+        "steal_max_pct": max(
+            (s for s in pass_steals if s is not None), default=None
+        ),
     }
     if refcheck:
         summary["refcheck_median_sec"] = refcheck["refcheck_median_sec"]

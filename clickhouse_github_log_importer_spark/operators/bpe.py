@@ -43,6 +43,13 @@ from pyspark.sql import functions as F
 
 from .cache import CacheScope
 
+# lineage-truncation cadence for the incremental trainer: between
+# checkpoints the two-branch union doubles the LOGICAL plan per
+# generation, so analysis cost is bounded at 2^_BPE_CKPT_EVERY cached
+# subtree references — small — while 2 of every 3 generations skip the
+# checkpoint entirely
+_BPE_CKPT_EVERY = 3
+
 
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, cnt, tokens): the one corpus-scale aggregation.
@@ -203,10 +210,35 @@ def bpe_fit_incremental(
     O(words containing the merged pair) — the regime that makes a real
     32k-merge build feasible; the one remaining per-step cost is the
     single-row argmax collect (driver-synchronized, same as every
-    production trainer's loop head)."""
+    production trainer's loop head).
+
+    Job economics (r11): a step schedules exactly ONE Spark job — the
+    argmax collect. New generations register LAZILY (persist between
+    checkpoints; a lazy localCheckpoint every ``_BPE_CKPT_EVERY`` steps
+    truncates the doubling union lineage before analysis cost matters)
+    and materialize as a side effect of the NEXT step's argmax, the
+    barrier no trainer loop can avoid; the final generation is never
+    computed at all. The r10 form eagerly checkpointed both frames per
+    step — 3 barrier jobs/step, and the entry's 12.9 s was that
+    overhead, not data. Generations accrete in the scope until the fit
+    ends (fine for the tens-of-merges regime this entry runs; a 32k
+    trainer would add a sliding release window)."""
     own_scope = scope is None
     if own_scope:
         scope = CacheScope()
+    # checkpointed generations are tracked separately: their blocks are
+    # meaningless outside this fit, so the finally releases them even
+    # under a caller-owned scope (the r10 ADVICE leak: a mid-loop
+    # exception or the final generation left blocks to ContextCleaner)
+    ckpts: list[DataFrame] = []
+
+    def _gen(df: DataFrame, step: int) -> DataFrame:
+        if step % _BPE_CKPT_EVERY == 0:
+            out = df.localCheckpoint(eager=False)
+            ckpts.append(out)
+            return out
+        return scope.persist(df)
+
     vocab = scope.persist(word_vocab(docs, text_col))
     pc = scope.persist(_pair_counts(vocab))
     table: list[tuple[int, str, str, str, int]] = []
@@ -232,17 +264,11 @@ def bpe_fit_incremental(
             delta = _pair_counts(rewritten).unionByName(
                 _pair_counts(affected, sign=-1)
             )
-            # localCheckpoint truncates the lineage per generation (the
-            # pagerank_fixed_point pattern): a generation references the
-            # previous one on BOTH union branches, so without truncation
-            # the logical plan doubles per step and analysis blows up
-            # long before the data does
             nxt_pc = (
                 pc.unionByName(delta)
                 .groupBy("l", "r")
                 .agg(F.sum("c").cast("long").alias("c"))
                 .filter(F.col("c") != 0)
-                .localCheckpoint(eager=True)
             )
             # coalesce: the two-branch union doubles partition count per
             # generation (2^merges tasks by the loop tail without it)
@@ -250,14 +276,13 @@ def bpe_fit_incremental(
                 vocab.filter(~hit)
                 .unionByName(rewritten)
                 .coalesce(docs.sparkSession.sparkContext.defaultParallelism)
-                .localCheckpoint(eager=True)
             )
-            pc.unpersist()
-            vocab.unpersist()
-            pc, vocab = nxt_pc, nxt_vocab
+            pc, vocab = _gen(nxt_pc, step), _gen(nxt_vocab, step)
     finally:
         if own_scope:
             scope.unpersist_all()
+        for df in ckpts:
+            df.unpersist()
     return table
 
 

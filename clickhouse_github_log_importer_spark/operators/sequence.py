@@ -92,10 +92,23 @@ def sequence_count(
     pattern: str,
     conds: tuple[str, ...],
     semantics: str = "existence",
+    matcher: str = "greedy",
 ) -> DataFrame:
     """Per-user greedy non-overlapping match counts for ``pattern``
     under ClickHouse sequenceCount's restart semantics. Returns
     (user_id, seq_count) for users with count >= 1.
+
+    ``matcher='backtracking'`` (r11) switches to ClickHouse's EXACT
+    matcher semantics (AggregateFunctionSequenceMatch.h back_stack
+    DFS = leftmost lexicographic assignment, O(n*k) via the
+    can-complete DP in operators/sequence_backtracking.py) instead of
+    the pinned greedy scan — use it when porting a funnel whose count
+    must equal ClickHouse bit-for-bit on timed patterns (fuzz-pinned:
+    the greedy scan never overcounts, but an upper-bound or '=='
+    death can burn anchors backtracking would retry). Under
+    ``matcher='backtracking'``, ``semantics`` picks the bare-edge
+    reading: 'adjacency' is ClickHouse-exact (consecutive declared
+    events), 'existence' keeps the repo's relaxed any-gap reading.
 
     ``semantics='existence'`` (default): every edge behaves like '.*'
     over the condition-filtered stream. Unconstrained patterns run the
@@ -127,6 +140,10 @@ def sequence_count(
         raise ValueError(
             f"unknown semantics {semantics!r}; one of {SEQUENCE_SEMANTICS}"
         )
+    if matcher not in ("greedy", "backtracking"):
+        raise ValueError(
+            f"unknown matcher {matcher!r}; one of ('greedy', 'backtracking')"
+        )
     _, edges = _parse_seq_pattern(pattern)
     timed = any(e is not None for e in edges)
     ev = _normalized(events)
@@ -136,6 +153,17 @@ def sequence_count(
             "same-timestamp tie-breaker)"
         )
     spark = events.sparkSession
+    if matcher == "backtracking":
+        from .sequence_backtracking import sequence_count_backtracking_users
+
+        return sequence_count_backtracking_users(
+            spark,
+            None,
+            pattern,
+            conds,
+            events=ev,
+            semantics="clickhouse" if semantics == "adjacency" else "existence",
+        )
     if semantics == "adjacency":
         if timed:
             return _sequence_count_adjacent_timed_users(

@@ -1,0 +1,461 @@
+"""ClickHouse-EXACT backtracking sequenceCount (r11).
+
+The greedy timed automata (`plans/queries.py`:
+``_sequence_count_timed_users`` and the timed-adjacency product
+automaton) pin a deterministic lock/restart/wait scan — a documented
+deviation from ClickHouse's matcher, which BACKTRACKS
+(``AggregateFunctionSequenceMatch.h``: a ``back_stack`` of
+(action, event, base) decision points, retried LIFO on failure). This
+module closes that deviation: it implements the backtracking counting
+semantics exactly, as an O(n·k) per-user DP instead of a worst-case
+exponential search.
+
+Semantics pinned here (and fuzz-verified against a literal
+backtracking reference in tests/test_sequence_backtracking.py):
+
+- ClickHouse's matcher explores candidate events in ascending
+  (ts, event_id) order at every decision point and retries the LATEST
+  decision first (LIFO back_stack) — i.e. depth-first search in
+  lexicographic order of the matched index tuple. The match it finds
+  is therefore the LEXICOGRAPHICALLY SMALLEST increasing assignment
+  (i_1 < i_2 < ... < i_k) of pattern steps to events satisfying every
+  gap constraint.
+- ``countAll`` (sequenceCount) repeats: find the leftmost match
+  starting at the cursor, count it, move the cursor past the match's
+  LAST event (non-overlapping), stop at the first failure.
+- The event list contains exactly the rows where at least one declared
+  condition fired (``Data::add`` stores only ``events.any()`` rows),
+  sorted by timestamp — ties broken by ``event_id`` (the repo's pinned
+  tie-breaker; ClickHouse's sort is tie-unstable).
+- Gap readings between consecutive steps: a bare edge requires the two
+  events CONSECUTIVE in the declared stream ("adj" — ClickHouse
+  compiles nothing between two SpecificEvents); '.*' allows any
+  intervening declared events ("any" — KleeneStar); a time constraint
+  ``(?t op T)`` is a KleeneStar plus a gap check against the PREVIOUS
+  matched event ("<", ">", "==" after the exact integer-microsecond
+  reduction of <= / >=). ``semantics='existence'`` reads bare edges as
+  "any" (the repo's relaxed default); ``semantics='clickhouse'`` reads
+  them as "adj" (full parity).
+
+Why O(n·k) instead of exponential DFS: the only state backtracking
+threads between steps is (step j, matched position i) — the time
+constraint looks one matched event back, so "can steps j..k complete
+with step j matched at position i" is Markovian. Computing that
+``can`` table right-to-left turns the lexicographic DFS into a greedy
+chain: at each step take the SMALLEST candidate position whose ``can``
+is true. Candidate windows per constraint are contiguous position
+ranges (timestamps are non-decreasing in position), so each step is a
+suffix-scan plus searchsorted — no per-candidate probing.
+
+Distribution: per-user sequential, batched per hash bucket of users in
+one Arrow kernel — the exact shape ClickHouse itself has (its
+aggregate state is the per-group event list, matched single-threaded
+at merge time). Skew bound = max per-user declared-event count, the
+same bound ClickHouse carries; no driver-side work, one shuffle.
+
+Reference: ClickHouse ``AggregateFunctionSequenceMatch.h`` (public
+sources) — ``parsePattern`` (leading KleeneStar, SpecificEvent /
+KleeneStar / TimeLess[OrEqual] / TimeGreater[OrEqual] / TimeEqual
+actions), ``match`` (back_stack DFS, ``sequence_match_max_iterations``
+guard), ``countAll`` (restart after the last consumed event). The
+log-importer delegates these to ClickHouse (e.g. funnel dashboards
+over `app/queries` output tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# ClickHouse guards its DFS with sequence_match_max_iterations = 1e6;
+# the literal reference matcher keeps the same cap (the DP needs none).
+MAX_BACKTRACK_ITERATIONS = 1_000_000
+
+BACKTRACK_SEMANTICS = ("existence", "clickhouse")
+
+
+def compile_backtracking(pattern: str, conds, semantics: str = "clickhouse"):
+    """Compile a sequenceMatch pattern into (types, gaps) for the
+    backtracking machines. ``types[j]`` is the condition name of step
+    j; ``gaps[j]`` constrains steps j and j+1: ("adj",) consecutive in
+    the declared stream, ("any",) any intervening declared events, or
+    (op, T_us) with op in '<' / '>' / '==' (<= / >= reduced exactly on
+    integer microseconds, same rule as the greedy automata)."""
+    from ..plans.queries import _parse_seq_pattern
+
+    if semantics not in BACKTRACK_SEMANTICS:
+        raise ValueError(
+            f"unknown semantics {semantics!r}; one of {BACKTRACK_SEMANTICS}"
+        )
+    steps, edges, adjacent = _parse_seq_pattern(pattern, with_adjacency=True)
+    bad = [i for i in steps if i > len(conds)]
+    if bad:
+        raise ValueError(
+            f"sequenceMatch pattern: condition index (?{bad[0]}) out of "
+            f"range — {len(conds)} conditions defined"
+        )
+    types = tuple(conds[i - 1] for i in steps)
+    gaps = []
+    for e, adj in zip(edges, adjacent):
+        if e is None:
+            gaps.append(("adj",) if semantics == "clickhouse" and adj else ("any",))
+        elif e[0] == "<=":
+            gaps.append(("<", e[1] + 1))
+        elif e[0] == ">=":
+            gaps.append((">", e[1] - 1))
+        else:
+            gaps.append(e)
+    return types, tuple(gaps)
+
+
+def bt_count_reference(et, ts, types, gaps) -> int:
+    """Literal backtracking reference (test oracle): lexicographic DFS
+    over candidate assignments, restart after the last matched event —
+    the direct transcription of AggregateFunctionSequenceMatch.h's
+    back_stack machine for this pattern grammar. Exponential worst
+    case, guarded by the same 1e6-iteration cap ClickHouse uses; only
+    for fuzz-size inputs."""
+    n = len(et)
+    k = len(types)
+    budget = [MAX_BACKTRACK_ITERATIONS]
+
+    def rec(j: int, prev_i: int, start: int):
+        if j == 0:
+            cand = range(start, n)
+        else:
+            kind = gaps[j - 1]
+            if kind[0] == "adj":
+                cand = range(prev_i + 1, min(prev_i + 2, n))
+            else:
+                cand = range(prev_i + 1, n)
+        for i in cand:
+            budget[0] -= 1
+            if budget[0] <= 0:
+                raise RuntimeError("backtracking iteration cap exceeded")
+            if et[i] != types[j]:
+                continue
+            if j > 0:
+                kind = gaps[j - 1]
+                if len(kind) == 2:
+                    gap = ts[i] - ts[prev_i]
+                    if kind[0] == "<":
+                        if gap >= kind[1]:
+                            break  # later candidates only widen the gap
+                        # else in window: try it
+                    elif kind[0] == ">":
+                        if gap <= kind[1]:
+                            continue  # too early: later may qualify
+                    elif gap != kind[1]:  # '=='
+                        if gap > kind[1]:
+                            break
+                        continue
+            if j == k - 1:
+                return i
+            tail = rec(j + 1, i, start)
+            if tail is not None:
+                return tail
+        return None
+
+    cnt = 0
+    p = 0
+    while p < n:
+        last = rec(0, -1, p)
+        if last is None:
+            break
+        cnt += 1
+        p = last + 1
+    return cnt
+
+
+def bt_count_fast(code, tsv, type_codes, gaps) -> int:
+    """O(n·k) backtracking count for ONE user: right-to-left ``can``
+    DP (can steps j..k-1 complete with step j at position i), then the
+    leftmost match is the greedy smallest-candidate-with-can chain.
+    ``code``/``tsv`` are the user's declared events as int codes /
+    int64 epoch-us, sorted by (ts, event_id); ``type_codes`` the step
+    conditions as the same codes. Fuzz-pinned equal to
+    :func:`bt_count_reference`."""
+    import numpy as np
+
+    n = len(code)
+    k = len(type_codes)
+    if n == 0:
+        return 0
+    arange = np.arange(n, dtype=np.int64)
+
+    def build_nxt(cp):
+        # nxt[p] = smallest q >= p with cp[q], else n (length n+1)
+        idx = np.where(cp, arange, n)
+        r = np.minimum.accumulate(idx[::-1])[::-1]
+        return np.append(r, n)
+
+    can = code == type_codes[k - 1]
+    nxt = [None] * k
+    cans = [None] * k
+    cans[k - 1] = can
+    nxt[k - 1] = build_nxt(can)
+    for j in range(k - 2, -1, -1):
+        kind = gaps[j]
+        is_j = code == type_codes[j]
+        pos = np.flatnonzero(is_j)
+        ok = np.zeros(n, dtype=bool)
+        if len(pos):
+            if kind[0] == "adj":
+                q = pos + 1
+                valid = q < n
+                hit = np.zeros(len(pos), dtype=bool)
+                hit[valid] = cans[j + 1][q[valid]]
+                ok[pos] = hit
+            elif kind[0] == "any":
+                ok[pos] = nxt[j + 1][pos + 1] < n
+            elif kind[0] == "<":
+                # smallest can-position after pos has the smallest ts
+                # among candidates (ts non-decreasing in position), so
+                # it alone decides the upper bound
+                q = nxt[j + 1][pos + 1]
+                valid = q < n
+                hit = np.zeros(len(pos), dtype=bool)
+                hit[valid] = tsv[q[valid]] - tsv[pos[valid]] < kind[1]
+                ok[pos] = hit
+            elif kind[0] == ">":
+                lo = np.searchsorted(tsv, tsv[pos] + kind[1], side="right")
+                ok[pos] = nxt[j + 1][np.maximum(lo, pos + 1)] < n
+            else:  # '=='
+                target = tsv[pos] + kind[1]
+                lo = np.searchsorted(tsv, target, side="left")
+                hi = np.searchsorted(tsv, target, side="right")
+                q = nxt[j + 1][np.maximum(lo, pos + 1)]
+                ok[pos] = (q < n) & (q < hi)
+        cans[j] = ok
+        nxt[j] = build_nxt(ok)
+
+    cnt = 0
+    p = 0
+    while p < n:
+        i = int(nxt[0][p])
+        if i >= n:
+            break
+        cur = i
+        for j in range(1, k):
+            kind = gaps[j - 1]
+            if kind[0] == "adj":
+                cur = cur + 1
+            elif kind[0] in ("any", "<"):
+                # '<': the witness is the smallest can-position — can
+                # at the previous step already guaranteed it in-window
+                cur = int(nxt[j][cur + 1])
+            elif kind[0] == ">":
+                lo = int(np.searchsorted(tsv, tsv[cur] + kind[1], side="right"))
+                cur = int(nxt[j][max(lo, cur + 1)])
+            else:  # '=='
+                target = int(tsv[cur]) + kind[1]
+                lo = int(np.searchsorted(tsv, target, side="left"))
+                cur = int(nxt[j][max(lo, cur + 1)])
+        cnt += 1
+        p = cur + 1
+    return cnt
+
+
+def greedy_count_timed_py(et, ts, types, edges) -> int:
+    """Pure-python twin of the PINNED greedy timed-restart automaton
+    (_sequence_count_timed_users docstring rules: '<' violation
+    restarts re-anchoring, '>' violation waits, '==' composes) — the
+    fuzzer's greedy side for characterizing greedy-vs-backtracking
+    divergence without a Spark round trip. Existence reading: only
+    currently-expected condition events touch the automaton."""
+    k = len(types)
+    red = [
+        ("<", e[1] + 1)
+        if e is not None and e[0] == "<="
+        else (">", e[1] - 1)
+        if e is not None and e[0] == ">="
+        else e
+        for e in edges
+    ]
+    s, t_prev, cnt = 0, None, 0
+    for x, tx in zip(et, ts):
+        if x != types[s]:
+            continue
+        e = red[s - 1] if s >= 1 else None
+        gap = None if t_prev is None else tx - t_prev
+        if (
+            e is None
+            or (e[0] == "<" and gap < e[1])
+            or (e[0] == ">" and gap > e[1])
+            or (e[0] == "==" and gap == e[1])
+        ):
+            s += 1
+            t_prev = tx
+            if s == k:
+                cnt += 1
+                s = 0
+        elif e[0] == "<" or (e[0] == "==" and gap > e[1]):
+            if types[s] == types[0]:
+                s, t_prev = 1, tx
+                if k == 1:
+                    cnt, s = cnt + 1, 0
+            else:
+                s = 0
+        # else too early: wait (state, t_prev unchanged)
+    return cnt
+
+
+def sequence_count_backtracking_battery(
+    spark, sf_dir, patterns, conds, events=None, semantics: str = "clickhouse"
+):
+    """(pattern, user_id, seq_count) for every pattern in one Arrow
+    pass: the declared stream shuffles ONCE on a user hash bucket, and
+    the kernel runs the O(n·k) DP per user per pattern. The stream is
+    the union of declared conditions (ClickHouse visibility: any row
+    where a declared condition fired), so 'adj' gaps count positions
+    exactly as ClickHouse's events_list does."""
+    import pandas as pd
+
+    from ..plans.queries import t
+
+    compiled = [
+        (pat, compile_backtracking(pat, conds, semantics)) for pat in patterns
+    ]
+    sym = {c: a for a, c in enumerate(conds)}
+    comp_codes = [
+        (pat, tuple(sym[ty] for ty in types), gaps)
+        for pat, (types, gaps) in compiled
+    ]
+    ev = (t(spark, sf_dir, "events") if events is None else events).select(
+        "user_id",
+        F.col("ts_us").cast("long").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    ev = ev.filter(F.col("event_type").isin(*set(conds)))
+    n_buckets = spark.sparkContext.defaultParallelism * 4
+    st = ev.withColumn(
+        "_b", F.pmod(F.hash("user_id"), F.lit(n_buckets))
+    )
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        uid = pdf["user_id"].to_numpy()
+        code = pdf["event_type"].map(sym).to_numpy(dtype=np.int64)
+        tsv = pdf["ts_us"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        out_pat: list[str] = []
+        out_uid: list[int] = []
+        out_cnt: list[int] = []
+        for a, b in zip(starts, ends):
+            c = code[a:b]
+            t_ = tsv[a:b]
+            for pat, tcodes, gaps in comp_codes:
+                cnt = bt_count_fast(c, t_, tcodes, gaps)
+                if cnt >= 1:
+                    out_pat.append(pat)
+                    out_uid.append(int(uid[a]))
+                    out_cnt.append(cnt)
+        return pd.DataFrame(
+            {"pattern": out_pat, "user_id": out_uid, "seq_count": out_cnt}
+        )
+
+    return st.groupBy("_b").applyInPandas(
+        kern, "pattern string, user_id long, seq_count long"
+    )
+
+
+def sequence_count_backtracking_users(
+    spark, sf_dir, pattern: str, conds, events=None,
+    semantics: str = "clickhouse",
+):
+    """Single-pattern surface: (user_id, seq_count) rows with
+    count >= 1 under ClickHouse-exact backtracking counting."""
+    out = sequence_count_backtracking_battery(
+        spark, sf_dir, (pattern,), conds, events=events, semantics=semantics
+    )
+    return out.select("user_id", "seq_count")
+
+
+def _gap_sql(gap, prev: str, cur: str) -> str:
+    if gap[0] == "adj":
+        return f"{cur}.rn = {prev}.rn + 1"
+    if gap[0] == "any":
+        return f"{cur}.rn > {prev}.rn"
+    op = "=" if gap[0] == "==" else gap[0]
+    return f"{cur}.rn > {prev}.rn AND {cur}.tu - {prev}.tu {op} {gap[1]}"
+
+
+def bt_oracle_sql(patterns, conds, semantics: str = "clickhouse") -> str:
+    """DuckDB twin: one recursive CTE per pattern finding ONE leftmost
+    match per iteration. The chained LATERALs realize the
+    greedy-with-can chain — each picks the first candidate (by rank)
+    satisfying its gap constraint AND a nested-EXISTS proof that the
+    remaining steps can complete after it (the SQL spelling of the
+    ``can`` table), so the assignment found is exactly the
+    lexicographically smallest. Cursor jumps past the match's last
+    event; recursion depth = per-user match count + 1."""
+    chains = []
+    selects = []
+    for idx, pat in enumerate(patterns):
+        types, gaps = compile_backtracking(pat, conds, semantics)
+        k = len(types)
+
+        def can_sql(j: int, prev: str) -> str:
+            # steps j..k-1 can complete after the event aliased `prev`
+            if j >= k:
+                return "TRUE"
+            g = f"g{idx}_{j}"
+            tail = can_sql(j + 1, g)
+            return (
+                f"EXISTS (SELECT 1 FROM f {g} WHERE {g}.user_id = "
+                f"tt.user_id AND {g}.et = '{types[j]}' AND "
+                f"{_gap_sql(gaps[j - 1], prev, g)} AND {tail})"
+            )
+
+        laterals = []
+        for j in range(k):
+            x = f"x{j}"
+            if j == 0:
+                gap_pred = f"{x}.rn > tt.cur"
+            else:
+                gap_pred = _gap_sql(gaps[j - 1], f"x{j - 1}", x)
+            tail = can_sql(j + 1, x)
+            laterals.append(
+                f"""LATERAL (
+        SELECT {x}.rn, {x}.tu FROM f {x}
+        WHERE {x}.user_id = tt.user_id AND {x}.et = '{types[j]}'
+          AND {gap_pred} AND {tail}
+        ORDER BY {x}.rn LIMIT 1
+      ) {x}"""
+            )
+        chains.append(
+            f"""
+    bt{idx} AS (
+      SELECT user_id, CAST(0 AS BIGINT) AS cur, 0 AS cnt
+      FROM (SELECT DISTINCT user_id FROM f)
+      UNION ALL
+      SELECT tt.user_id, x{k - 1}.rn, tt.cnt + 1
+      FROM bt{idx} tt, """
+            + ", ".join(laterals)
+            + "\n    )"
+        )
+        selects.append(
+            f"""
+      SELECT '{pat}' AS pattern, user_id,
+             CAST(max(cnt) AS BIGINT) AS seq_count
+      FROM bt{idx} GROUP BY user_id HAVING max(cnt) >= 1"""
+        )
+    return (
+        f"""
+    WITH RECURSIVE f AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_type AS et,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn
+      FROM events
+      WHERE event_type IN {tuple(conds)!r}
+    ),"""
+        + ",".join(chains)
+        + "\n    SELECT pattern, user_id, seq_count FROM ("
+        + " UNION ALL ".join(selects)
+        + "\n    )"
+    )

@@ -32,10 +32,11 @@ from pathlib import Path
 
 _LOG = logging.getLogger(__name__)
 
-# union of CORRECTNESS_r01..r09 keys: entries with >=1 driver-green row
+# union of CORRECTNESS_r01..r10 keys: entries with >=1 driver-green row
 # (pinned against sampled_from_artifacts() by tests/test_sample_window.py)
 SAMPLED_PRIOR: frozenset[str] = frozenset(
     {
+        "bpe_merge_table_incremental", "sequence_count_adjacent_timed",
         "bpe_merge_table", "bpe_token_counts", "embedding_covariance",
         "embedding_pca_power", "embedding_pca_projection",
         "funnel_time_to_convert", "holt_linear_forecast",
@@ -122,65 +123,66 @@ SAMPLED_PRIOR: frozenset[str] = frozenset(
     }
 )
 
-# round-10 window: (a) user_activity (entry() names it), (b) every entry
+# round-11 window: (a) user_activity (entry() names it), (b) every entry
 # that is brand-new or whose plan changed this round, (c) re-verification
-# filler ordered by OLDEST latest-green driver evidence: the 10 entries
-# whose latest green is r5, then the r6-evidence block in registration
-# order (fills to 50).
+# filler ordered by OLDEST latest-green driver evidence: the 16 entries
+# whose latest green is r6 (the oldest tail left after r10 reached full
+# cumulative coverage), then the r7-evidence block in registration order
+# (fills to 50).
 DRIVER_SAMPLE: tuple[str, ...] = (
     "user_activity",
     # --- brand new / changed this round: driver must see immediately ---
-    "sequence_count_adjacent_timed",  # r10 NEW: timed×adjacency product DFA
-    "sequence_count_timed",       # r10: (?t==T) exact-offset edges
-    "zipf_fit_words",             # r10: bounded rank-window prefilter
-    "funnel_time_to_convert",     # r10: empty-funnel NULLIF guard
-    "holt_linear_forecast",       # r10: floor-consistent hour bucketing
-    "bpe_merge_table_incremental",  # r10 NEW: delta-update pair counts
-    # --- re-verification filler: r5-evidence block, registration order ---
-    "region_nation_rollup",
-    "order_status_cube",
-    "platform_union_counts",
-    "user_sessions",
-    "value_percentiles",
-    "tumbling_window_counts",
-    "sliding_window_counts",
-    "heavy_hitters_cms",
-    "approx_distinct_users",
-    "approx_value_percentiles",
-    # --- r6-evidence block, registration order (fills to 50) ---
-    "concurrent_event_counts_linear",
-    "event_rank_profile",
-    "pagerank_user_item",
-    "coactivity_triangles",
-    "coactivity_clustering",
-    "ema_user_value",
-    "quantile_state_rollup",
-    "sequence_match_pattern",
-    "user_moving_sum_arrays",
-    "dup_span_report",
-    "ann_pq_code_histogram",
-    "ann_pq_topk",
-    "ann_ivfpq_topk",
-    "ann_ivfpq_recall_report",
-    "doc_fingerprints",
-    "corpus_quality_summary",
-    "multimodal_features",
-    "multimodal_image_features",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    "docs_hash_sample",
-    "source_capped_sample",
-    "dataset_split_summary",
-    "pii_scan",
-    "cross_modal_near_dups",
-    "cluster_keepers",
-    "decontamination_report",
-    "doc_token_rarity",
-    "doc_chunk_plan",
-    "bloom_contamination_report",
-    "corpus_mixture_weights",
-    "doc_repetition_profile",
-    "sequence_packing_plan",
+    "sequence_count_timed_backtracking",  # r11 NEW: ClickHouse backtracking semantics
+    "stream_adjacency_count_fold",        # r11 NEW: streaming twin surfaced to driver
+    "stream_time_decay_fold",             # r11 NEW: streaming twin surfaced to driver
+    "bpe_merge_table_incremental",        # r11: k-th-generation checkpoint cadence
+    # --- re-verification filler: r6-evidence block, registration order ---
+    "curation_funnel",
+    "kmeans_centroids",
+    "kmeans_cluster_profile",
+    "semantic_dedup_keepers",
+    "ann_recall_report",
+    "dedup_rate_by_source",
+    "minhash_estimate_report",
+    "bm25_keyword_search",
+    "hybrid_rrf_search",
+    "chunk_dup_rate",
+    "ngram_lm_fluency",
+    "dsir_importance_weights",
+    "edit_distance_near_pairs",
+    "vocab_growth_curve",
+    "epoch_shuffle_sample",
+    "token_fertility_by_lang",
+    # --- r7-evidence block, registration order (fills to 50) ---
+    "cms_state_rollup",
+    "coactivity_degrees",
+    "retention_cohorts",
+    "event_funnel_conversion",
+    "window_funnel_levels",
+    "event_type_transitions",
+    "user_activity_gini",
+    "uniq_kmv_sketch",
+    "retention_conditions",
+    "kmv_set_operations",
+    "max_concurrent_intervals",
+    "user_interval_coverage",
+    "sequence_pair_count",
+    "sum_map_by_day",
+    "inter_event_gap_profile",
+    "user_delta_sum",
+    "weighted_median_price",
+    "bitmap_audience_overlap",
+    "interpolated_hourly_values",
+    "bounded_distinct_by_type",
+    "value_hour_correlation",
+    "welch_ttest_values",
+    "student_ttest_values",
+    "mann_whitney_u_values",
+    "kolmogorov_smirnov_values",
+    "cramers_v_type_band",
+    "lttb_downsample_hourly",
+    "uniq_state_rollup",
+    "events_limit_by",
 )
 
 

@@ -19,23 +19,31 @@ consults a bounded SUMMARY of that set —
   (?t< / <=)       latest qualified predecessor timestamp -> running
                    MAX (the batch running-extrema pass, telescoped)
   (?t> / >=)       earliest -> running MIN
-  (?t==T)          needs the full predecessor-timestamp SET (the batch
-                   exact-offset hash join) — unbounded state; raises
-                   here, documented in MIGRATION.md
+  (?t==T)          (r11) membership of ``ts - T`` in the qualified
+                   predecessor-timestamp set (the batch exact-offset
+                   hash join) — kept as a PRUNED sorted deque: events
+                   decide in non-decreasing ts, so a query at ts only
+                   ever looks exactly T back, and every entry older
+                   than ``ts - T`` is dead; the deque is bounded by
+                   the qualified events inside one T-window (the same
+                   kind of time bound the in-watermark buffer has).
+                   T == 0 never qualifies, the batch's static pin (a
+                   strict chain can't gain 0).
 
 so the whole DP is a length-L vector of (prev_qualified, any_qualified,
-max_ts, min_ts) advanced one declared event at a time. Each event's
-qualifications are computed from the PRE-event vector (strictly-earlier
-positions only), matching the batch's "a row never chains with itself"
-pin; events are processed in the batch's exact (ts, event_type) rank
-order.
+max_ts, min_ts, eq_deque) advanced one declared event at a time. Each
+event's qualifications are computed from the PRE-event vector
+(strictly-earlier positions only), matching the batch's "a row never
+chains with itself" pin; events are processed in the batch's exact
+(ts, event_type) rank order.
 
 EXACT within the watermark: events are decided only once the event-time
 watermark passes them — in-watermark arrivals buffer in state and
 replay in order, so out-of-order delivery inside the watermark cannot
 reorder the DP. Emission is at most ONE row per user (first match, a
 ``done`` tombstone until idle eviction — the funnel contract); state is
-O(L) + the in-watermark buffer.
+O(L) + the in-watermark buffer + the pruned '==' deques (qualified
+events inside one T-window each).
 """
 
 from __future__ import annotations
@@ -55,8 +63,7 @@ _POS = 2**62
 
 def compile_adjacency(pattern: str, conds: tuple[str, ...]):
     """(types, edges, adjacent) for the streaming DP — the batch
-    compiler's three-value parse, with the streaming-unsupported '=='
-    edge rejected up front."""
+    compiler's three-value parse."""
     from ..plans.queries import _parse_seq_pattern
 
     steps, edges, adjacent = _parse_seq_pattern(
@@ -68,30 +75,49 @@ def compile_adjacency(pattern: str, conds: tuple[str, ...]):
             f"sequenceMatch pattern: condition index (?{bad[0]}) out of "
             f"range — {len(conds)} conditions defined"
         )
-    for e in edges:
-        if e is not None and e[0] == "==":
-            raise ValueError(
-                "streaming adjacency twin: (?t==T) needs the full "
-                "predecessor-timestamp set (batch uses an exact-offset "
-                "hash join) — unbounded streaming state; use the batch "
-                "operator"
-            )
     return [conds[i - 1] for i in steps], edges, adjacent
+
+
+def fresh_vec(L):
+    """Empty DP vector: nothing qualified, extrema at the sentinels,
+    '==' predecessor deques empty."""
+    return (
+        [False] * L, [False] * L, [_NEG] * L, [_POS] * L,
+        [[] for _ in range(L)],
+    )
 
 
 def advance_adjacency(vec, events, types, edges, adjacent):
     """Pure decision core, shared with the pytest brute-force pin.
 
-    ``vec`` = (prevq, anyq, maxe, mine) lists of length L (sentinels
-    ``_NEG``/``_POS`` for unset extrema); ``events`` = (ts_us,
-    event_type) DECLARED-condition rows, already sorted in the batch
-    rank order (ts, event_type). Returns (vec, matched_ts_us | None):
-    advances the DP one event at a time and reports the first event
-    completing prefix L."""
-    prevq, anyq, maxe, mine = vec
+    ``vec`` = (prevq, anyq, maxe, mine, eqs) lists of length L
+    (sentinels ``_NEG``/``_POS`` for unset extrema; ``eqs[k]`` the
+    pruned ascending deque of qualified prefix-(k+1) end timestamps,
+    maintained only when ``edges[k]`` is a '==' edge); ``events`` =
+    (ts_us, event_type) DECLARED-condition rows, already sorted in the
+    batch rank order (ts, event_type). Returns (vec, matched_ts_us |
+    None): advances the DP one event at a time and reports the first
+    event completing prefix L."""
+    from bisect import bisect_left
+
+    prevq, anyq, maxe, mine, eqs = vec
     L = len(types)
     matched = None
+    # feeds_eq[k]: prefix k+1 feeds a '==' edge, so its qualified end
+    # timestamps must be remembered (pruned below ts - T)
+    feeds_eq = [
+        k < L - 1 and edges[k] is not None and edges[k][0] == "=="
+        for k in range(L)
+    ]
     for ets, etype in events:
+        # prune dead '==' predecessors: ts is non-decreasing, so an
+        # entry older than ets - T can never be queried again
+        for k in range(L - 1):
+            if feeds_eq[k] and eqs[k]:
+                floor = ets - edges[k][1]
+                i = bisect_left(eqs[k], floor)
+                if i:
+                    del eqs[k][:i]
         newq = [False] * L
         for k in range(L):
             if etype != types[k]:
@@ -109,6 +135,15 @@ def advance_adjacency(vec, events, types, edges, adjacent):
                     ok = anyq[k - 1] and (
                         gap < e[1] if e[0] == "<" else gap <= e[1]
                     )
+                elif e[0] == "==":
+                    # membership of the exact-offset predecessor; T = 0
+                    # is the batch's static never-qualifies pin
+                    want = ets - e[1]
+                    d = eqs[k - 1]
+                    i = bisect_left(d, want)
+                    ok = (
+                        e[1] > 0 and i < len(d) and d[i] == want
+                    )
                 else:  # '>' / '>='
                     gap = ets - mine[k - 1]
                     ok = anyq[k - 1] and (
@@ -122,10 +157,12 @@ def advance_adjacency(vec, events, types, edges, adjacent):
                     maxe[k] = ets
                 if ets < mine[k]:
                     mine[k] = ets
+                if feeds_eq[k] and (not eqs[k] or eqs[k][-1] != ets):
+                    eqs[k].append(ets)
         prevq = newq
         if newq[L - 1] and matched is None:
             matched = ets
-    return (prevq, anyq, maxe, mine), matched
+    return (prevq, anyq, maxe, mine, eqs), matched
 
 
 def sequence_match_adjacent_streaming(
@@ -155,17 +192,17 @@ def sequence_match_adjacent_streaming(
 
         def unpack():
             if state.exists:
-                pq, aq, mx, mn, bt, be, done = state.get
+                pq, aq, mx, mn, eqf, eqn, bt, be, done = state.get
+                eqs, off = [], 0
+                for n in eqn:
+                    eqs.append(list(eqf[off:off + n]))
+                    off += n
                 return (
-                    (list(pq), list(aq), list(mx), list(mn)),
+                    (list(pq), list(aq), list(mx), list(mn), eqs),
                     list(zip(bt, be)),
                     done,
                 )
-            return (
-                ([False] * L, [False] * L, [_NEG] * L, [_POS] * L),
-                [],
-                False,
-            )
+            return (fresh_vec(L), [], False)
 
         def decide_and_store(vec, buf, last_us):
             # decide everything strictly behind the watermark, in the
@@ -176,12 +213,14 @@ def sequence_match_adjacent_streaming(
             vec, m = advance_adjacency(vec, ready, types, edges, adjacent)
             if m is not None:
                 rows.append((user_id, m))
-                state.update(([], [], [], [], [], [], True))
+                state.update(([], [], [], [], [], [], [], [], True))
                 state.setTimeoutTimestamp(max(wm_ms, m // 1000) + timeout_ms)
                 return
             state.update(
                 (
                     vec[0], vec[1], vec[2], vec[3],
+                    [t_ for d in vec[4] for t_ in d],
+                    [len(d) for d in vec[4]],
                     [b[0] for b in keep],
                     [b[1] for b in keep],
                     False,
@@ -216,7 +255,7 @@ def sequence_match_adjacent_streaming(
                     if et in declared:
                         buf.append((int(t_us), et))
             if done:
-                state.update(([], [], [], [], [], [], True))
+                state.update(([], [], [], [], [], [], [], [], True))
                 state.setTimeoutTimestamp(
                     max(wm_ms, last_us // 1000) + timeout_ms
                 )
@@ -232,8 +271,8 @@ def sequence_match_adjacent_streaming(
         outputStructType=MATCH_SCHEMA,
         stateStructType=(
             "pq array<boolean>, aq array<boolean>, mx array<long>, "
-            "mn array<long>, bt array<long>, be array<string>, "
-            "done boolean"
+            "mn array<long>, eqf array<long>, eqn array<int>, "
+            "bt array<long>, be array<string>, done boolean"
         ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,

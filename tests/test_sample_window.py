@@ -60,12 +60,9 @@ def test_window_actually_rotates():
 
 # brand-new or plan-changed entries this round; grows as the round does
 NEW_THIS_ROUND: tuple[str, ...] = (
-    "sequence_count_adjacent_timed",  # r10 NEW: timed×adjacency product DFA
-    "sequence_count_timed",       # r10: (?t==T) exact-offset edges
-    "zipf_fit_words",             # r10: bounded rank-window prefilter
-    "funnel_time_to_convert",     # r10: empty-funnel NULLIF guard
-    "holt_linear_forecast",       # r10: floor-consistent hour bucketing
-    "bpe_merge_table_incremental",  # r10 NEW: delta-update pair counts
+    "sequence_count_timed_backtracking",  # r11 NEW: CH-exact backtracking
+    "stream_adjacency_count_fold",   # r11 NEW: streaming twin to driver
+    "stream_time_decay_fold",        # r11 NEW: streaming twin to driver
 )
 
 
