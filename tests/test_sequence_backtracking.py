@@ -193,6 +193,51 @@ def test_iteration_cap_guards_the_literal_reference():
     assert _fast(big_et, big_ts, types, gaps) == 0
 
 
+def test_adjacency_family_untimed_equals_backtracking_timed_characterized():
+    """Extends the divergence characterization to the ADJACENCY family
+    (the r10 product automaton), via its pure streaming core: UNTIMED
+    adjacency patterns are EXACTLY backtracking (KMP leftmost
+    non-overlapping IS the lexicographic DFS when no gate can die), and
+    the timed product automaton diverges only as an UNDER-count and
+    only on '<'/'==' patterns — same classes, same direction, as the
+    existence family."""
+    from clickhouse_github_log_importer_spark.streaming.adjacency_count_stream import (
+        _SENT,
+        advance_count,
+        compile_count_product,
+    )
+
+    rng = random.Random(99)
+    sym = {c: a for a, c in enumerate(CONDS)}
+    untimed = ["(?1)(?2)", "(?1).*(?2)", "(?2)(?2)", "(?1)(?2)(?3)",
+               "(?2).*(?2)(?3)"]
+    timed = ["(?1)(?t<10)(?2)", "(?2)(?t>5)(?3)", "(?1)(?t<10)(?2)(?3)",
+             "(?2)(?2)(?t<9)(?3)", "(?1)(?t==6)(?2)"]
+    metas = {p: compile_count_product(p, CONDS) for p in untimed + timed}
+    compiled = {
+        p: compile_backtracking(p, CONDS, "clickhouse")
+        for p in untimed + timed
+    }
+    lt_diverged = False
+    for _ in range(1200):
+        et, ts = _rand_stream(rng, n_max=12)
+        evs = list(zip(ts, et))
+        for pat in untimed + timed:
+            g = advance_count((0, _SENT, 0, []), evs, metas[pat], sym)[2]
+            tys, gaps = compiled[pat]
+            b = bt_count_reference(et, ts, tys, gaps)
+            if pat in untimed:
+                assert g == b, ("untimed adjacency diverged", pat, et, ts)
+            else:
+                assert g <= b, ("adjacency greedy overcounted",
+                                pat, et, ts, g, b)
+                if g != b:
+                    assert pat != "(?2)(?t>5)(?3)", (
+                        "pure-'>' adjacency diverged", et, ts)
+                    lt_diverged = True
+    assert lt_diverged  # the fuzz must actually exercise the divergence
+
+
 def test_spark_battery_matches_dp_and_dispatcher_routes(spark):
     import pandas as pd
 
