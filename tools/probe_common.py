@@ -61,3 +61,25 @@ def wait_for_idle(threshold: float | None = None, timeout_s: int = 600,
         "load5_when_proceeding": round(l5, 1),
         "passed": not busy(l1, l5),
     }
+
+
+def cpu_ticks() -> tuple[int, int] | None:
+    """(total, steal) jiffies from /proc/stat — None where unreadable.
+    Steal is the hypervisor running other guests on our vCPUs (SCALE.md
+    r10: 8-10% at times on this host); sampling it around each timed
+    cell lets a reader attribute a noisy cell numerically (the r11
+    bench does the same per pass)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except (OSError, ValueError):
+        return None
+
+
+def steal_pct(before, after) -> float | None:
+    """Steal share of all CPU ticks between two cpu_ticks() samples."""
+    if not before or not after or after[0] <= before[0]:
+        return None
+    return round(100.0 * (after[1] - before[1]) / (after[0] - before[0]), 2)

@@ -69,7 +69,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+from tools.probe_common import cpu_ticks as _cpu_ticks  # noqa: E402
 from tools.probe_common import git_head as _git_head  # noqa: E402
+from tools.probe_common import steal_pct as _steal_pct  # noqa: E402
 from tools.probe_common import wait_for_idle as _wait_for_idle  # noqa: E402
 PROBE_ROOT = os.path.join(REPO, ".scale_probe")
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -235,6 +237,8 @@ def run_probe(scales, names, repeats: int = 2) -> dict:
         df.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, dict[int, float]] = {n: {} for n in names}
+    # steal% sampled over each cell's BEST repeat (the one reported)
+    steals: dict[str, dict[int, float | None]] = {n: {} for n in names}
     errors: dict[str, str] = {}
     # 1-min load average sampled after every measurement: this VM sees
     # transient host-side stalls (load >10 at 100% guest-idle) that can
@@ -282,17 +286,23 @@ def run_probe(scales, names, repeats: int = 2) -> dict:
                 continue
             try:
                 best = None
+                cell_steal = None
                 for _ in range(repeats):
                     if n in TRAIN_MEMO_ENTRIES:
                         _clear_model_memos()  # time the FIT every repeat
+                    c0 = _cpu_ticks()
                     t0 = time.monotonic()
                     materialize(REGISTRY[n].spark(spark, sf_dir))
                     dt = time.monotonic() - t0
-                    best = dt if best is None else min(best, dt)
+                    sp = _steal_pct(c0, _cpu_ticks())
+                    if best is None or dt < best:
+                        best, cell_steal = dt, sp
                 timings[n][k] = round(best, 3)
+                steals[n][k] = cell_steal
                 load1 = os.getloadavg()[0]
                 loads.append(load1)
-                print(f"# x{k} {n}: {best:.2f}s (load {load1:.1f})")
+                print(f"# x{k} {n}: {best:.2f}s (load {load1:.1f}, "
+                      f"steal {cell_steal}%)")
             except Exception as e:  # noqa: BLE001
                 errors[n] = f"x{k}: {type(e).__name__}: {e}"[:300]
                 print(f"# x{k} {n}: ERROR {errors[n]}")
@@ -327,6 +337,7 @@ def run_probe(scales, names, repeats: int = 2) -> dict:
             verdict = "linear"
         report[n] = {
             "t": {f"x{k}": ts[k] for k in scales},
+            "steal_pct": {f"x{k}": steals[n].get(k) for k in scales},
             "marginal_sec_per_unit": [round(m1, 4), round(m2, 4)],
             "ratio_hi": round(ts[k3] / ts[k2], 2),
             "ratio_hi_caladj": round(ratio_adj, 2),

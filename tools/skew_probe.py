@@ -33,7 +33,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+from tools.probe_common import cpu_ticks as _cpu_ticks  # noqa: E402
 from tools.probe_common import git_head as _git_head  # noqa: E402
+from tools.probe_common import steal_pct as _steal_pct  # noqa: E402
 from tools.probe_common import wait_for_idle as _wait_for_idle  # noqa: E402
 
 X10 = os.path.join(REPO, ".scale_probe", "x10")
@@ -118,6 +120,15 @@ EVENT_QUERIES = [
     # the per-slice piecewise tabulation must both stay slice-bounded
     # on the mega-user (the occurrence-start lag spreads with rank)
     "sequence_count_adjacent_timed",
+    # r11: the three DELIBERATELY per-user-sequential kernels (the
+    # backtracking counter and the two streaming-fold twins) — their
+    # mega-user ratio is the measured cost of ClickHouse's own
+    # per-group execution shape, pinned next to the sliced machines'
+    # flat rows exactly like user_sessions_native documents the native
+    # session window
+    "sequence_count_timed_backtracking",
+    "stream_adjacency_count_fold",
+    "stream_time_decay_fold",
 ]
 DOC_QUERIES = [
     "source_capped_sample",
@@ -257,15 +268,21 @@ def main():
         # in warmed isolation. Both variants now warm identically.
         mat(fn(spark, X10))
         mat(fn(spark, SKEW))
+        c0 = _cpu_ticks()
         uni = best_of(lambda: fn(spark, X10))
         skw = best_of(lambda: fn(spark, SKEW))
+        sp = _steal_pct(c0, _cpu_ticks())
         loads.append(os.getloadavg()[0])
         report[name] = {
             "uniform_s": uni,
             "skewed_s": skw,
             "ratio": round(skw / uni, 2) if uni else None,
+            # steal% over BOTH timed variants: a high-ratio row at high
+            # steal is the host, numerically (r11 bench convention)
+            "steal_pct": sp,
         }
-        print(f"# {name}: uniform {uni}s skewed {skw}s ratio {report[name]['ratio']}")
+        print(f"# {name}: uniform {uni}s skewed {skw}s "
+              f"ratio {report[name]['ratio']} steal {sp}%")
 
     if subset:
         # stamp merged rows individually; the full-run _meta stays
