@@ -2934,6 +2934,90 @@ def event_funnel_conversion(spark, sf_dir):
     )
 
 
+@register(
+    "stream_funnel_cascade_fold",
+    """
+    WITH su AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
+                FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    ck AS (SELECT e.user_id, min(epoch_us(e.ts)) AS click_us
+           FROM events e JOIN su USING (user_id)
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > su.signup_us
+           GROUP BY e.user_id),
+    pu AS (SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+           FROM events e JOIN ck USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > ck.click_us
+           GROUP BY e.user_id)
+    SELECT su.user_id, su.signup_us, ck.click_us, pu.purchase_us
+    FROM su LEFT JOIN ck USING (user_id) LEFT JOIN pu USING (user_id)
+    """,
+    tags=("funnel", "streaming-twin", "arrow-kernel"),
+    doc="The STREAMING strict-order funnel's decision core surfaced to "
+    "the driver (third of the r10 stretch-#8 folds): "
+    "streaming/funnel_stream._cascade — the earliest-valid "
+    "(signup, click, purchase) cascade over PRUNED stage buffers "
+    "(clicks at-or-before the current signup plus the current best; "
+    "purchases at-or-before the current best click plus the current "
+    "best — exactly the entries that could still become the answer as "
+    "earlier stage events arrive) — applied after EVERY event in "
+    "(ts, event_id) order, the finest re-cascade granularity the "
+    "stream can face, so the pruning invariant itself is what the "
+    "driver hash-verifies. One row per signup user, nullable later "
+    "stages; oracle = the three cascading conditional mins as LEFT "
+    "joins. One shuffle on a user hash bucket.",
+)
+def stream_funnel_cascade_fold(spark, sf_dir):
+    import pandas as pd
+
+    from ..streaming.funnel_stream import _cascade
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts_us").cast("long").alias("ts_us"),
+        "event_id",
+        "event_type",
+    ).filter(F.col("event_type").isin("signup", "click", "purchase"))
+    n_buckets = spark.sparkContext.defaultParallelism * 4
+    st = ev.withColumn("_b", F.pmod(F.hash("user_id"), F.lit(n_buckets)))
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        uid = pdf["user_id"].to_numpy()
+        tus = pdf["ts_us"].to_numpy()
+        et = pdf["event_type"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        out: dict[str, list] = {
+            k: []
+            for k in ("user_id", "signup_us", "click_us", "purchase_us")
+        }
+        for a, b in zip(starts, ends):
+            su, cks, pus = None, [], []
+            ck = pu = None
+            for t_us, e_ in zip(tus[a:b].tolist(), et[a:b].tolist()):
+                if e_ == "signup" and (su is None or t_us < su):
+                    su = t_us
+                elif e_ == "click":
+                    cks.append(t_us)
+                elif e_ == "purchase":
+                    pus.append(t_us)
+                ck, pu, cks, pus = _cascade(su, cks, pus)
+            if su is not None:
+                out["user_id"].append(int(uid[a]))
+                out["signup_us"].append(su)
+                out["click_us"].append(ck)
+                out["purchase_us"].append(pu)
+        return pd.DataFrame(out)
+
+    return st.groupBy("_b").applyInPandas(
+        kern,
+        "user_id long, signup_us long, click_us long, purchase_us long",
+    )
+
+
 _FUNNEL_WINDOW_US = 24 * 3600 * 1000000  # 24 h
 
 

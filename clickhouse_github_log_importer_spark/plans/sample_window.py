@@ -135,6 +135,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "sequence_count_timed_backtracking",  # r11 NEW: ClickHouse backtracking semantics
     "stream_adjacency_count_fold",        # r11 NEW: streaming twin surfaced to driver
     "stream_time_decay_fold",             # r11 NEW: streaming twin surfaced to driver
+    "stream_funnel_cascade_fold",         # r11 NEW: streaming twin surfaced to driver
     "bpe_merge_table_incremental",        # r11: k-th-generation checkpoint cadence
     # --- re-verification filler: r6-evidence block, registration order ---
     "curation_funnel",
@@ -182,7 +183,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "cramers_v_type_band",
     "lttb_downsample_hourly",
     "uniq_state_rollup",
-    "events_limit_by",
 )
 
 

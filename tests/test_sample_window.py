@@ -63,6 +63,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "sequence_count_timed_backtracking",  # r11 NEW: CH-exact backtracking
     "stream_adjacency_count_fold",   # r11 NEW: streaming twin to driver
     "stream_time_decay_fold",        # r11 NEW: streaming twin to driver
+    "stream_funnel_cascade_fold",    # r11 NEW: streaming twin to driver
 )
 
 

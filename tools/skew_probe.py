@@ -129,6 +129,7 @@ EVENT_QUERIES = [
     "sequence_count_timed_backtracking",
     "stream_adjacency_count_fold",
     "stream_time_decay_fold",
+    "stream_funnel_cascade_fold",
 ]
 DOC_QUERIES = [
     "source_capped_sample",
