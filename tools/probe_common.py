@@ -83,3 +83,45 @@ def steal_pct(before, after) -> float | None:
     if not before or not after or after[0] <= before[0]:
         return None
     return round(100.0 * (after[1] - before[1]) / (after[0] - before[0]), 2)
+
+
+def steal_threshold() -> float:
+    """Max steal% a probe cell may be stamped at without retry — the
+    bench load-gate's convention (r11 verdict: the new folds' skew/scale
+    rows were stamped at 5-13% steal, making the worst skew ratio in
+    the artifact steal-inflated evidence). SPARK_GRAFT_PROBE_STEAL_MAX
+    overrides (default 2.0)."""
+    env = os.environ.get("SPARK_GRAFT_PROBE_STEAL_MAX")
+    return float(env) if env else 2.0
+
+
+def measure_with_steal_gate(measure_fn, max_attempts: int = 3):
+    """Run ``measure_fn() -> (result, steal_pct)`` until the measured
+    steal is at or under ``steal_threshold()``, retrying up to
+    ``max_attempts`` times. Returns ``(result, steal, contaminated)`` —
+    the lowest-steal attempt wins, and ``contaminated=True`` (which the
+    probes write into the row and print loudly) means every attempt ran
+    hot: a contaminated stamp can land, but never silently."""
+    import sys
+
+    thr = steal_threshold()
+    best = None  # (sort_key, result, steal)
+    for attempt in range(max_attempts):
+        result, sp = measure_fn()
+        key = sp if sp is not None else -1.0  # unreadable /proc -> accept
+        if best is None or key < best[0]:
+            best = (key, result, sp)
+        if sp is None or sp <= thr:
+            return result, sp, False
+        print(
+            f"# steal gate: attempt {attempt + 1}/{max_attempts} measured "
+            f"{sp}% steal (> {thr}%) — re-measuring",
+            file=sys.stderr,
+        )
+    _, result, sp = best
+    print(
+        f"# WARNING steal gate: cell stamped CONTAMINATED at {sp}% steal "
+        f"after {max_attempts} attempts — do not hang verdicts off it",
+        file=sys.stderr,
+    )
+    return result, sp, True

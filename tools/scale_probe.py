@@ -71,6 +71,7 @@ if REPO not in sys.path:
 
 from tools.probe_common import cpu_ticks as _cpu_ticks  # noqa: E402
 from tools.probe_common import git_head as _git_head  # noqa: E402
+from tools.probe_common import measure_with_steal_gate  # noqa: E402
 from tools.probe_common import steal_pct as _steal_pct  # noqa: E402
 from tools.probe_common import wait_for_idle as _wait_for_idle  # noqa: E402
 PROBE_ROOT = os.path.join(REPO, ".scale_probe")
@@ -239,6 +240,8 @@ def run_probe(scales, names, repeats: int = 2) -> dict:
     timings: dict[str, dict[int, float]] = {n: {} for n in names}
     # steal% sampled over each cell's BEST repeat (the one reported)
     steals: dict[str, dict[int, float | None]] = {n: {} for n in names}
+    # scales at which a cell could not be measured under the steal gate
+    steal_contaminated: dict[str, list[int]] = {}
     errors: dict[str, str] = {}
     # 1-min load average sampled after every measurement: this VM sees
     # transient host-side stalls (load >10 at 100% guest-idle) that can
@@ -285,20 +288,29 @@ def run_probe(scales, names, repeats: int = 2) -> dict:
             if n in errors:
                 continue
             try:
-                best = None
-                cell_steal = None
-                for _ in range(repeats):
-                    if n in TRAIN_MEMO_ENTRIES:
-                        _clear_model_memos()  # time the FIT every repeat
-                    c0 = _cpu_ticks()
-                    t0 = time.monotonic()
-                    materialize(REGISTRY[n].spark(spark, sf_dir))
-                    dt = time.monotonic() - t0
-                    sp = _steal_pct(c0, _cpu_ticks())
-                    if best is None or dt < best:
-                        best, cell_steal = dt, sp
+                def cell(n=n, sf_dir=sf_dir):
+                    best = None
+                    cell_steal = None
+                    for _ in range(repeats):
+                        if n in TRAIN_MEMO_ENTRIES:
+                            _clear_model_memos()  # time the FIT every repeat
+                        c0 = _cpu_ticks()
+                        t0 = time.monotonic()
+                        materialize(REGISTRY[n].spark(spark, sf_dir))
+                        dt = time.monotonic() - t0
+                        sp = _steal_pct(c0, _cpu_ticks())
+                        if best is None or dt < best:
+                            best, cell_steal = dt, sp
+                    return best, cell_steal
+
+                # steal gate (r12): the best repeat's steal must clear
+                # the threshold or the whole cell re-measures; a still-
+                # hot cell stamps contaminated=True, never silently
+                best, cell_steal, contaminated = measure_with_steal_gate(cell)
                 timings[n][k] = round(best, 3)
                 steals[n][k] = cell_steal
+                if contaminated:
+                    steal_contaminated.setdefault(n, []).append(k)
                 load1 = os.getloadavg()[0]
                 loads.append(load1)
                 print(f"# x{k} {n}: {best:.2f}s (load {load1:.1f}, "
@@ -338,6 +350,11 @@ def run_probe(scales, names, repeats: int = 2) -> dict:
         report[n] = {
             "t": {f"x{k}": ts[k] for k in scales},
             "steal_pct": {f"x{k}": steals[n].get(k) for k in scales},
+            **(
+                {"steal_contaminated": [f"x{k}" for k in steal_contaminated[n]]}
+                if n in steal_contaminated
+                else {}
+            ),
             "marginal_sec_per_unit": [round(m1, 4), round(m2, 4)],
             "ratio_hi": round(ts[k3] / ts[k2], 2),
             "ratio_hi_caladj": round(ratio_adj, 2),

@@ -35,6 +35,7 @@ if REPO not in sys.path:
 
 from tools.probe_common import cpu_ticks as _cpu_ticks  # noqa: E402
 from tools.probe_common import git_head as _git_head  # noqa: E402
+from tools.probe_common import measure_with_steal_gate  # noqa: E402
 from tools.probe_common import steal_pct as _steal_pct  # noqa: E402
 from tools.probe_common import wait_for_idle as _wait_for_idle  # noqa: E402
 
@@ -269,10 +270,16 @@ def main():
         # in warmed isolation. Both variants now warm identically.
         mat(fn(spark, X10))
         mat(fn(spark, SKEW))
-        c0 = _cpu_ticks()
-        uni = best_of(lambda: fn(spark, X10))
-        skw = best_of(lambda: fn(spark, SKEW))
-        sp = _steal_pct(c0, _cpu_ticks())
+
+        def cell(fn=fn):
+            c0 = _cpu_ticks()
+            uni = best_of(lambda: fn(spark, X10))
+            skw = best_of(lambda: fn(spark, SKEW))
+            return (uni, skw), _steal_pct(c0, _cpu_ticks())
+
+        # steal gate (r12): a row measured above the threshold re-runs
+        # instead of stamping steal-inflated skew evidence silently
+        (uni, skw), sp, contaminated = measure_with_steal_gate(cell)
         loads.append(os.getloadavg()[0])
         report[name] = {
             "uniform_s": uni,
@@ -282,6 +289,8 @@ def main():
             # steal is the host, numerically (r11 bench convention)
             "steal_pct": sp,
         }
+        if contaminated:
+            report[name]["steal_contaminated"] = True
         print(f"# {name}: uniform {uni}s skewed {skw}s "
               f"ratio {report[name]['ratio']} steal {sp}%")
 
