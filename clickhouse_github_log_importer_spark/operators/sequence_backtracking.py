@@ -255,6 +255,183 @@ def bt_count_fast(code, tsv, type_codes, gaps) -> int:
     return cnt
 
 
+def bt_count_final(code, tsv, type_codes, gaps, wm_us=None):
+    """Watermark-aware incremental backtracking count for ONE user:
+    count only matches that are FINAL — no event arriving at or after
+    ``wm_us`` (the event-time watermark; ``None`` = no more events ever)
+    could change the lexicographically-smallest assignment — and report
+    how much of the buffer is consumed.
+
+    Returns ``(count, consumed)``: ``count`` final matches (the batch
+    matcher finds the identical matches on any extension of the
+    stream), and ``consumed`` = number of leading positions the caller
+    may drop from its buffer (everything before the first un-final
+    match attempt; matches consume through their last event, ClickHouse
+    countAll semantics). With ``wm_us=None`` every decision is final
+    and this reduces exactly to :func:`bt_count_fast` (fuzz-pinned).
+
+    Finality: on top of :func:`bt_count_fast`'s right-to-left ``can``
+    DP, a second ``possible`` DP marks positions whose ``can`` could
+    still flip true via future events — future events all land at
+    ``ts >= wm_us`` and AFTER every finalized position, so a window is
+    "open" iff it reaches the watermark: '<' iff ``ts+T > wm``, '=='
+    iff ``ts+T >= wm``, 'adj' only at the last finalized position, and
+    'any'/'>' always (their windows are unbounded). A found match is
+    counted only if every candidate the greedy chain SKIPPED for a
+    can-false reason (symbol and in-gap valid) is not ``possible`` —
+    skips for symbol or gap reasons are final by construction, and for
+    'any'/'>' out-edges a skipped can-false candidate cannot exist
+    (the found chain's own witnesses prove their ``can``), which is
+    why only 'adj'/'<'/'==' edges ever defer counting. The first
+    un-final match stops the scan (later matches depend on its
+    consumption).
+    """
+    import numpy as np
+
+    code = np.asarray(code, dtype=np.int64)
+    tsv = np.asarray(tsv, dtype=np.int64)
+    n = len(code)
+    k = len(type_codes)
+    if n == 0:
+        return 0, 0
+    arange = np.arange(n, dtype=np.int64)
+
+    def build_nxt(cp):
+        idx = np.where(cp, arange, n)
+        r = np.minimum.accumulate(idx[::-1])[::-1]
+        return np.append(r, n)
+
+    fin = wm_us is not None
+
+    # --- can DP (identical to bt_count_fast) + possible DP ------------
+    cans = [None] * k
+    poss = [None] * k
+    nxt = [None] * k
+    nxt_p = [None] * k
+    last_sym = code == type_codes[k - 1]
+    cans[k - 1] = last_sym
+    poss[k - 1] = last_sym  # a last-step candidate's can is symbol-only
+    nxt[k - 1] = build_nxt(last_sym)
+    nxt_p[k - 1] = nxt[k - 1]
+    for j in range(k - 2, -1, -1):
+        kind = gaps[j]
+        is_j = code == type_codes[j]
+        pos = np.flatnonzero(is_j)
+        ok = np.zeros(n, dtype=bool)
+        pk = np.zeros(n, dtype=bool)
+        if len(pos):
+            if kind[0] == "adj":
+                q = pos + 1
+                valid = q < n
+                hit = np.zeros(len(pos), dtype=bool)
+                hit[valid] = cans[j + 1][q[valid]]
+                ok[pos] = hit
+                ph = np.zeros(len(pos), dtype=bool)
+                ph[valid] = poss[j + 1][q[valid]]
+                if fin:
+                    ph[~valid] = True  # a future event becomes i's next
+                pk[pos] = ph
+            elif kind[0] == "any":
+                ok[pos] = nxt[j + 1][pos + 1] < n
+                pk[pos] = True if fin else nxt_p[j + 1][pos + 1] < n
+            elif kind[0] == "<":
+                q = nxt[j + 1][pos + 1]
+                valid = q < n
+                hit = np.zeros(len(pos), dtype=bool)
+                hit[valid] = tsv[q[valid]] - tsv[pos[valid]] < kind[1]
+                ok[pos] = hit
+                qp = nxt_p[j + 1][pos + 1]
+                validp = qp < n
+                hp = np.zeros(len(pos), dtype=bool)
+                hp[validp] = tsv[qp[validp]] - tsv[pos[validp]] < kind[1]
+                if fin:
+                    hp |= tsv[pos] + kind[1] > wm_us  # window still open
+                pk[pos] = hp
+            elif kind[0] == ">":
+                lo = np.searchsorted(tsv, tsv[pos] + kind[1], side="right")
+                ok[pos] = nxt[j + 1][np.maximum(lo, pos + 1)] < n
+                pk[pos] = (
+                    True
+                    if fin
+                    else nxt_p[j + 1][np.maximum(lo, pos + 1)] < n
+                )
+            else:  # '=='
+                target = tsv[pos] + kind[1]
+                lo = np.searchsorted(tsv, target, side="left")
+                hi = np.searchsorted(tsv, target, side="right")
+                q = nxt[j + 1][np.maximum(lo, pos + 1)]
+                ok[pos] = (q < n) & (q < hi)
+                qp = nxt_p[j + 1][np.maximum(lo, pos + 1)]
+                hp = (qp < n) & (qp < hi)
+                if fin:
+                    hp |= target >= wm_us
+                pk[pos] = hp
+        cans[j] = ok
+        poss[j] = pk
+        nxt[j] = build_nxt(ok)
+        nxt_p[j] = build_nxt(pk)
+
+    # pending[j][i]: can is false now but could flip true -> any skip of
+    # i at step j makes the surrounding match un-final
+    pend_ps = [np.cumsum(poss[j] & ~cans[j]) for j in range(k)]
+
+    def any_pend(j, a, b):
+        a, b = int(a), int(b)
+        if b <= a or a >= n:
+            return False
+        b = min(b, n)
+        lo = pend_ps[j][a - 1] if a > 0 else 0
+        return pend_ps[j][b - 1] - lo > 0
+
+    # --- greedy chain walk with finality gate -------------------------
+    cnt = 0
+    p = 0
+    while p < n:
+        i = int(nxt[0][p])
+        # a pending would-be start before i (or anywhere past p when no
+        # match is found) keeps the whole suffix un-final
+        if any_pend(0, p, i if i < n else n):
+            break
+        if i >= n:
+            break
+        cur = i
+        stable = True
+        for j in range(1, k):
+            kind = gaps[j - 1]
+            prev = cur
+            if kind[0] == "adj":
+                cur = prev + 1  # forced witness: nothing skipped
+            elif kind[0] in ("any", "<"):
+                cur = int(nxt[j][prev + 1])
+                # '<' skips are all in-window (ts <= ts[cur] < ts+T)
+                if any_pend(j, prev + 1, cur):
+                    stable = False
+                    break
+            elif kind[0] == ">":
+                lo = int(
+                    np.searchsorted(tsv, tsv[prev] + kind[1], side="right")
+                )
+                start = max(lo, prev + 1)
+                cur = int(nxt[j][start])
+                if any_pend(j, start, cur):
+                    stable = False
+                    break
+            else:  # '=='
+                target = int(tsv[prev]) + kind[1]
+                lo = int(np.searchsorted(tsv, target, side="left"))
+                hi = int(np.searchsorted(tsv, target, side="right"))
+                start = max(lo, prev + 1)
+                cur = int(nxt[j][start])
+                if any_pend(j, start, min(cur, hi)):
+                    stable = False
+                    break
+        if not stable:
+            break
+        cnt += 1
+        p = cur + 1
+    return cnt, p
+
+
 def greedy_count_timed_py(et, ts, types, edges) -> int:
     """Pure-python twin of the PINNED greedy timed-restart automaton
     (_sequence_count_timed_users docstring rules: '<' violation

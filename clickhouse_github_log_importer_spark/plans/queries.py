@@ -2958,12 +2958,17 @@ def event_funnel_conversion(spark, sf_dir):
     "(clicks at-or-before the current signup plus the current best; "
     "purchases at-or-before the current best click plus the current "
     "best — exactly the entries that could still become the answer as "
-    "earlier stage events arrive) — applied after EVERY event in "
-    "(ts, event_id) order, the finest re-cascade granularity the "
-    "stream can face, so the pruning invariant itself is what the "
-    "driver hash-verifies. One row per signup user, nullable later "
-    "stages; oracle = the three cascading conditional mins as LEFT "
-    "joins. One shuffle on a user hash bucket.",
+    "earlier stage events arrive). r12: the cascade only changes when "
+    "a stage's best can change, so the no-op spans are batched — "
+    "numpy segment-mins build each user's END-OF-STREAM pruned "
+    "buffers in one vectorized pass, and ONE _cascade call per user "
+    "over that pruned state emits the row the driver hash-verifies "
+    "(the per-event re-cascade invariant — every prefix, every "
+    "arrival order — is fuzz-pinned in tests/test_funnel_stream.py "
+    "instead of re-proved per event in the hot loop). One row per "
+    "signup user, nullable later stages; oracle = the three cascading "
+    "conditional mins as LEFT joins. One shuffle on a user hash "
+    "bucket.",
 )
 def stream_funnel_cascade_fold(spark, sf_dir):
     import pandas as pd
@@ -2986,35 +2991,227 @@ def stream_funnel_cascade_fold(spark, sf_dir):
             ["user_id", "ts_us", "event_id"], kind="mergesort"
         )
         uid = pdf["user_id"].to_numpy()
-        tus = pdf["ts_us"].to_numpy()
+        tus = pdf["ts_us"].to_numpy(dtype="int64")
         et = pdf["event_type"].to_numpy()
         starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
-        ends = np.r_[starts[1:], len(uid)]
+        if starts.size == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype="int64"),
+                    "signup_us": pd.Series(dtype="int64"),
+                    "click_us": pd.Series(dtype="int64"),
+                    "purchase_us": pd.Series(dtype="int64"),
+                }
+            )
+        seg = np.cumsum(np.r_[True, uid[1:] != uid[:-1]]) - 1
+        big = np.iinfo("int64").max
+
+        def seg_min(mask):
+            vals = np.where(mask, tus, big)
+            out = np.minimum.reduceat(vals, starts)
+            return out  # `big` where the segment has no masked entry
+
+        su = seg_min(et == "signup")
+        su_row = su[seg]
+        ck = seg_min((et == "click") & (tus > su_row))
+        ck_row = ck[seg]
+        pu = seg_min((et == "purchase") & (tus > ck_row))
+        # end-of-stream pruned buffers, exactly the streaming fold's
+        # state: clicks <= su plus the best click; purchases <= ck plus
+        # the best purchase — vectorized masks, then ONE cascade per
+        # user over the (tiny) pruned slices re-derives the answer
+        # through the streaming core, so the emitted values flow
+        # through _cascade, not the numpy shortcut
+        ck_mask = (et == "click") & (tus <= su_row)
+        pu_mask = (et == "purchase") & (tus <= ck_row)
         out: dict[str, list] = {
             k: []
             for k in ("user_id", "signup_us", "click_us", "purchase_us")
         }
-        for a, b in zip(starts, ends):
-            su, cks, pus = None, [], []
-            ck = pu = None
-            for t_us, e_ in zip(tus[a:b].tolist(), et[a:b].tolist()):
-                if e_ == "signup" and (su is None or t_us < su):
-                    su = t_us
-                elif e_ == "click":
-                    cks.append(t_us)
-                elif e_ == "purchase":
-                    pus.append(t_us)
-                ck, pu, cks, pus = _cascade(su, cks, pus)
-            if su is not None:
-                out["user_id"].append(int(uid[a]))
-                out["signup_us"].append(su)
-                out["click_us"].append(ck)
-                out["purchase_us"].append(pu)
+        for i, (a, b) in enumerate(zip(starts, np.r_[starts[1:], len(uid)])):
+            if su[i] == big:
+                continue  # no signup: the fold never emits this user
+            cks = tus[a:b][ck_mask[a:b]].tolist()
+            if ck[i] != big:
+                cks.append(int(ck[i]))
+            pus = tus[a:b][pu_mask[a:b]].tolist()
+            if pu[i] != big:
+                pus.append(int(pu[i]))
+            c_fin, p_fin, _, _ = _cascade(int(su[i]), cks, pus)
+            out["user_id"].append(int(uid[a]))
+            out["signup_us"].append(int(su[i]))
+            out["click_us"].append(c_fin)
+            out["purchase_us"].append(p_fin)
         return pd.DataFrame(out)
 
     return st.groupBy("_b").applyInPandas(
         kern,
         "user_id long, signup_us long, click_us long, purchase_us long",
+    )
+
+
+@register(
+    "stream_lww_dedup_fold",
+    """
+    WITH s AS (
+      SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS key,
+             epoch_us(ts) AS v, event_id AS tb
+      FROM events
+    ),
+    r AS (
+      SELECT key, v, tb,
+             row_number() OVER (PARTITION BY key
+                                ORDER BY v DESC, tb DESC) AS rn,
+             count(*) OVER (PARTITION BY key) AS n
+      FROM s
+    )
+    SELECT key, CAST(v AS BIGINT) AS version, CAST(tb AS BIGINT) AS tiebreak,
+           CAST(n AS BIGINT) AS n_dups
+    FROM r WHERE rn = 1
+    """,
+    tags=("dedup", "streaming-twin", "arrow-kernel"),
+    doc="The streaming ReplacingMergeTree(ver) LWW dedup's decision "
+    "core surfaced to the driver (r12, the r11 verdict's #6: highest "
+    "remaining state-machine risk): streaming/dedup_stream.lww_fold — "
+    "the EXACT per-duplicate compare loop the applyInPandasWithState "
+    "update runs (keep max (version, tiebreak), count duplicates) — "
+    "executed as one batch fold per key over 4 arrival chunks (the "
+    "micro-batch shape), so the driver hash-verifies the state "
+    "update's compare/count algebra itself against a window-function "
+    "oracle. Key = (user_id, event_type), version = event time, "
+    "tiebreak = event_id — the ReplacingMergeTree(ver) pick "
+    "`dedup_last_write_wins` converges to, on a surface with real "
+    "duplicates. One shuffle on a key hash bucket.",
+)
+def stream_lww_dedup_fold(spark, sf_dir):
+    import pandas as pd
+
+    from ..streaming.dedup_stream import lww_fold
+
+    ev = t(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("user_id").cast("string"), F.lit("|"), F.col("event_type")
+        ).alias("key"),
+        F.col("ts_us").cast("long").alias("v"),
+        F.col("event_id").cast("long").alias("tb"),
+    )
+    n_buckets = spark.sparkContext.defaultParallelism * 4
+    st = ev.withColumn("_b", F.pmod(F.hash("key"), F.lit(n_buckets)))
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["key", "v", "tb"], kind="mergesort")
+        keys = pdf["key"].to_numpy()
+        vv = pdf["v"].to_numpy()
+        tbv = pdf["tb"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        out: dict[str, list] = {
+            k: [] for k in ("key", "version", "tiebreak", "n_dups")
+        }
+        for a, b in zip(starts, ends):
+            best = (None, None, 0)
+            # 4 positional chunks = the micro-batch arrival shape the
+            # stateful update sees; the fold must land identically
+            for c in range(4):
+                lo = a + (b - a) * c // 4
+                hi = a + (b - a) * (c + 1) // 4
+                best = lww_fold(best, zip(vv[lo:hi], tbv[lo:hi]))
+            out["key"].append(keys[a])
+            out["version"].append(best[0])
+            out["tiebreak"].append(best[1])
+            out["n_dups"].append(best[2])
+        return pd.DataFrame(out)
+
+    return st.groupBy("_b").applyInPandas(
+        kern, "key string, version long, tiebreak long, n_dups long"
+    )
+
+
+@register(
+    "stream_quantile_fold",
+    """
+    WITH s AS (
+      SELECT CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS key,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    c AS (SELECT key, v, count(*) AS cnt FROM s GROUP BY 1, 2),
+    cc AS (
+      SELECT key, v, cnt,
+             SUM(cnt) OVER (PARTITION BY key ORDER BY v) AS cum,
+             SUM(cnt) OVER (PARTITION BY key) AS n
+      FROM c
+    )
+    SELECT key, CAST(max(n) AS BIGINT) AS n_events,
+           CAST(min(CASE WHEN cum >= (n - 1) // 4 + 1 THEN v END)
+                AS BIGINT) AS p25,
+           CAST(min(CASE WHEN cum >= (n - 1) // 2 + 1 THEN v END)
+                AS BIGINT) AS p50,
+           CAST(min(CASE WHEN cum >= ((n - 1) * 3) // 4 + 1 THEN v END)
+                AS BIGINT) AS p75
+    FROM cc GROUP BY 1
+    """,
+    tags=("sketch", "streaming-twin", "arrow-kernel"),
+    doc="The streaming exact-quantile state's decision core surfaced "
+    "to the driver (r12, the r11 verdict's #6): "
+    "streaming/quantile_stream._merge_hist + _quantile_row — the "
+    "EXACT histogram counter-add and quantileExactLow integer pick "
+    "(idx = (n-1)*num div den over the sorted cumulative) the "
+    "applyInPandasWithState update runs per micro-batch — executed as "
+    "one batch fold per day key over 4 positional chunks (the "
+    "micro-batch shape: each chunk is merged into the carried "
+    "histogram exactly as a micro-batch would be), so the driver "
+    "hash-verifies the incremental state algebra against a "
+    "window-function oracle. Value domain folded to integer cents "
+    "JVM-side; state bounded by the value domain, not the row count. "
+    "One shuffle on a key hash bucket.",
+)
+def stream_quantile_fold(spark, sf_dir):
+    import pandas as pd
+
+    from ..streaming.quantile_stream import _merge_hist, _quantile_row
+
+    ev = t(spark, sf_dir, "events").select(
+        F.expr("CAST(ts_us div 86400000000 AS STRING)").alias("key"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    n_buckets = spark.sparkContext.defaultParallelism * 4
+    st = ev.withColumn("_b", F.pmod(F.hash("key"), F.lit(n_buckets)))
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["key"], kind="mergesort")
+        keys = pdf["key"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        frames = []
+        for a, b in zip(starts, ends):
+            vals, cnts = [], []
+            for c in range(4):
+                lo = a + (b - a) * c // 4
+                hi = a + (b - a) * (c + 1) // 4
+                if hi > lo:
+                    vals, cnts = _merge_hist(
+                        vals, cnts, [pdf.iloc[lo:hi]]
+                    )
+            frames.append(_quantile_row(keys[a], vals, cnts))
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "key": pd.Series(dtype="str"),
+                    "n_events": pd.Series(dtype="int64"),
+                    "p25": pd.Series(dtype="int64"),
+                    "p50": pd.Series(dtype="int64"),
+                    "p75": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return st.groupBy("_b").applyInPandas(
+        kern, "key string, n_events long, p25 long, p50 long, p75 long"
     )
 
 
@@ -10349,6 +10546,92 @@ def stream_adjacency_count_fold(spark, sf_dir):
                     out["pattern"].append(pat)
                     out["user_id"].append(int(uid[a]))
                     out["seq_count"].append(int(stt[2]))
+        return pd.DataFrame(out)
+
+    return st.groupBy("_b").applyInPandas(
+        kern, "pattern string, user_id long, seq_count long"
+    )
+
+
+@register(
+    "stream_backtracking_count_fold",
+    _seq_count_bt_oracle(),
+    tags=("funnel", "sequence", "streaming-twin", "clickhouse-parity",
+          "arrow-kernel"),
+    doc="The STREAMING BACKTRACKING-count twin's decision core "
+    "surfaced to the driver (r12, closing the r11 verdict's last "
+    "sequence-family seam: the streaming folds were greedy-only). "
+    "streaming/backtracking_stream.fold_final drives "
+    "operators/sequence_backtracking.bt_count_final — a "
+    "watermark-aware O(n·k) DP that counts only FINAL leftmost "
+    "matches (a second right-to-left 'possible' table marks positions "
+    "whose can-complete could still flip via events at/after the "
+    "watermark: '<' windows reaching past it, '==' targets at/after "
+    "it, a trailing 'adj' next-slot, or an uncompleted 'any'/'>' "
+    "chain) and trims the buffer through each counted match "
+    "(countAll consumption). The kernel replays each user's declared "
+    "events through FOUR ascending watermark chunks plus a final "
+    "no-more-events flush — the incremental path the stream runs, "
+    "hash-verified against the same DuckDB recursive leftmost-match "
+    "CTE oracle as sequence_count_timed_backtracking, so driver-green "
+    "means the in-watermark incremental fold, the batch DP, and a "
+    "third engine agree on every user. Incremental == batch is also "
+    "fuzz-pinned across random chunkings "
+    "(tests/test_sequence_backtracking.py) and end-to-end through "
+    "applyInPandasWithState (tests/test_backtracking_stream.py). "
+    "Distribution: one shuffle on a user hash bucket; per-user "
+    "sequential is the streaming operator's own shape. Conditions: "
+    "1=signup 2=click 3=purchase 4=view.",
+)
+def stream_backtracking_count_fold(spark, sf_dir):
+    import pandas as pd
+
+    from ..streaming.backtracking_stream import compile_bt, fold_final
+
+    conds = _SEQ_CONDS
+    compiled = []
+    for pat in _SEQ_COUNT_BT_PATTERNS:
+        tcodes, gaps, sym = compile_bt(pat, conds)
+        compiled.append((pat, tcodes, gaps))
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts_us").cast("long").alias("ts_us"),
+        "event_id",
+        "event_type",
+    ).filter(F.col("event_type").isin(*set(conds)))
+    n_buckets = spark.sparkContext.defaultParallelism * 4
+    st = ev.withColumn("_b", F.pmod(F.hash("user_id"), F.lit(n_buckets)))
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        uid = pdf["user_id"].to_numpy()
+        tsv = pdf["ts_us"].to_numpy(dtype=np.int64)
+        eidv = pdf["event_id"].to_numpy(dtype=np.int64)
+        codev = pdf["event_type"].map(sym).to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        out: dict[str, list] = {"pattern": [], "user_id": [], "seq_count": []}
+        for a, b in zip(starts, ends):
+            evs = list(
+                zip(tsv[a:b].tolist(), eidv[a:b].tolist(), codev[a:b].tolist())
+            )
+            lo, hi = evs[0][0], evs[-1][0]
+            wms = [lo + (hi - lo) * (i + 1) // 4 for i in range(3)]
+            for pat, tcodes, gaps in compiled:
+                cnt, buf = 0, evs
+                for wm in wms:
+                    new, buf = fold_final(buf, tcodes, gaps, wm)
+                    cnt += new
+                new, buf = fold_final(buf, tcodes, gaps, None)
+                cnt += new
+                if cnt >= 1:
+                    out["pattern"].append(pat)
+                    out["user_id"].append(int(uid[a]))
+                    out["seq_count"].append(cnt)
         return pd.DataFrame(out)
 
     return st.groupBy("_b").applyInPandas(

@@ -120,69 +120,72 @@ SAMPLED_PRIOR: frozenset[str] = frozenset(
         "vocab_growth_curve", "weighted_median_price", "welch_ttest_values",
         "window_funnel_levels", "window_funnel_levels_inclusive",
         "window_funnel_strict_dedup",
+        # r11 additions
+        "sequence_count_timed_backtracking", "stream_adjacency_count_fold",
+        "stream_funnel_cascade_fold", "stream_time_decay_fold",
     }
 )
 
-# round-11 window: (a) user_activity (entry() names it), (b) every entry
+# round-12 window: (a) user_activity (entry() names it), (b) every entry
 # that is brand-new or whose plan changed this round, (c) re-verification
-# filler ordered by OLDEST latest-green driver evidence: the 16 entries
-# whose latest green is r6 (the oldest tail left after r10 reached full
-# cumulative coverage), then the r7-evidence block in registration order
-# (fills to 50).
+# filler ordered by OLDEST latest-green driver evidence: the 20-entry
+# r7-evidence block (the oldest tail after r11 held full cumulative
+# coverage), then the r8-evidence block in registration order (fills
+# to 50).
 DRIVER_SAMPLE: tuple[str, ...] = (
     "user_activity",
     # --- brand new / changed this round: driver must see immediately ---
-    "sequence_count_timed_backtracking",  # r11 NEW: ClickHouse backtracking semantics
-    "stream_adjacency_count_fold",        # r11 NEW: streaming twin surfaced to driver
-    "stream_time_decay_fold",             # r11 NEW: streaming twin surfaced to driver
-    "stream_funnel_cascade_fold",         # r11 NEW: streaming twin surfaced to driver
-    "bpe_merge_table_incremental",        # r11: k-th-generation checkpoint cadence
-    # --- re-verification filler: r6-evidence block, registration order ---
-    "curation_funnel",
-    "kmeans_centroids",
-    "kmeans_cluster_profile",
-    "semantic_dedup_keepers",
-    "ann_recall_report",
-    "dedup_rate_by_source",
-    "minhash_estimate_report",
-    "bm25_keyword_search",
-    "hybrid_rrf_search",
-    "chunk_dup_rate",
-    "ngram_lm_fluency",
-    "dsir_importance_weights",
-    "edit_distance_near_pairs",
-    "vocab_growth_curve",
-    "epoch_shuffle_sample",
-    "token_fertility_by_lang",
-    # --- r7-evidence block, registration order (fills to 50) ---
-    "cms_state_rollup",
-    "coactivity_degrees",
-    "retention_cohorts",
-    "event_funnel_conversion",
-    "window_funnel_levels",
-    "event_type_transitions",
-    "user_activity_gini",
-    "uniq_kmv_sketch",
-    "retention_conditions",
-    "kmv_set_operations",
-    "max_concurrent_intervals",
-    "user_interval_coverage",
-    "sequence_pair_count",
-    "sum_map_by_day",
-    "inter_event_gap_profile",
-    "user_delta_sum",
-    "weighted_median_price",
-    "bitmap_audience_overlap",
-    "interpolated_hourly_values",
-    "bounded_distinct_by_type",
-    "value_hour_correlation",
-    "welch_ttest_values",
-    "student_ttest_values",
-    "mann_whitney_u_values",
-    "kolmogorov_smirnov_values",
-    "cramers_v_type_band",
-    "lttb_downsample_hourly",
-    "uniq_state_rollup",
+    "stream_funnel_cascade_fold",      # r12: event-driven cascade (plan change)
+    "stream_backtracking_count_fold",  # r12 NEW: in-watermark BT fold
+    "stream_lww_dedup_fold",           # r12 NEW: LWW state compare loop
+    "stream_quantile_fold",            # r12 NEW: histogram state algebra
+    # --- re-verification filler: r7-evidence block, registration order ---
+    "events_limit_by",
+    "purchase_attribution_windowed",
+    "user_bounding_ratio",
+    "window_funnel_levels_inclusive",
+    "conditional_aggregates_by_type",
+    "spearman_value_hour",
+    "categorical_association_suite",
+    "value_moments_by_type",
+    "value_hour_regression",
+    "bitwise_user_masks",
+    "hour_entropy_by_type",
+    "hourly_autocorrelation",
+    "hourly_outliers_tukey",
+    "hourly_period_strength",
+    "user_sessions_native",
+    "value_multiple_regression",
+    "grouping_sets_volume",
+    "window_funnel_strict_dedup",
+    "daily_value_array_ops",
+    "sequence_count_compiled",
+    # --- r8-evidence block, registration order (fills to 50) ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q15_top_suppliers",
+    "q22_idle_customers",
+    "q4_late_shipments",
+    "q13_customer_distribution",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q2_min_cost_supplier",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q20_excess_suppliers",
+    "q21_sole_blame_suppliers",
+    "sequence_next_node",
+    "window_funnel_strict_order",
+    "hourly_sparkbar_by_type",
 )
 
 

@@ -51,6 +51,21 @@ LWW_SCHEMA = (
 )
 
 
+def lww_fold(best, rows):
+    """The streaming LWW state update's exact compare loop, extracted
+    pure so the driver fold entry (plans/queries.stream_lww_dedup_fold)
+    and the stateful ``update`` below run the SAME code: fold
+    ``(version, tiebreak)`` pairs into ``best = (v, tb, n_dups)`` —
+    keep the max (version, tiebreak) tuple, count every duplicate."""
+    v, tb, n = best
+    for _v, _tb in rows:
+        cand = (int(_v), int(_tb))
+        if v is None or cand > (v, tb):
+            v, tb = cand
+        n += 1
+    return v, tb, n
+
+
 def lww_dedup_stream(
     df: DataFrame,
     key_col: str = "event_id",
@@ -126,11 +141,10 @@ def lww_dedup_stream(
             state.get if state.exists else (None, None, 0, 0)
         )
         for pdf in pdfs:
-            for _v, _tb, _ts in zip(pdf["_v"], pdf["_tb"], pdf["_ts"]):
-                cand = (int(_v), int(_tb))
-                if v is None or cand > (v, tb):
-                    v, tb = cand
-                n += 1
+            v, tb, n = lww_fold(
+                (v, tb, n), zip(pdf["_v"], pdf["_tb"])
+            )
+            for _ts in pdf["_ts"]:
                 # pandas Timestamp .value is ns since epoch -> ms
                 last_ms = max(last_ms, int(_ts.value) // 1_000_000)
         state.update((v, tb, n, last_ms))

@@ -60,10 +60,10 @@ def test_window_actually_rotates():
 
 # brand-new or plan-changed entries this round; grows as the round does
 NEW_THIS_ROUND: tuple[str, ...] = (
-    "sequence_count_timed_backtracking",  # r11 NEW: CH-exact backtracking
-    "stream_adjacency_count_fold",   # r11 NEW: streaming twin to driver
-    "stream_time_decay_fold",        # r11 NEW: streaming twin to driver
-    "stream_funnel_cascade_fold",    # r11 NEW: streaming twin to driver
+    "stream_funnel_cascade_fold",      # r12: event-driven cascade (plan change)
+    "stream_backtracking_count_fold",  # r12 NEW: in-watermark BT fold
+    "stream_lww_dedup_fold",           # r12 NEW: LWW state compare loop
+    "stream_quantile_fold",            # r12 NEW: histogram state algebra
 )
 
 

@@ -285,3 +285,119 @@ def test_spark_battery_matches_dp_and_dispatcher_routes(spark):
         if bt_count_reference(et, ts, types, gaps) >= 1
     }
     assert got_d == want_d
+
+
+# --- r12: watermark-aware incremental counting (bt_count_final) -------
+
+
+def _final(et, ts, types, gaps, wm):
+    from clickhouse_github_log_importer_spark.operators.sequence_backtracking import (
+        bt_count_final,
+    )
+
+    return bt_count_final(
+        np.array([SYM[x] for x in et], dtype=np.int64),
+        np.array(ts, dtype=np.int64),
+        tuple(SYM[t] for t in types),
+        gaps,
+        wm,
+    )
+
+
+def test_bt_count_final_no_watermark_reduces_to_fast():
+    """wm_us=None closes every window: bt_count_final must equal
+    bt_count_fast on count, and consume through the last match."""
+    rng = random.Random(1204)
+    for _ in range(400):
+        et, ts = _rand_stream(rng)
+        for pat in FUZZ_PATTERNS:
+            types, gaps = compile_backtracking(pat, CONDS, "clickhouse")
+            want = _fast(et, ts, types, gaps)
+            got, consumed = _final(et, ts, types, gaps, None)
+            assert got == want, (pat, et, ts)
+            assert 0 <= consumed <= len(et)
+
+
+def test_bt_count_final_incremental_equals_batch():
+    """THE streaming pin: feeding finalized prefixes chunk by chunk —
+    counting only final matches, trimming the buffer to the consumed
+    suffix — must land on exactly the batch count once the stream
+    flushes (wm=None), for every pattern family including the
+    'adj'/'<'/'==' edges whose finality genuinely defers."""
+    from clickhouse_github_log_importer_spark.operators.sequence_backtracking import (
+        bt_count_final,
+    )
+
+    rng = random.Random(5150)
+    deferred = 0
+    for _ in range(300):
+        et, ts = _rand_stream(rng, n_max=18)
+        codes = np.array([SYM[x] for x in et], dtype=np.int64)
+        tsa = np.array(ts, dtype=np.int64)
+        # random ascending watermarks cutting the stream into chunks
+        pool = list(range(0, (max(ts) + 2 * M) if ts else M, M))
+        wms = sorted(rng.sample(pool, min(len(pool), rng.randint(1, 4))))
+        for pat in FUZZ_PATTERNS:
+            types, gaps = compile_backtracking(pat, CONDS, "clickhouse")
+            tcodes = tuple(SYM[t] for t in types)
+            want = _fast(et, ts, types, gaps)
+            total, start = 0, 0
+            for wm in wms:
+                m = int(np.searchsorted(tsa, wm, side="left"))
+                if m <= start:
+                    continue
+                c, consumed = bt_count_final(
+                    codes[start:m], tsa[start:m], tcodes, gaps, wm
+                )
+                total += c
+                start += consumed
+            c, consumed = bt_count_final(
+                codes[start:], tsa[start:], tcodes, gaps, None
+            )
+            total += c
+            if start < len(et):
+                deferred += 1
+            assert total == want, (pat, et, ts, wms, total, want)
+    # the gate must have actually deferred something across the fuzz
+    # run, or the test proves nothing about mid-stream finality
+    assert deferred > 0
+
+
+def test_bt_count_final_never_counts_unstable_prefix_matches():
+    """Directed cases where a naive prefix count would diverge from the
+    batch matcher — the finality gate must hold the count back."""
+    # 'adj' edge: (?1)(?2) — at wm just past the last event, the last
+    # position's adjacent-next could still arrive: [A] must not bind
+    # with a future B prematurely, and [A, B] IS final (B's arrival
+    # fixed A's adjacent-next).
+    types, gaps = compile_backtracking("(?1)(?2)", CONDS, "clickhouse")
+    c, consumed = _final(["A"], [0], types, gaps, M)
+    assert (c, consumed) == (0, 0)
+    c, consumed = _final(["A", "B"], [0, M], types, gaps, 2 * M)
+    assert (c, consumed) == (1, 2)
+    # '==' edge: A@0 with window to t=7M still open at wm=5M — the
+    # in-prefix match (A@1M, B@8M)?? no: construct A@0, A@1M, B@8M with
+    # (?t==7): A@1M+7M = B@8M matches NOW, but A@0's exact witness
+    # (t=7M) could still arrive (7M >= wm=5M): counting (1M, 8M) would
+    # mis-consume if B@7M then arrived for A@0.
+    types, gaps = compile_backtracking("(?1)(?t==7)(?2)", CONDS, "clickhouse")
+    c, consumed = _final(["A", "A", "B"], [0, M, 8 * M], types, gaps, 5 * M)
+    assert (c, consumed) == (0, 0)
+    # same stream once the watermark passes A@0's window: (A@1M, B@8M)
+    # is now the leftmost match, final
+    c, consumed = _final(
+        ["A", "A", "B"], [0, M, 8 * M], types, gaps, 9 * M
+    )
+    assert (c, consumed) == (1, 3)
+    # '<' edge: A@0's window [wm, 0+10M) still open at wm=6M; the
+    # candidate B@12M gives A@6M a match but A@0 pends -> defer
+    types, gaps = compile_backtracking("(?1)(?t<10)(?2)", CONDS, "clickhouse")
+    c, consumed = _final(
+        ["A", "A", "B"], [0, 6 * M, 12 * M], types, gaps, 6 * M + 1
+    )
+    assert c == 0
+    # watermark past every window: (A@6M, B@12M) final, A@0 dead
+    c, consumed = _final(
+        ["A", "A", "B"], [0, 6 * M, 12 * M], types, gaps, 20 * M
+    )
+    assert (c, consumed) == (1, 3)
