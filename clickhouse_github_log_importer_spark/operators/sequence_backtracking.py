@@ -166,20 +166,15 @@ def bt_count_reference(et, ts, types, gaps) -> int:
     return cnt
 
 
-def bt_count_fast(code, tsv, type_codes, gaps) -> int:
-    """O(n·k) backtracking count for ONE user: right-to-left ``can``
-    DP (can steps j..k-1 complete with step j at position i), then the
-    leftmost match is the greedy smallest-candidate-with-can chain.
-    ``code``/``tsv`` are the user's declared events as int codes /
-    int64 epoch-us, sorted by (ts, event_id); ``type_codes`` the step
-    conditions as the same codes. Fuzz-pinned equal to
-    :func:`bt_count_reference`."""
+def _can_tables(code, tsv, type_codes, gaps):
+    """The right-to-left ``can`` DP shared by the counting walk and
+    the witness walk: ``cans[j][i]`` = steps j..k-1 can complete with
+    step j at position i; ``nxt[j][p]`` = smallest q >= p with
+    ``cans[j][q]`` (else n). Returns (cans, nxt)."""
     import numpy as np
 
     n = len(code)
     k = len(type_codes)
-    if n == 0:
-        return 0
     arange = np.arange(n, dtype=np.int64)
 
     def build_nxt(cp):
@@ -227,31 +222,79 @@ def bt_count_fast(code, tsv, type_codes, gaps) -> int:
                 ok[pos] = (q < n) & (q < hi)
         cans[j] = ok
         nxt[j] = build_nxt(ok)
+    return cans, nxt
+
+
+def _walk_match(tsv, nxt, gaps, k, p):
+    """The greedy smallest-candidate-with-can chain from cursor ``p``:
+    returns the matched positions (length k) or None. Shared by the
+    counting loop and the witness extractor — identical choices by
+    construction."""
+    import numpy as np
+
+    n = len(tsv)
+    i = int(nxt[0][p])
+    if i >= n:
+        return None
+    chain = [i]
+    cur = i
+    for j in range(1, k):
+        kind = gaps[j - 1]
+        if kind[0] == "adj":
+            cur = cur + 1
+        elif kind[0] in ("any", "<"):
+            # '<': the witness is the smallest can-position — can
+            # at the previous step already guaranteed it in-window
+            cur = int(nxt[j][cur + 1])
+        elif kind[0] == ">":
+            lo = int(np.searchsorted(tsv, tsv[cur] + kind[1], side="right"))
+            cur = int(nxt[j][max(lo, cur + 1)])
+        else:  # '=='
+            target = int(tsv[cur]) + kind[1]
+            lo = int(np.searchsorted(tsv, target, side="left"))
+            cur = int(nxt[j][max(lo, cur + 1)])
+        chain.append(cur)
+    return chain
+
+
+def bt_first_match(code, tsv, type_codes, gaps):
+    """The FIRST backtracking match's witness positions for ONE user —
+    the lexicographically smallest assignment, i.e. exactly the rows
+    ClickHouse's sequenceMatchEvents surfaces (its matcher IS the
+    back_stack DFS whose first solution is this assignment). Returns a
+    list of k positions into (code, tsv), or None."""
+    import numpy as np
+
+    code = np.asarray(code, dtype=np.int64)
+    tsv = np.asarray(tsv, dtype=np.int64)
+    if len(code) == 0:
+        return None
+    _, nxt = _can_tables(code, tsv, type_codes, gaps)
+    return _walk_match(tsv, nxt, gaps, len(type_codes), 0)
+
+
+def bt_count_fast(code, tsv, type_codes, gaps) -> int:
+    """O(n·k) backtracking count for ONE user: right-to-left ``can``
+    DP (can steps j..k-1 complete with step j at position i), then the
+    leftmost match is the greedy smallest-candidate-with-can chain.
+    ``code``/``tsv`` are the user's declared events as int codes /
+    int64 epoch-us, sorted by (ts, event_id); ``type_codes`` the step
+    conditions as the same codes. Fuzz-pinned equal to
+    :func:`bt_count_reference`."""
+    n = len(code)
+    k = len(type_codes)
+    if n == 0:
+        return 0
+    _, nxt = _can_tables(code, tsv, type_codes, gaps)
 
     cnt = 0
     p = 0
     while p < n:
-        i = int(nxt[0][p])
-        if i >= n:
+        chain = _walk_match(tsv, nxt, gaps, k, p)
+        if chain is None:
             break
-        cur = i
-        for j in range(1, k):
-            kind = gaps[j - 1]
-            if kind[0] == "adj":
-                cur = cur + 1
-            elif kind[0] in ("any", "<"):
-                # '<': the witness is the smallest can-position — can
-                # at the previous step already guaranteed it in-window
-                cur = int(nxt[j][cur + 1])
-            elif kind[0] == ">":
-                lo = int(np.searchsorted(tsv, tsv[cur] + kind[1], side="right"))
-                cur = int(nxt[j][max(lo, cur + 1)])
-            else:  # '=='
-                target = int(tsv[cur]) + kind[1]
-                lo = int(np.searchsorted(tsv, target, side="left"))
-                cur = int(nxt[j][max(lo, cur + 1)])
         cnt += 1
-        p = cur + 1
+        p = chain[-1] + 1
     return cnt
 
 
@@ -551,6 +594,154 @@ def sequence_count_backtracking_users(
         spark, sf_dir, (pattern,), conds, events=events, semantics=semantics
     )
     return out.select("user_id", "seq_count")
+
+
+def sequence_match_events_backtracking_battery(
+    spark, sf_dir, patterns, conds, events=None,
+    semantics: str = "clickhouse",
+):
+    """(pattern, user_id, step, ts_us, event_id) witness rows for the
+    FIRST backtracking match of every pattern, one Arrow pass: the
+    declared stream shuffles ONCE on a user hash bucket and the kernel
+    runs :func:`bt_first_match` per user per pattern — the
+    lexicographically smallest assignment, ClickHouse's own
+    sequenceMatchEvents witness (its matcher IS the back_stack DFS
+    whose first solution is this assignment; the greedy-predecessor
+    entry `sequence_match_events` pins a DIFFERENT deterministic
+    choice — latest click — for the engine's relaxed reading)."""
+    import pandas as pd
+
+    from ..plans.queries import t
+
+    compiled = [
+        (pat, compile_backtracking(pat, conds, semantics)) for pat in patterns
+    ]
+    sym = {c: a for a, c in enumerate(conds)}
+    comp_codes = [
+        (pat, tuple(sym[ty] for ty in types), gaps)
+        for pat, (types, gaps) in compiled
+    ]
+    ev = (t(spark, sf_dir, "events") if events is None else events).select(
+        "user_id",
+        F.col("ts_us").cast("long").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+    ev = ev.filter(F.col("event_type").isin(*set(conds)))
+    n_buckets = spark.sparkContext.defaultParallelism * 4
+    st = ev.withColumn("_b", F.pmod(F.hash("user_id"), F.lit(n_buckets)))
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        uid = pdf["user_id"].to_numpy()
+        code = pdf["event_type"].map(sym).to_numpy(dtype=np.int64)
+        tsv = pdf["ts_us"].to_numpy(dtype=np.int64)
+        eid = pdf["event_id"].to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        out: dict[str, list] = {
+            k: [] for k in ("pattern", "user_id", "step", "ts_us", "event_id")
+        }
+        for a, b in zip(starts, ends):
+            c = code[a:b]
+            t_ = tsv[a:b]
+            e_ = eid[a:b]
+            for pat, tcodes, gaps in comp_codes:
+                chain = bt_first_match(c, t_, tcodes, gaps)
+                if chain is None:
+                    continue
+                for step, pos in enumerate(chain):
+                    out["pattern"].append(pat)
+                    out["user_id"].append(int(uid[a]))
+                    out["step"].append(step)
+                    out["ts_us"].append(int(t_[pos]))
+                    out["event_id"].append(int(e_[pos]))
+        return pd.DataFrame(out)
+
+    return st.groupBy("_b").applyInPandas(
+        kern,
+        "pattern string, user_id long, step int, ts_us long, event_id long",
+    )
+
+
+def bt_witness_oracle_sql(patterns, conds, semantics: str = "clickhouse") -> str:
+    """DuckDB twin of the witness battery: per pattern, chained
+    LATERALs each picking the first (by rank) candidate satisfying its
+    gap constraint AND a nested-EXISTS can-complete proof — the
+    lexicographically smallest assignment — then the k bound events
+    UNPIVOT to (pattern, user_id, step, ts_us, event_id) rows."""
+    chains = []
+    selects = []
+    for idx, pat in enumerate(patterns):
+        types, gaps = compile_backtracking(pat, conds, semantics)
+        k = len(types)
+
+        def can_sql(j: int, prev: str) -> str:
+            if j >= k:
+                return "TRUE"
+            g = f"wg{idx}_{j}"
+            tail = can_sql(j + 1, g)
+            return (
+                f"EXISTS (SELECT 1 FROM f {g} WHERE {g}.user_id = "
+                f"u.user_id AND {g}.et = '{types[j]}' AND "
+                f"{_gap_sql(gaps[j - 1], prev, g)} AND {tail})"
+            )
+
+        laterals = []
+        for j in range(k):
+            x = f"wx{idx}_{j}"
+            if j == 0:
+                gap_pred = f"{x}.rn > 0"
+            else:
+                gap_pred = _gap_sql(gaps[j - 1], f"wx{idx}_{j - 1}", x)
+            tail = can_sql(j + 1, x)
+            laterals.append(
+                f"""LATERAL (
+        SELECT {x}.rn, {x}.tu, {x}.eid FROM f {x}
+        WHERE {x}.user_id = u.user_id AND {x}.et = '{types[j]}'
+          AND {gap_pred} AND {tail}
+        ORDER BY {x}.rn LIMIT 1
+      ) {x}"""
+            )
+        chains.append(
+            f"""
+    w{idx} AS (
+      SELECT u.user_id, """
+            + ", ".join(
+                f"wx{idx}_{j}.tu AS tu{j}, wx{idx}_{j}.eid AS eid{j}"
+                for j in range(k)
+            )
+            + "\n      FROM (SELECT DISTINCT user_id FROM f) u, "
+            + ", ".join(laterals)
+            + "\n    )"
+        )
+        selects.extend(
+            f"""
+      SELECT '{pat}' AS pattern, user_id, {j} AS step,
+             CAST(tu{j} AS BIGINT) AS ts_us,
+             CAST(eid{j} AS BIGINT) AS event_id
+      FROM w{idx}"""
+            for j in range(k)
+        )
+    return (
+        f"""
+    WITH f AS (
+      SELECT user_id, epoch_us(ts) AS tu, event_type AS et,
+             event_id AS eid,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn
+      FROM events
+      WHERE event_type IN {tuple(conds)!r}
+    ),"""
+        + ",".join(chains)
+        + "\n    SELECT pattern, user_id, step, ts_us, event_id FROM ("
+        + " UNION ALL ".join(selects)
+        + "\n    )"
+    )
 
 
 def _gap_sql(gap, prev: str, cur: str) -> str:

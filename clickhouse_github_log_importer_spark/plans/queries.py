@@ -10639,6 +10639,54 @@ def stream_backtracking_count_fold(spark, sf_dir):
     )
 
 
+_SEQ_WITNESS_BT_PATTERNS = (
+    "(?1)(?t<86400)(?2)",       # timed upper bound
+    "(?2)(?2)(?t<86400)(?3)",   # bare-adjacent word + '<' edge
+    "(?2)(?t>43200)(?3)",       # lower bound (wait enumeration)
+    "(?1).*(?3)",               # KleeneStar edge
+)
+
+
+def _seq_witness_bt_oracle() -> str:
+    from ..operators.sequence_backtracking import bt_witness_oracle_sql
+
+    return bt_witness_oracle_sql(
+        _SEQ_WITNESS_BT_PATTERNS, _SEQ_CONDS, semantics="clickhouse"
+    )
+
+
+@register(
+    "sequence_match_events_backtracking",
+    _seq_witness_bt_oracle(),
+    tags=("funnel", "sequence", "clickhouse-parity", "arrow-kernel"),
+    doc="sequenceMatchEvents under the CH-exact BACKTRACKING matcher "
+    "(r12): ClickHouse's sequenceMatchEvents surfaces the rows its "
+    "matcher bound, and its matcher is the back_stack DFS whose first "
+    "solution is the LEXICOGRAPHICALLY SMALLEST assignment — so the "
+    "witness is deterministic under full parity semantics (the "
+    "engine's relaxed `sequence_match_events` entry pins a DIFFERENT "
+    "deterministic choice: the greedy latest-predecessor click; both "
+    "readings now ship). One Arrow pass: the declared stream shuffles "
+    "once on a user hash bucket, operators/sequence_backtracking."
+    "bt_first_match (the counting walk's own chain — shared code, so "
+    "witness == what the counter consumed) runs all four patterns per "
+    "user; output is long-form (pattern, user_id, step, ts_us, "
+    "event_id), one row per bound step for users that match. Oracle: "
+    "chained LATERALs with nested-EXISTS can-complete proofs finding "
+    "the same leftmost assignment, UNPIVOTed. Conditions: 1=signup "
+    "2=click 3=purchase 4=view.",
+)
+def sequence_match_events_backtracking(spark, sf_dir):
+    from ..operators.sequence_backtracking import (
+        sequence_match_events_backtracking_battery,
+    )
+
+    return sequence_match_events_backtracking_battery(
+        spark, sf_dir, _SEQ_WITNESS_BT_PATTERNS, _SEQ_CONDS,
+        semantics="clickhouse",
+    )
+
+
 @register(
     "score_auc",
     """

@@ -139,6 +139,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_backtracking_count_fold",  # r12 NEW: in-watermark BT fold
     "stream_lww_dedup_fold",           # r12 NEW: LWW state compare loop
     "stream_quantile_fold",            # r12 NEW: histogram state algebra
+    "sequence_match_events_backtracking",  # r12 NEW: CH-exact witnesses
     # --- re-verification filler: r7-evidence block, registration order ---
     "events_limit_by",
     "purchase_attribution_windowed",
@@ -185,7 +186,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "q21_sole_blame_suppliers",
     "sequence_next_node",
     "window_funnel_strict_order",
-    "hourly_sparkbar_by_type",
 )
 
 

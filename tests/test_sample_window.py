@@ -64,6 +64,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "stream_backtracking_count_fold",  # r12 NEW: in-watermark BT fold
     "stream_lww_dedup_fold",           # r12 NEW: LWW state compare loop
     "stream_quantile_fold",            # r12 NEW: histogram state algebra
+    "sequence_match_events_backtracking",  # r12 NEW: CH-exact witnesses
 )
 
 

@@ -401,3 +401,66 @@ def test_bt_count_final_never_counts_unstable_prefix_matches():
         ["A", "A", "B"], [0, 6 * M, 12 * M], types, gaps, 20 * M
     )
     assert (c, consumed) == (1, 3)
+
+
+# --- r12: first-match witness extraction (bt_first_match) -------------
+
+
+def _brute_leftmost(et, ts, types, gaps):
+    """Literal lexicographic enumeration: the smallest increasing
+    assignment satisfying every gap constraint, or None."""
+    import itertools
+
+    n = len(et)
+    k = len(types)
+    for combo in itertools.combinations(range(n), k):
+        if any(et[i] != types[j] for j, i in enumerate(combo)):
+            continue
+        ok = True
+        for j in range(1, k):
+            kind = gaps[j - 1]
+            a, b = combo[j - 1], combo[j]
+            if kind[0] == "adj":
+                if b != a + 1:
+                    ok = False
+            elif kind[0] == "any":
+                pass
+            else:
+                gap = ts[b] - ts[a]
+                if kind[0] == "<":
+                    ok = gap < kind[1]
+                elif kind[0] == ">":
+                    ok = gap > kind[1]
+                else:
+                    ok = gap == kind[1]
+            if not ok:
+                break
+        if ok:
+            return list(combo)
+    return None
+
+
+def test_bt_first_match_is_lexicographically_smallest():
+    """bt_first_match must return the brute-force smallest assignment
+    (itertools.combinations enumerates index tuples in lexicographic
+    order, so the first valid one IS the DFS's first solution)."""
+    from clickhouse_github_log_importer_spark.operators.sequence_backtracking import (
+        bt_first_match,
+    )
+
+    rng = random.Random(777)
+    hits = 0
+    for _ in range(300):
+        et, ts = _rand_stream(rng, n_max=10)
+        for pat in FUZZ_PATTERNS:
+            types, gaps = compile_backtracking(pat, CONDS, "clickhouse")
+            want = _brute_leftmost(et, ts, types, gaps)
+            got = bt_first_match(
+                np.array([SYM[x] for x in et], dtype=np.int64),
+                np.array(ts, dtype=np.int64),
+                tuple(SYM[t] for t in types),
+                gaps,
+            )
+            assert got == want, (pat, et, ts, got, want)
+            hits += want is not None
+    assert hits > 100  # the fuzz must exercise real matches

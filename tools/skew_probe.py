@@ -131,6 +131,13 @@ EVENT_QUERIES = [
     "stream_adjacency_count_fold",
     "stream_time_decay_fold",
     "stream_funnel_cascade_fold",
+    # r12: the in-watermark backtracking fold (per-user sequential like
+    # its greedy siblings) and the two state-algebra folds (key-hashed;
+    # the LWW fold keys on (user, type) so the mega-user concentrates
+    # dup chains into a few keys — the measured cost of that shape)
+    "stream_backtracking_count_fold",
+    "stream_lww_dedup_fold",
+    "stream_quantile_fold",
 ]
 DOC_QUERIES = [
     "source_capped_sample",
