@@ -3215,6 +3215,174 @@ def stream_quantile_fold(spark, sf_dir):
     )
 
 
+def _kmv_fold_oracle() -> str:
+    from ..functions.hashing import md5_hash64_sql
+    from ..streaming.kmv_stream import KMV_STREAM_K as K
+
+    h = md5_hash64_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH h AS (SELECT DISTINCT event_type AS key, {h} AS h FROM events),
+    r AS (SELECT key, h,
+                 row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+          FROM h),
+    k AS (SELECT key, CAST(count(*) AS BIGINT) AS nk,
+                 CAST(coalesce(max(CASE WHEN rn = {K} THEN h END), 0)
+                      AS BIGINT) AS hk
+          FROM r WHERE rn <= {K} GROUP BY key)
+    SELECT key, nk, hk,
+           CAST(CASE WHEN nk < {K} THEN nk
+                ELSE round({K - 1} * 1152921504606846976.0 / hk)
+                END AS BIGINT) AS kmv_estimate
+    FROM k
+    """
+
+
+@register(
+    "stream_kmv_fold",
+    _kmv_fold_oracle(),
+    tags=("sketch", "streaming-twin", "arrow-kernel"),
+    doc="The streaming KMV distinct sketch's decision core surfaced to "
+    "the driver (r12): streaming/kmv_stream.kmv_merge — the EXACT "
+    "merge step the applyInPandasWithState update runs per micro-batch "
+    "(KMV union = k smallest of the carried k-array union the batch's "
+    "hashes), extracted pure and shared — executed as one batch fold "
+    "per event_type over 4 positional chunks, then the stream's own "
+    "_estimate ((k-1)*2^60/h_k, half-up rounding). Hashes are the "
+    "portable JVM-side md5 family, so the driver hash-verifies the "
+    "merge algebra AND the estimate bit-for-bit against DuckDB. One "
+    "shuffle on a key hash bucket.",
+)
+def stream_kmv_fold(spark, sf_dir):
+    import pandas as pd
+
+    from ..functions.hashing import md5_hash64
+    from ..streaming.kmv_stream import KMV_STREAM_K, _estimate, kmv_merge
+
+    ev = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        md5_hash64(F.col("user_id").cast("string")).alias("h"),
+    )
+    n_buckets = spark.sparkContext.defaultParallelism * 4
+    st = ev.withColumn("_b", F.pmod(F.hash("key"), F.lit(n_buckets)))
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["key"], kind="mergesort")
+        keys = pdf["key"].to_numpy()
+        hv = pdf["h"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        out: dict[str, list] = {
+            k: [] for k in ("key", "nk", "hk", "kmv_estimate")
+        }
+        for a, b in zip(starts, ends):
+            merged: list[int] = []
+            for c in range(4):
+                lo = a + (b - a) * c // 4
+                hi = a + (b - a) * (c + 1) // 4
+                merged = kmv_merge(merged, hv[lo:hi], KMV_STREAM_K)
+            nk, hk, est = _estimate(merged, KMV_STREAM_K)
+            out["key"].append(keys[a])
+            out["nk"].append(nk)
+            out["hk"].append(hk)
+            out["kmv_estimate"].append(est)
+        return pd.DataFrame(out)
+
+    return st.groupBy("_b").applyInPandas(
+        kern, "key string, nk long, hk long, kmv_estimate long"
+    )
+
+
+def _cms_fold_oracle() -> str:
+    from ..functions.hashing import seeded_hash64_sql
+    from ..operators.cms import CMS_DEPTH, CMS_WIDTH, _CMS_SEED0
+
+    parts = [
+        f"""
+      SELECT {j} AS row,
+             CAST(({seeded_hash64_sql("key", _CMS_SEED0 + j)})
+                  % {CMS_WIDTH} AS INT) AS pos,
+             c
+      FROM k"""
+        for j in range(CMS_DEPTH)
+    ]
+    return (
+        """
+    WITH k AS (
+      SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS c
+      FROM events GROUP BY 1
+    ),
+    cells AS ("""
+        + " UNION ALL ".join(parts)
+        + """)
+    SELECT row, pos, CAST(SUM(c) AS BIGINT) AS cell_count
+    FROM cells GROUP BY row, pos
+    """
+    )
+
+
+@register(
+    "stream_cms_fold",
+    _cms_fold_oracle(),
+    tags=("sketch", "streaming-twin", "arrow-kernel"),
+    doc="The streaming count-min sketch's decision core surfaced to "
+    "the driver (r12): streaming/cms_stream's update loop — per sketch "
+    "ROW, np.bincount of the micro-batch's JVM-hashed cell positions "
+    "added into the carried width-array — executed as one batch fold "
+    "per row over 4 positional chunks (each chunk bincounted and "
+    "added exactly as a micro-batch would be), emitting the non-zero "
+    "(row, pos, cell_count) cells. Positions are the portable md5 "
+    "family (operators.cms.cms_pos), so the driver hash-verifies the "
+    "grid bit-for-bit against DuckDB. Fan-in = depth groups — the "
+    "stream operator's own documented shape (each task's state is one "
+    "width-length array); the BATCH grid entries (heavy_hitters_cms, "
+    "cms_state_rollup) keep the two-phase exact-then-fanout plan for "
+    "the distributed path.",
+)
+def stream_cms_fold(spark, sf_dir):
+    import pandas as pd
+
+    from ..operators.cms import CMS_DEPTH, CMS_WIDTH, cms_pos
+
+    ev = t(spark, sf_dir, "events")
+    cells = ev.select(
+        F.posexplode(
+            F.array(
+                *[
+                    cms_pos("user_id", j, CMS_WIDTH).cast("int")
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("row", "pos")
+    )
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        counts = np.zeros(CMS_WIDTH, dtype=np.int64)
+        n = len(pdf)
+        pos = pdf["pos"].to_numpy()
+        for c in range(4):
+            lo = n * c // 4
+            hi = n * (c + 1) // 4
+            counts += np.bincount(
+                pos[lo:hi], minlength=CMS_WIDTH
+            ).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame(
+            {
+                "row": np.full(len(nz), int(pdf["row"].iloc[0]), dtype=np.int32),
+                "pos": nz.astype(np.int32),
+                "cell_count": counts[nz],
+            }
+        )
+
+    return cells.groupBy("row").applyInPandas(
+        kern, "row int, pos int, cell_count long"
+    )
+
+
 _FUNNEL_WINDOW_US = 24 * 3600 * 1000000  # 24 h
 
 

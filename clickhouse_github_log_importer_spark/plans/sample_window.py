@@ -140,6 +140,8 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "stream_lww_dedup_fold",           # r12 NEW: LWW state compare loop
     "stream_quantile_fold",            # r12 NEW: histogram state algebra
     "sequence_match_events_backtracking",  # r12 NEW: CH-exact witnesses
+    "stream_kmv_fold",                 # r12 NEW: KMV merge algebra
+    "stream_cms_fold",                 # r12 NEW: CMS grid update loop
     # --- re-verification filler: r7-evidence block, registration order ---
     "events_limit_by",
     "purchase_attribution_windowed",
@@ -184,8 +186,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "q11_important_parts",
     "q20_excess_suppliers",
     "q21_sole_blame_suppliers",
-    "sequence_next_node",
-    "window_funnel_strict_order",
 )
 
 

@@ -54,6 +54,16 @@ def _estimate(uniq: list[int], k: int) -> tuple[int, int, int]:
     return nk, hk, est
 
 
+def kmv_merge(arr, hashes, k: int = KMV_STREAM_K):
+    """The streaming update's exact merge step, extracted pure so the
+    driver fold entry (plans/queries.stream_kmv_fold) and the stateful
+    ``update`` below run the SAME code: KMV union = the k smallest of
+    the union of the carried k-array and the micro-batch's hashes."""
+    uniq = set(int(h) for h in arr)
+    uniq.update(int(h) for h in hashes)
+    return sorted(uniq)[:k]
+
+
 def kmv_distinct_stream(
     df: DataFrame,
     key_col: str,
@@ -97,11 +107,9 @@ def kmv_distinct_stream(
         )
 
     def update(key, pdfs, state):
-        (arr,) = state.get if state.exists else ([],)
-        uniq = set(arr)
+        (merged,) = state.get if state.exists else ([],)
         for pdf in pdfs:
-            uniq.update(int(h) for h in pdf["h"])
-        merged = sorted(uniq)[:k]
+            merged = kmv_merge(merged, pdf["h"], k)
         state.update((merged,))
         nk, hk, est = _estimate(merged, k)
         yield pd.DataFrame(

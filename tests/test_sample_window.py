@@ -65,6 +65,8 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "stream_lww_dedup_fold",           # r12 NEW: LWW state compare loop
     "stream_quantile_fold",            # r12 NEW: histogram state algebra
     "sequence_match_events_backtracking",  # r12 NEW: CH-exact witnesses
+    "stream_kmv_fold",                 # r12 NEW: KMV merge algebra
+    "stream_cms_fold",                 # r12 NEW: CMS grid update loop
 )
 
 
