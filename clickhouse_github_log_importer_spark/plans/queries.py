@@ -10754,7 +10754,8 @@ def stream_adjacency_count_fold(spark, sf_dir):
 def stream_backtracking_count_fold(spark, sf_dir):
     import pandas as pd
 
-    from ..streaming.backtracking_stream import compile_bt, fold_final
+    from ..operators.sequence_backtracking import bt_count_final
+    from ..streaming.backtracking_stream import compile_bt
 
     conds = _SEQ_CONDS
     compiled = []
@@ -10778,24 +10779,35 @@ def stream_backtracking_count_fold(spark, sf_dir):
         )
         uid = pdf["user_id"].to_numpy()
         tsv = pdf["ts_us"].to_numpy(dtype=np.int64)
-        eidv = pdf["event_id"].to_numpy(dtype=np.int64)
         codev = pdf["event_type"].map(sym).to_numpy(dtype=np.int64)
         starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
         ends = np.r_[starts[1:], len(uid)]
         out: dict[str, list] = {"pattern": [], "user_id": [], "seq_count": []}
         for a, b in zip(starts, ends):
-            evs = list(
-                zip(tsv[a:b].tolist(), eidv[a:b].tolist(), codev[a:b].tolist())
-            )
-            lo, hi = evs[0][0], evs[-1][0]
+            t_ = tsv[a:b]
+            c_ = codev[a:b]
+            lo, hi = int(t_[0]), int(t_[-1])
             wms = [lo + (hi - lo) * (i + 1) // 4 for i in range(3)]
             for pat, tcodes, gaps in compiled:
-                cnt, buf = 0, evs
+                # the buffer of a sorted in-order replay is always a
+                # contiguous suffix range, so the incremental fold is
+                # bt_count_final over numpy slices — the same algebra
+                # fold_final applies to the stream's (ts, eid, code)
+                # tuples, without materializing them (pytest pins the
+                # equivalence via _core_counts on the corpus)
+                cnt, start = 0, 0
                 for wm in wms:
-                    new, buf = fold_final(buf, tcodes, gaps, wm)
-                    cnt += new
-                new, buf = fold_final(buf, tcodes, gaps, None)
-                cnt += new
+                    cut = int(np.searchsorted(t_, wm, side="left"))
+                    if cut > start:
+                        c, consumed = bt_count_final(
+                            c_[start:cut], t_[start:cut], tcodes, gaps, wm
+                        )
+                        cnt += c
+                        start += consumed
+                c, _ = bt_count_final(
+                    c_[start:], t_[start:], tcodes, gaps, None
+                )
+                cnt += c
                 if cnt >= 1:
                     out["pattern"].append(pat)
                     out["user_id"].append(int(uid[a]))
