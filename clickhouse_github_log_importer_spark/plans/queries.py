@@ -3215,6 +3215,135 @@ def stream_quantile_fold(spark, sf_dir):
     )
 
 
+@register(
+    "stream_match_events_fold",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, ts_us AS tp, event_id AS ep
+      FROM e WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts_us AS tc, event_id AS ec
+      FROM e WHERE event_type = 'click'
+    ),
+    q AS (
+      SELECT p.user_id, p.tp, p.ep, c.tc, c.ec,
+             row_number() OVER (
+               PARTITION BY p.user_id, p.tp, p.ep
+               ORDER BY c.tc DESC, c.ec DESC) AS rn
+      FROM p JOIN c
+        ON c.user_id = p.user_id
+       AND c.tc <= p.tp
+       AND p.tp - c.tc < 86400000000
+    ),
+    first_match AS (
+      SELECT user_id, tp, ep, tc, ec,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY tp, ep) AS prn
+      FROM q WHERE rn = 1
+    )
+    SELECT user_id,
+           tc AS click_ts_us, ec AS click_event_id,
+           tp AS purchase_ts_us, ep AS purchase_event_id
+    FROM first_match WHERE prn = 1
+    """,
+    tags=("funnel", "streaming-twin", "arrow-kernel"),
+    doc="The streaming sequenceMatchEvents twin's decision core "
+    "surfaced to the driver (r12, completing the program: every "
+    "streaming module's decision core now has a driver-green fold): "
+    "streaming/sequence_stream.decide_first_match — purchases walked "
+    "in ascending order, each decided once the watermark passes it "
+    "(match -> the LATEST qualifying click; no qualifying click -> "
+    "dropped, since a later click can never qualify), stop at the "
+    "first still-inside-watermark purchase — replayed per user over 4 "
+    "ascending watermark chunks plus a final everything-decided pass, "
+    "with decided-no-match purchases pruned between chunks exactly as "
+    "the stateful operator prunes its buffer. Same oracle as "
+    "sequence_match_events, so driver-green means the streaming "
+    "decision loop, the distributed running-max plan, and a third "
+    "engine agree per user. One shuffle on a user hash bucket.",
+)
+def stream_match_events_fold(spark, sf_dir):
+    import pandas as pd
+
+    from ..streaming.sequence_stream import decide_first_match
+
+    bound_us = 86400000000
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts_us").cast("long").alias("ts_us"),
+        "event_id",
+        "event_type",
+    ).filter(F.col("event_type").isin("click", "purchase"))
+    n_buckets = spark.sparkContext.defaultParallelism * 4
+    st = ev.withColumn("_b", F.pmod(F.hash("user_id"), F.lit(n_buckets)))
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        uid = pdf["user_id"].to_numpy()
+        tsv = pdf["ts_us"].to_numpy(dtype=np.int64)
+        eidv = pdf["event_id"].to_numpy(dtype=np.int64)
+        isp = (pdf["event_type"] == "purchase").to_numpy()
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        out: dict[str, list] = {
+            k: []
+            for k in (
+                "user_id", "click_ts_us", "click_event_id",
+                "purchase_ts_us", "purchase_event_id",
+            )
+        }
+        for a, b in zip(starts, ends):
+            t_ = tsv[a:b]
+            e_ = eidv[a:b]
+            p_ = isp[a:b]
+            lo, hi = int(t_[0]), int(t_[-1])
+            # chunk boundaries in ms (the watermark's granularity),
+            # final pass decides everything (watermark past the end)
+            wms_ms = [
+                (lo + (hi - lo) * (i + 1) // 4) // 1000 for i in range(3)
+            ] + [hi // 1000 + 1]
+            match = None
+            clicks: list = []
+            purchases: list = []
+            fed = 0
+            for wm_ms in wms_ms:
+                # arrivals up to this watermark step
+                cut = int(np.searchsorted(t_, wm_ms * 1000, side="left"))
+                for i in range(fed, cut if wm_ms != wms_ms[-1] else b - a):
+                    (purchases if p_[i] else clicks).append(
+                        (int(t_[i]), int(e_[i]))
+                    )
+                fed = max(fed, cut if wm_ms != wms_ms[-1] else b - a)
+                match, purchases = decide_first_match(
+                    clicks, purchases, wm_ms, bound_us
+                )
+                if match is not None:
+                    break
+            if match is not None:
+                tc, ec, tp, ep = match
+                out["user_id"].append(int(uid[a]))
+                out["click_ts_us"].append(tc)
+                out["click_event_id"].append(ec)
+                out["purchase_ts_us"].append(tp)
+                out["purchase_event_id"].append(ep)
+        return pd.DataFrame(out)
+
+    return st.groupBy("_b").applyInPandas(
+        kern,
+        "user_id long, click_ts_us long, click_event_id long, "
+        "purchase_ts_us long, purchase_event_id long",
+    )
+
+
 def _kmv_fold_oracle() -> str:
     from ..functions.hashing import md5_hash64_sql
     from ..streaming.kmv_stream import KMV_STREAM_K as K

@@ -142,6 +142,7 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "sequence_match_events_backtracking",  # r12 NEW: CH-exact witnesses
     "stream_kmv_fold",                 # r12 NEW: KMV merge algebra
     "stream_cms_fold",                 # r12 NEW: CMS grid update loop
+    "stream_match_events_fold",        # r12 NEW: first-match decision loop
     # --- re-verification filler: r7-evidence block, registration order ---
     "events_limit_by",
     "purchase_attribution_windowed",
@@ -185,7 +186,6 @@ DRIVER_SAMPLE: tuple[str, ...] = (
     "q9_product_profit",
     "q11_important_parts",
     "q20_excess_suppliers",
-    "q21_sole_blame_suppliers",
 )
 
 

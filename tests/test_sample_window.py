@@ -67,6 +67,7 @@ NEW_THIS_ROUND: tuple[str, ...] = (
     "sequence_match_events_backtracking",  # r12 NEW: CH-exact witnesses
     "stream_kmv_fold",                 # r12 NEW: KMV merge algebra
     "stream_cms_fold",                 # r12 NEW: CMS grid update loop
+    "stream_match_events_fold",        # r12 NEW: first-match decision loop
 )
 
 

@@ -138,6 +138,13 @@ EVENT_QUERIES = [
     "stream_backtracking_count_fold",
     "stream_lww_dedup_fold",
     "stream_quantile_fold",
+    # r12 batch 2: witness extraction is user-keyed like the count
+    # battery; the KMV fold keys on event_type and the CMS fold on
+    # sketch row — both expected dead flat on a user-skewed log,
+    # pinned for the record
+    "sequence_match_events_backtracking",
+    "stream_kmv_fold",
+    "stream_cms_fold",
 ]
 DOC_QUERIES = [
     "source_capped_sample",
