@@ -145,6 +145,7 @@ EVENT_QUERIES = [
     "sequence_match_events_backtracking",
     "stream_kmv_fold",
     "stream_cms_fold",
+    "stream_match_events_fold",
 ]
 DOC_QUERIES = [
     "source_capped_sample",
