@@ -39,8 +39,59 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def slice_expr(
+def slice_bounds(
     df: DataFrame, order_col: str | Column, n_slices: int
+) -> list[float]:
+    """The driver-side quantile boundaries :func:`slice_expr` inlines as
+    literals — factored out (r12, guide §1.2) so a MULTI-PASS query
+    computes them ONCE and shares them across every segmented pass.
+
+    Before this, each pass's ``slice_expr`` ran its own blocking
+    ``approxQuantile`` driver job, and a pass whose input frame derives
+    from an earlier pass re-executed that ENTIRE upstream subtree just
+    to re-learn (approximately) the same boundaries: measured 1.6 s of
+    6.2 s on ``window_funnel_strict_dedup`` and 1.3 s of 6.0 s on
+    ``sequence_match_adjacent`` at sf0.1 — and at 100 TB each redundant
+    quantile job is a full extra pass over the data. Sharing bounds is
+    exact, not an approximation trade: a slice id only has to be a
+    deterministic monotone non-decreasing function of the order key for
+    the carry algebra to hold; WHICH boundaries are used affects balance
+    only, and boundaries from the same key distribution are the same
+    ones the second job would have produced."""
+    qs = [i / n_slices for i in range(1, n_slices)]
+    c_in = F.col(order_col) if isinstance(order_col, str) else order_col
+    return sorted(
+        set(
+            df.select(c_in.cast("double").alias("_b"))
+            .approxQuantile("_b", qs, 0.001)
+        )
+    )
+
+
+def slice_from_bounds(
+    order_col: str | Column, bounds: list[float]
+) -> Column:
+    """Pure-projection slice id from precomputed :func:`slice_bounds`
+    literals — no job, no scan; safe to apply to any frame carrying the
+    order-key columns."""
+    if not bounds:
+        return F.lit(0)
+    c_in = F.col(order_col) if isinstance(order_col, str) else order_col
+    # plain when-sum chain (n_slices-1 comparisons, whole-stage codegen
+    # friendly; an outer-column reference inside a higher-order-function
+    # lambda trips Catalyst attribute binding on branched plans)
+    c = c_in.cast("double")
+    expr: Column = F.lit(0)
+    for b in bounds:
+        expr = expr + F.when(c > F.lit(float(b)), 1).otherwise(0)
+    return expr
+
+
+def slice_expr(
+    df: DataFrame,
+    order_col: str | Column,
+    n_slices: int,
+    bounds: list[float] | None = None,
 ) -> Column:
     """Deterministic slice assignment for segmented scans: 0-based slice
     id, monotone non-decreasing in ``order_col`` (numeric), computed
@@ -71,25 +122,14 @@ def slice_expr(
     scan by time ALONE scatters every key over many slices and inflates
     the per-(slice, key) carry table toward O(rows) — measured as the
     3x jump at x30 in the scale probe before this fix.
+
+    ``bounds``: precomputed :func:`slice_bounds` literals — pass them
+    when the query already ran the quantile job (multi-pass segmented
+    scans), turning this into a free projection.
     """
-    qs = [i / n_slices for i in range(1, n_slices)]
-    c_in = F.col(order_col) if isinstance(order_col, str) else order_col
-    bounds = sorted(
-        set(
-            df.select(c_in.cast("double").alias("_b"))
-            .approxQuantile("_b", qs, 0.001)
-        )
-    )
-    if not bounds:
-        return F.lit(0)
-    # plain when-sum chain (n_slices-1 comparisons, whole-stage codegen
-    # friendly; an outer-column reference inside a higher-order-function
-    # lambda trips Catalyst attribute binding on branched plans)
-    c = c_in.cast("double")
-    expr: Column = F.lit(0)
-    for b in bounds:
-        expr = expr + F.when(c > F.lit(float(b)), 1).otherwise(0)
-    return expr
+    if bounds is None:
+        bounds = slice_bounds(df, order_col, n_slices)
+    return slice_from_bounds(order_col, bounds)
 
 
 def composite_slice_key(key_col: str, ts_col: str) -> Column:
@@ -108,6 +148,7 @@ def ranked(
     order_cols: list[str],
     n_slices: int | None = None,
     bounds_df: DataFrame | None = None,
+    bounds: list[float] | None = None,
     slice_col: Column | None = None,
     broadcast_offsets: bool = True,
 ) -> DataFrame:
@@ -127,6 +168,7 @@ def ranked(
             bounds_df if bounds_df is not None else df,
             slice_col if slice_col is not None else order_cols[0],
             n_slices,
+            bounds=bounds,
         ),
     )
     # local rank: windows keyed by (slice, category) — n_slices-way
@@ -159,15 +201,23 @@ def prefix_sum(
     df: DataFrame,
     part_cols: list[str],
     order_cols: list[str],
-    val_col: str,
+    val_col: str | list[str],
     n_slices: int | None = None,
     slice_col: Column | None = None,
     broadcast_offsets: bool = True,
     bounds_df: DataFrame | None = None,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Add ``_prefix``: the inclusive running sum of ``val_col`` within
     ``part_cols`` ordered by ``order_cols`` (unique tiebreaker required),
     without serializing a stratum onto one task.
+
+    ``val_col`` may be a LIST of columns (r12, guide §2.4): all running
+    sums ride ONE slice-local window, ONE carry aggregate and ONE
+    offsets join — output columns ``_prefix_<col>``. Chaining two
+    single-column calls instead doubles every window/exchange/join AND
+    (before bounds sharing) re-ran the first pass inside the second's
+    quantile job.
 
     Same two-pass shape as :func:`ranked` — and the contiguity of
     :func:`slice_expr`'s buckets is load-bearing here, not just a
@@ -195,6 +245,7 @@ def prefix_sum(
             bounds_df if bounds_df is not None else df,
             slice_col if slice_col is not None else order_cols[0],
             n_slices,
+            bounds=bounds,
         ),
     )
     w_loc = (
@@ -202,9 +253,16 @@ def prefix_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    v = F.col(val_col).cast("long")
-    local = sliced.withColumn("_lsum", F.sum(v).over(w_loc))
-    sums = local.groupBy("_slice", *part_cols).agg(F.sum(v).alias("_c"))
+    multi = not isinstance(val_col, str)
+    cols = list(val_col) if multi else [val_col]
+    local = sliced
+    for c in cols:
+        local = local.withColumn(
+            f"_lsum_{c}", F.sum(F.col(c).cast("long")).over(w_loc)
+        )
+    sums = local.groupBy("_slice", *part_cols).agg(
+        *[F.sum(F.col(c).cast("long")).alias(f"_c_{c}") for c in cols]
+    )
     w_off = (
         Window.partitionBy(*part_cols)
         .orderBy("_slice")
@@ -213,13 +271,22 @@ def prefix_sum(
     offsets = sums.select(
         "_slice",
         *part_cols,
-        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        *[
+            F.coalesce(F.sum(f"_c_{c}").over(w_off), F.lit(0)).alias(
+                f"_off_{c}"
+            )
+            for c in cols
+        ],
     )
     off = F.broadcast(offsets) if broadcast_offsets else offsets
-    return (
-        local.join(off, ["_slice", *part_cols])
-        .withColumn("_prefix", (F.col("_off") + F.col("_lsum")).cast("long"))
-        .drop("_slice", "_lsum", "_off")
+    out = local.join(off, ["_slice", *part_cols])
+    for c in cols:
+        out = out.withColumn(
+            f"_prefix_{c}" if multi else "_prefix",
+            (F.col(f"_off_{c}") + F.col(f"_lsum_{c}")).cast("long"),
+        )
+    return out.drop(
+        "_slice", *[f"_lsum_{c}" for c in cols], *[f"_off_{c}" for c in cols]
     )
 
 
@@ -232,6 +299,7 @@ def running_last_sliced(
     slice_col: Column | None = None,
     broadcast_offsets: bool = True,
     bounds_df: DataFrame | None = None,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Add ``_last``: the running last non-null ``val_col`` within
     ``part_cols`` ordered by ``order_cols`` (unique tiebreaker required)
@@ -257,6 +325,7 @@ def running_last_sliced(
             bounds_df if bounds_df is not None else df,
             slice_col if slice_col is not None else order_cols[0],
             n_slices,
+            bounds=bounds,
         ),
     )
     w_loc = (
@@ -299,6 +368,7 @@ def running_max_sliced(
     slice_col: Column | None = None,
     broadcast_offsets: bool = True,
     bounds_df: DataFrame | None = None,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Add ``_rmax``: the running max of ``val_col`` (nulls ignored)
     within ``part_cols`` ordered by ``order_cols``, inclusive of the
@@ -325,6 +395,7 @@ def running_max_sliced(
             bounds_df if bounds_df is not None else df,
             slice_col if slice_col is not None else order_cols[0],
             n_slices,
+            bounds=bounds,
         ),
     )
     w_loc = (

@@ -5394,8 +5394,15 @@ def kolmogorov_smirnov_values(spark, sf_dir):
         .cast("long")
         .alias("nb_v"),
     ).withColumn("m_v", F.col("na_v") + F.col("nb_v"))
-    ca = prefix_sum(h, [], ["v"], "na_v").withColumnRenamed("_prefix", "_ca")
-    c = prefix_sum(ca, [], ["v"], "m_v").withColumnRenamed("_prefix", "_cm")
+    # ONE fused prefix pass for both cumulatives (r12, guide §2.4): the
+    # chained form ran two windows/carries/joins AND a second quantile
+    # job that re-executed the first pass's subtree (2 aq jobs, 1.3 s of
+    # 3.7 s at sf0.1 -> 1 aq job)
+    c = (
+        prefix_sum(h, [], ["v"], ["na_v", "m_v"])
+        .withColumnRenamed("_prefix_na_v", "_ca")
+        .withColumnRenamed("_prefix_m_v", "_cm")
+    )
     tot = h.agg(
         F.sum("na_v").cast("long").alias("na"),
         F.sum("nb_v").cast("long").alias("nb"),
@@ -8769,7 +8776,12 @@ def _adjacent_event_stream(spark, sf_dir, conds=_SEQ_CONDS, events=None):
     is skew-safe (operators/ranking.ranked, never a whole-user sort on
     one task); ties among identical (user, ts, type) rows are
     interchangeable, so the matched-user set is order-invariant."""
-    from ..operators.ranking import composite_slice_key, ranked, slice_expr
+    from ..operators.ranking import (
+        composite_slice_key,
+        ranked,
+        slice_bounds,
+        slice_from_bounds,
+    )
 
     ev = (
         (t(spark, sf_dir, "events") if events is None else events)
@@ -8780,21 +8792,26 @@ def _adjacent_event_stream(spark, sf_dir, conds=_SEQ_CONDS, events=None):
         )
         .filter(F.col("event_type").isin(*set(conds)))
     )
+    # ONE quantile job over the raw filtered stream (r12, guide §1.2):
+    # the ranker and the output slice column share its literals — the
+    # second slice_expr here used to run a fresh quantile job whose
+    # input lineage re-executed the entire ranked subtree (measured
+    # 1.2 s of 6.0 s at sf0.1)
+    n_slices = spark.sparkContext.defaultParallelism
+    key = composite_slice_key("user_id", "_ets")
+    bounds = slice_bounds(ev, key, n_slices)
     base = ranked(
         ev,
         ["user_id"],
         ["_ets", "event_type"],
-        slice_col=composite_slice_key("user_id", "_ets"),
+        slice_col=key,
+        bounds=bounds,
         # the offsets table is O(distinct users) — it GROWS with the
         # data, so broadcasting it is the super-linear trap the first
         # scale probe caught (x30 ratio 4.6); AQE picks the join
         broadcast_offsets=False,
     ).drop("_n")
-    n_slices = spark.sparkContext.defaultParallelism
-    return base.withColumn(
-        "_sl",
-        slice_expr(base, composite_slice_key("user_id", "_ets"), n_slices),
-    )
+    return base.withColumn("_sl", slice_from_bounds(key, bounds))
 
 
 def _sequence_match_adjacent_users(
@@ -9014,7 +9031,8 @@ def sequence_match_adjacent(spark, sf_dir):
 
 
 def _sequence_count_users(
-    spark, sf_dir, pattern: str, conds=_SEQ_CONDS, events=None
+    spark, sf_dir, pattern: str, conds=_SEQ_CONDS, events=None,
+    _sliced=None,
 ):
     """Per-user GREEDY NON-OVERLAPPING match counts for an unconstrained
     pattern — ClickHouse sequenceCount's restart semantics
@@ -9063,18 +9081,29 @@ def _sequence_count_users(
         )
     types = [conds[i - 1] for i in steps]
     k_states = len(types)
-    ev = (t(spark, sf_dir, "events") if events is None else events).select(
-        "user_id",
-        F.col("ts_us").cast("long").alias("ts_us"),
-        "event_id",
-        "event_type",
-    )
-    ev = ev.filter(F.col("event_type").isin(*set(types)))
-    n_slices = spark.sparkContext.defaultParallelism
-    st = ev.withColumn(
-        "_sl",
-        slice_expr(ev, composite_slice_key("user_id", "ts_us"), n_slices),
-    )
+    if _sliced is not None:
+        # entry-shared pattern-independent sliced base (r12: the same
+        # hoist the timed battery got in r9 — one scan + one quantile
+        # job for the whole battery; composite slices are contiguous
+        # key ranges, so any per-pattern type subset stays contiguous)
+        st = _sliced.filter(F.col("event_type").isin(*set(types)))
+    else:
+        ev = (
+            t(spark, sf_dir, "events") if events is None else events
+        ).select(
+            "user_id",
+            F.col("ts_us").cast("long").alias("ts_us"),
+            "event_id",
+            "event_type",
+        )
+        ev = ev.filter(F.col("event_type").isin(*set(types)))
+        n_slices = spark.sparkContext.defaultParallelism
+        st = ev.withColumn(
+            "_sl",
+            slice_expr(
+                ev, composite_slice_key("user_id", "ts_us"), n_slices
+            ),
+        )
 
     # tabulate per SLICE (n_slices Arrow groups, not one per
     # (slice, user) — per-group Arrow overhead at user cardinality was
@@ -9238,9 +9267,22 @@ def _seq_count_oracle() -> str:
     "existence compiler covers those.",
 )
 def sequence_count_compiled(spark, sf_dir):
+    from ..operators.cache import persist_in, rotating_scope
+
+    # ONE persisted pattern-independent sliced base for the battery
+    # (r12): each pattern ran its own scan + slice-quantile job before
+    union_types = {
+        _SEQ_CONDS[i - 1]
+        for pat in _SEQ_COUNT_PATTERNS
+        for i in _parse_seq_pattern(pat)[0]
+    }
+    base = persist_in(
+        rotating_scope("sequence_count_compiled"),
+        _seq_count_sliced_base(spark, sf_dir, union_types),
+    )
     out = None
     for pat in _SEQ_COUNT_PATTERNS:
-        c = _sequence_count_users(spark, sf_dir, pat).select(
+        c = _sequence_count_users(spark, sf_dir, pat, _sliced=base).select(
             F.lit(pat).alias("pattern"),
             "user_id",
             F.col("seq_count").cast("long").alias("seq_count"),
@@ -9567,7 +9609,9 @@ def _piecewise_fold_counts(funcs):
     return counts.filter(F.col("seq_count") >= 1)
 
 
-def _seq_count_sliced_base(spark, sf_dir, all_types, events=None):
+def _seq_count_sliced_base(
+    spark, sf_dir, all_types, events=None, with_bounds=False
+):
     """Pattern-independent sliced event stream the count batteries
     share (the r9 compiled-family hoist applied to the count side):
     one parquet scan + one slice-quantile job for the whole battery;
@@ -9576,8 +9620,19 @@ def _seq_count_sliced_base(spark, sf_dir, all_types, events=None):
     any subset remains contiguously sliced). Machines whose per-slice
     kernels are super-linear in slice width (the timed-adjacency wait
     chain) bound that KERNEL-SIDE with fixed-width _ADJT_BLOCK
-    sub-slices — the slice count here stays at defaultParallelism."""
-    from ..operators.ranking import composite_slice_key, slice_expr
+    sub-slices — the slice count here stays at defaultParallelism.
+
+    ``with_bounds=True`` additionally returns the quantile boundary
+    literals (r12, guide §1.2): per-pattern machines that build their
+    OWN slice/rank columns (the timed-adjacency LAG path) reuse them
+    instead of re-running a quantile job whose input lineage re-executes
+    this whole subtree — measured 3 quantile jobs -> 1 on
+    sequence_count_adjacent_timed."""
+    from ..operators.ranking import (
+        composite_slice_key,
+        slice_bounds,
+        slice_from_bounds,
+    )
 
     ev = (t(spark, sf_dir, "events") if events is None else events).select(
         "user_id",
@@ -9587,10 +9642,10 @@ def _seq_count_sliced_base(spark, sf_dir, all_types, events=None):
     )
     ev = ev.filter(F.col("event_type").isin(*set(all_types)))
     n_slices = spark.sparkContext.defaultParallelism
-    return ev.withColumn(
-        "_sl",
-        slice_expr(ev, composite_slice_key("user_id", "ts_us"), n_slices),
-    )
+    key = composite_slice_key("user_id", "ts_us")
+    bounds = slice_bounds(ev, key, n_slices)
+    out = ev.withColumn("_sl", slice_from_bounds(key, bounds))
+    return (out, bounds) if with_bounds else out
 
 
 _SEQ_COUNT_TIMED_PATTERNS = (
@@ -10172,7 +10227,7 @@ def _adjt_lag_depths(meta) -> list[int]:
 
 def _sequence_count_adjacent_timed_users(
     spark, sf_dir, pattern: str, conds=_SEQ_CONDS, events=None,
-    _sliced=None,
+    _sliced=None, _bounds=None,
 ):
     """sequenceCount with TIME CONSTRAINTS under the REAL adjacency
     semantics — the product of the KMP counting DFA
@@ -10266,6 +10321,9 @@ def _sequence_count_adjacent_timed_users(
                 ["_ets", "event_id"],
                 slice_col=composite_slice_key("user_id", "_ets"),
                 broadcast_offsets=False,  # offsets grow with data (r9 trap)
+                # entry-shared quantile literals (r12): without them this
+                # ranked ran its own quantile job over the same stream
+                bounds=_bounds,
             ).drop("_n")
             for d in depths:
                 lagd = base.select(
@@ -10289,7 +10347,12 @@ def _sequence_count_adjacent_timed_users(
         st = st.withColumn(
             "_sl",
             slice_expr(
-                st, composite_slice_key("user_id", "ts_us"), n_slices
+                st,
+                composite_slice_key("user_id", "ts_us"),
+                n_slices,
+                # shared literals: a fresh quantile job here re-executed
+                # the ranked + lag-join subtree above (r12, guide §1.2)
+                bounds=_bounds,
             ),
         )
     lag_cols = [f"_lag{d}" for d in depths]
@@ -10702,14 +10765,16 @@ def sequence_count_adjacent_timed(spark, sf_dir):
     # in-slice width. The kernel bounds that itself with fixed-width
     # _ADJT_BLOCK sub-slices (commit 3f85030; 4.86x -> ~1.02x on the
     # mega-user corpus), so the base keeps the default slice count.
+    sliced, bounds = _seq_count_sliced_base(
+        spark, sf_dir, _SEQ_CONDS, with_bounds=True
+    )
     base = persist_in(
-        rotating_scope("sequence_count_adjacent_timed"),
-        _seq_count_sliced_base(spark, sf_dir, _SEQ_CONDS),
+        rotating_scope("sequence_count_adjacent_timed"), sliced
     )
     out = None
     for pat in _SEQ_COUNT_ADJT_PATTERNS:
         c = _sequence_count_adjacent_timed_users(
-            spark, sf_dir, pat, _sliced=base
+            spark, sf_dir, pat, _sliced=base, _bounds=bounds
         ).select(
             F.lit(pat).alias("pattern"),
             "user_id",
