@@ -221,6 +221,7 @@ def funnel_chain_scan(
     inclusive: bool = False,
     emit_min_signup: bool = False,
     conds: tuple[str, str, str] = ("signup", "click", "purchase"),
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """The shared RANGE-SLICED 3-step chain scan (step types ``conds``).
 
@@ -282,7 +283,12 @@ def funnel_chain_scan(
     # mega-user heavy enough to span a quantile splits across slices.
     sliced = base.withColumn(
         "_slice",
-        slice_expr(base, composite_slice_key("user_id", "_ts"), n_slices),
+        slice_expr(
+            base,
+            composite_slice_key("user_id", "_ts"),
+            n_slices,
+            bounds=bounds,
+        ),
     )
     w_loc = (
         Window.partitionBy("_slice", "user_id")
@@ -397,7 +403,10 @@ def _funnel_levels(g: DataFrame, window_us: int, k3: int, k1: int) -> DataFrame:
 
 
 def _funnel_strict_order(
-    events: DataFrame, window_us: int, conds: tuple[str, str, str]
+    events: DataFrame,
+    window_us: int,
+    conds: tuple[str, str, str],
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """strict_order: ANY intervening event between chain steps kills the
     chain, so the steps must be ADJACENT in the user's full (ts,
@@ -413,6 +422,7 @@ def _funnel_strict_order(
         ["ts_us", "event_id"],
         slice_col=composite_slice_key("user_id", "ts_us"),
         broadcast_offsets=False,
+        bounds=bounds,
     )
     s = r.filter(F.col("event_type") == s_t).select(
         F.col("user_id").alias("_u"),
@@ -464,7 +474,7 @@ def _funnel_strict_order(
 
 
 def _funnel_strict_dedup(
-    g: DataFrame, window_us: int
+    g: DataFrame, window_us: int, bounds: list[float] | None = None
 ) -> DataFrame:
     """strict_deduplication: a REPEAT of an already-matched condition
     between chain steps kills the chain. Shared chain scan + per
@@ -516,13 +526,22 @@ def _funnel_strict_dedup(
             F.lit(None).cast("long").alias("_ck"),
         )
     )
-    # the step2 dedup re-shuffled by (user, ts), so pass 2 takes fresh
-    # composite slices; step3s sort before equal-ts step2s (_k2
-    # -2 < -1), so running values at a step3 are strictly-before
+    # the step2 dedup re-shuffled by (user, ts), so pass 2 slices anew;
+    # step3s sort before equal-ts step2s (_k2 -2 < -1), so running
+    # values at a step3 are strictly-before. The mode dispatcher shares
+    # ONE set of quantile literals (r12, guide §1.2): a fresh quantile
+    # job here re-executed the whole chain scan just to re-learn the
+    # same composite-(user, ts) boundaries (measured 1.2-1.6 s of the
+    # entry's 5-6 s at sf0.1).
     n_slices = spark.sparkContext.defaultParallelism
     st = st.withColumn(
         "_sl",
-        slice_expr(st, composite_slice_key("user_id", "_ts"), n_slices),
+        slice_expr(
+            st,
+            composite_slice_key("user_id", "_ts"),
+            n_slices,
+            bounds=bounds,
+        ),
     )
     w_loc = (
         Window.partitionBy("_sl", "user_id")
@@ -616,12 +635,32 @@ def window_funnel(
             "window_funnel: exactly 3 step conditions (the shared chain "
             "scan's fold state is the 3-step (S, C) pair)"
         )
+    # ONE quantile job per entry (r12, guide §1.2): modes that run a
+    # second segmented pass (strict_dedup) or their own ranker
+    # (strict_order) reuse the dispatcher's boundary literals instead of
+    # re-running a quantile job whose lineage re-executes the chain scan
+    from .ranking import composite_slice_key, slice_bounds
+
+    n_slices = events.sparkSession.sparkContext.defaultParallelism
     if mode == "strict_order":
-        return _funnel_strict_order(events, window_us, conds)
+        # strict_order ranks the FULL stream (any intervening event
+        # kills a chain), so its boundaries come from the full stream
+        b = slice_bounds(
+            events.select("user_id", "ts_us"),
+            composite_slice_key("user_id", "ts_us"),
+            n_slices,
+        )
+        return _funnel_strict_order(events, window_us, conds, bounds=b)
+    ev3 = events.filter(F.col("event_type").isin(*conds)).select(
+        "user_id", "ts_us"
+    )
+    b = slice_bounds(
+        ev3, composite_slice_key("user_id", "ts_us"), n_slices
+    )
     if mode == "inclusive":
-        g = funnel_chain_scan(events, inclusive=True, conds=conds)
+        g = funnel_chain_scan(events, inclusive=True, conds=conds, bounds=b)
         return _funnel_levels(g, window_us, k3=0, k1=-2)
-    g = funnel_chain_scan(events, conds=conds)
+    g = funnel_chain_scan(events, conds=conds, bounds=b)
     if mode == "strict_dedup":
-        return _funnel_strict_dedup(g, window_us)
+        return _funnel_strict_dedup(g, window_us, bounds=b)
     return _funnel_levels(g, window_us, k3=-2, k1=0)

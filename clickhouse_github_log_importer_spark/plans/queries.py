@@ -75,6 +75,15 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # r12 note: `spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`
+    # was trialled here (let AQE re-plan cached-frame partitioning so a
+    # tiny persisted aggregate is not stored as shuffle.partitions
+    # near-empty blocks) and REJECTED on measurement: a same-process A/B
+    # over the persist-consuming entries showed no case where it won and
+    # several (ann_ivfpq_recall_report, sequence_match_pattern,
+    # window_funnel_levels) where the true arm was slower — coalescing a
+    # cached frame to 1-2 partitions serializes the compute-heavy Arrow
+    # kernels that read it at local scale.
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1730,6 +1739,11 @@ def cms_state_rollup(spark, sf_dir):
     day_grid = hourly.groupBy("day_id", "row", "pos").agg(
         F.sum("cell_count").cast("long").alias("cell_count")
     )
+    # NOT persisted (r12, measured): caching the per-(day, user) counts
+    # to spare the probe ranker's quantile job its recompute was a wash
+    # at sf0.1 (2.34 s persisted vs 2.24 s recomputed) — the avoided
+    # subtree is one scan + two hash aggregations, cheaper than cache
+    # materialization here.
     per_kd = per_kh.groupBy("day_id", "user_id").agg(
         F.sum("c").cast("long").alias("exact_count")
     )
@@ -5384,6 +5398,11 @@ def kolmogorov_smirnov_values(spark, sf_dir):
     ev = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view")
     )
+    # NOT persisted (r12, measured): caching this domain-bounded value
+    # histogram regressed the entry (1.43 s persisted vs 1.09 s
+    # recomputed at sf0.1) — the fused prefix pass below already
+    # collapsed the second quantile job, so the only avoided recompute
+    # is one cheap scan + agg.
     h = ev.groupBy(
         F.round(F.col("value") * 100).cast("long").alias("v")
     ).agg(
@@ -6398,7 +6417,12 @@ def spearman_value_hour(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     # the joint histogram feeds three branches (both marginals + the
     # moment pass); they share its aggregation Exchange, which AQE's
-    # runtime exchange reuse executes once (see _hourly_series note)
+    # runtime exchange reuse executes once (see _hourly_series note).
+    # NOT persisted (r12, measured): caching it to spare the marginal
+    # prefix scans' quantile jobs their recompute regressed the entry
+    # (2.58 s persisted vs 2.05 s recomputed at sf0.1) — the quantile
+    # jobs' recomputed subtree is one scan + one hash aggregation,
+    # cheaper than cache materialization.
     joint = ev.groupBy(
         (F.expr("ts_us div 3600000000") % 24).alias("h"),
         F.round(F.col("value") * 100).cast("long").alias("v"),
@@ -8088,6 +8112,7 @@ _TOPK_DAY_K = 5  # day-level emitted top-K
     "slices — an hour with 10^8 active users never sorts on one task.",
 )
 def topk_state_rollup(spark, sf_dir):
+    from ..operators.cache import persist_in, rotating_scope
     from ..operators.ranking import composite_slice_key, ranked
 
     ev = t(spark, sf_dir, "events")
@@ -8102,9 +8127,17 @@ def topk_state_rollup(spark, sf_dir):
         broadcast_offsets=False,
     )
     st = r1.filter(F.col("_rank") <= _TOPK_HOUR_M)
-    dm = st.groupBy(
-        F.expr("hour_id div 24").alias("day_id"), "user_id"
-    ).agg(F.sum("c").cast("long").alias("est_cnt"))
+    # persist the day-merge table (r12, guide §1.2): it is PROVABLY
+    # bounded (<= hours x M rows at any scale — the hour states already
+    # truncated to their top-M), and the second ranker's quantile job
+    # otherwise re-executes the entire first ranking just to learn its
+    # slice boundaries (measured: 2 quantile jobs, 2.0 s of 3.9 s wall)
+    dm = persist_in(
+        rotating_scope("topk_state_rollup"),
+        st.groupBy(
+            F.expr("hour_id div 24").alias("day_id"), "user_id"
+        ).agg(F.sum("c").cast("long").alias("est_cnt")),
+    )
     r2 = ranked(
         dm.withColumn("_neg", -F.col("est_cnt")),
         ["day_id"],
@@ -8483,6 +8516,70 @@ def _seq_running(df, use_min: bool):
     )
 
 
+def _seq_running_multi(df, specs):
+    """Fused :func:`_seq_running`: ONE segmented running-extrema pass
+    evaluating several patterns' chains at once (r12, guide §2.4).
+    ``specs`` = [(qcol, use_min)]; adds ``_G_<qcol>`` per spec. All
+    window functions share the single (_sl, user_id)/(_ts, _k2) window
+    spec, so Spark evaluates them in one WindowExec over one sort; the
+    carry aggregate, the offsets window and the join-back run once for
+    the whole group instead of once per pattern — measured on
+    sequence_match_compiled: 12 window+carry+join passes -> 8 fused
+    passes (6.97 s baseline, see OPTIMIZATION_r12.md)."""
+    w_loc = (
+        Window.partitionBy("_sl", "user_id")
+        .orderBy("_ts", "_k2")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = df
+    for q, use_min in specs:
+        agg = F.min if use_min else F.max
+        local = local.withColumn(f"_lg_{q}", agg(q).over(w_loc))
+    carry = df.groupBy("_sl", "user_id").agg(
+        *[
+            (F.min if use_min else F.max)(q).alias(f"_go_{q}")
+            for q, use_min in specs
+        ]
+    )
+    w_off = (
+        Window.partitionBy("user_id")
+        .orderBy("_sl")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = carry.select(
+        "_sl",
+        "user_id",
+        *[
+            (F.min if use_min else F.max)(f"_go_{q}")
+            .over(w_off)
+            .alias(f"_gi_{q}")
+            for q, use_min in specs
+        ],
+    )
+    out = local.join(offs, ["_sl", "user_id"])
+    for q, use_min in specs:
+        comb = F.least if use_min else F.greatest
+        out = out.withColumn(
+            f"_G_{q}", comb(F.col(f"_lg_{q}"), F.col(f"_gi_{q}"))
+        ).drop(f"_lg_{q}", f"_gi_{q}")
+    return out
+
+
+def _seq_edge_ok(edge, g_col):
+    """The per-edge qualification predicate shared by the single and
+    fused match chains ('==' edges take the join path instead)."""
+    if edge is None:
+        return g_col.isNotNull()
+    gap = F.col("_ts") - g_col
+    if edge[0] == "<":
+        return g_col.isNotNull() & (gap < F.lit(edge[1]))
+    if edge[0] == "<=":
+        return g_col.isNotNull() & (gap <= F.lit(edge[1]))
+    if edge[0] == ">=":
+        return g_col.isNotNull() & (gap >= F.lit(edge[1]))
+    return g_col.isNotNull() & (gap > F.lit(edge[1]))
+
+
 # condition index -> event type, fixed for the registry entry (a library
 # caller passes their own mapping to _sequence_match_users)
 _SEQ_CONDS = ("signup", "click", "purchase", "view")
@@ -8753,16 +8850,86 @@ def sequence_match_compiled(spark, sf_dir):
         rotating_scope("sequence_match_compiled"),
         _seq_base_stream(spark, sf_dir, _SEQ_CONDS),
     )
-    out = None
-    streams: dict = {}  # same-typed patterns also share the projection
+    # r12 (guide §2.4): patterns over the SAME step-type tuple have the
+    # same step sequence, so their K-1 running-extrema passes differ
+    # only in which extremum each pattern takes of ITS qualified-ts
+    # column — fuse each group into one chain of _seq_running_multi
+    # passes (one window sort, one carry, one join per step instead of
+    # per pattern-step). '==' edges keep the single-pattern join path.
+    groups: dict[tuple, list[tuple[str, list, list]]] = {}
+    ordered: list[str] = []
     for pat in _SEQ_COMPILED_PATTERNS:
-        m = (
-            _sequence_match_users(
-                spark, sf_dir, pat, _stream_cache=streams, _base=base
+        steps, edges = _parse_seq_pattern(pat)
+        types = tuple(_SEQ_CONDS[i - 1] for i in steps)
+        groups.setdefault(types, []).append((pat, steps, edges))
+        ordered.append(pat)
+    frames: list[DataFrame] = []
+    for types, members in groups.items():
+        if any(
+            e is not None and e[0] == "=="
+            for _, _, edges in members
+            for e in edges
+        ) or len(members) == 1:
+            for pat, _, _ in members:
+                frames.append(
+                    _sequence_match_users(spark, sf_dir, pat, _base=base)
+                    .agg(F.count("*").cast("long").alias("n_matched"))
+                    .select(F.lit(pat).alias("pattern"), "n_matched")
+                )
+            continue
+        st = _seq_stream(spark, sf_dir, list(types), _base=base)
+        k_total = len(members[0][1])
+        cur = st
+        for i in range(len(members)):
+            cur = cur.withColumn(
+                f"_q{i}", F.when(F.col("_step") == 1, F.col("_ts"))
             )
-            .agg(F.count("*").cast("long").alias("n_matched"))
-            .select(F.lit(pat).alias("pattern"), "n_matched")
+        for k in range(2, k_total + 1):
+            specs = [
+                (
+                    f"_q{i}",
+                    members[i][2][k - 2] is not None
+                    and members[i][2][k - 2][0] in (">", ">="),
+                )
+                for i in range(len(members))
+            ]
+            cur = _seq_running_multi(cur, specs)
+            for i in range(len(members)):
+                ok = _seq_edge_ok(members[i][2][k - 2], F.col(f"_G__q{i}"))
+                cur = cur.withColumn(
+                    f"_q{i}",
+                    F.when((F.col("_step") == k) & ok, F.col("_ts")),
+                ).drop(f"_G__q{i}")
+        # ONE aggregation over the fused chain for ALL member counts: a
+        # per-member filter-then-distinct would reference `cur` once per
+        # pattern, and everything above the chain's last Exchange (the
+        # final window pass + join) re-executes per reference — measured
+        # 11.9 s vs 7.8 s unfused. count_distinct over the qualified-
+        # flag column is the same distinct-users number in one pass.
+        last = cur.filter(F.col("_step") == k_total)
+        one = last.agg(
+            *[
+                F.count_distinct(
+                    F.when(
+                        F.col(f"_q{i}").isNotNull(), F.col("user_id")
+                    )
+                )
+                .cast("long")
+                .alias(f"_c{i}")
+                for i in range(len(members))
+            ]
         )
+        stack_args = ", ".join(
+            f"'{members[i][0]}', _c{i}" for i in range(len(members))
+        )
+        frames.append(
+            one.selectExpr(
+                f"stack({len(members)}, {stack_args}) "
+                "as (pattern, n_matched)"
+            )
+        )
+    out = None
+    for m in frames:
         out = m if out is None else out.unionByName(m)
     return out
 
