@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from .ranking import grouped_kernel
+
 # 8192 ids per container -> 1 KiB packed sub-bitmap. Wide enough that the
 # bucket join stays tiny, small enough that one container is always one
 # comfortable Arrow batch.
@@ -89,7 +91,7 @@ def audience_bitmaps(
             (F.col("_id") % _BUCKET_SIZE).alias("_off"),
         )
     )
-    return d.groupBy("key", "_bucket").applyInPandas(build, _BITMAP_SCHEMA)
+    return grouped_kernel(d, ["key", "_bucket"], build, _BITMAP_SCHEMA)
 
 
 def _and_popcount():
@@ -218,6 +220,6 @@ def merge_bitmaps(bm: DataFrame, out_key) -> DataFrame:
         )
 
     re_keyed = bm.withColumn("key", out_key.cast("string"))
-    return re_keyed.groupBy("key", "bucket").applyInPandas(
-        orfold, _BITMAP_SCHEMA
+    return grouped_kernel(
+        re_keyed, ["key", "bucket"], orfold, _BITMAP_SCHEMA
     )

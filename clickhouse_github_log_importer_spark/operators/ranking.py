@@ -516,3 +516,24 @@ def anchored_pivot(
     return contrib.groupBy(
         *part_cols, F.col("_x._arn").alias("_rank")
     ).agg(*aggs)
+
+
+def grouped_kernel(df, keys, fn, schema, n=None):
+    """``groupBy(keys).applyInPandas(fn, schema)`` with the reducer
+    count PINNED to the key-space size (r12, guide §2.2/§4).
+
+    AQE's partition coalescing is byte-based and blind to per-row
+    PYTHON cost: a kernel stage whose shuffle input is a few MB
+    coalesces to one or two tasks and serializes the whole Python
+    compute behind one core (measured on the fused timed-count kernel:
+    4.1 s -> 2.5 s warm from this change alone). An explicit
+    ``repartition(n, keys)`` pins the reducer count — Spark does not
+    coalesce user-specified repartitions-by-number — while satisfying
+    the groupBy's clustered-distribution requirement, so the plan still
+    carries exactly ONE exchange. ``n`` defaults to the slice/bucket
+    convention (4 x defaultParallelism) the kernel callers size their
+    key space with; callers whose key space is smaller (a 4-row CMS
+    grid) gain nothing and should keep plain groupBy."""
+    if n is None:
+        n = 4 * df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *keys).groupBy(*keys).applyInPandas(fn, schema)

@@ -66,6 +66,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .ranking import grouped_kernel
+
 # ClickHouse guards its DFS with sequence_match_max_iterations = 1e6;
 # the literal reference matcher keeps the same cap (the DP needs none).
 MAX_BACKTRACK_ITERATIONS = 1_000_000
@@ -579,8 +581,8 @@ def sequence_count_backtracking_battery(
             {"pattern": out_pat, "user_id": out_uid, "seq_count": out_cnt}
         )
 
-    return st.groupBy("_b").applyInPandas(
-        kern, "pattern string, user_id long, seq_count long"
+    return grouped_kernel(
+        st, ["_b"], kern, "pattern string, user_id long, seq_count long"
     )
 
 
@@ -662,7 +664,9 @@ def sequence_match_events_backtracking_battery(
                     out["event_id"].append(int(e_[pos]))
         return pd.DataFrame(out)
 
-    return st.groupBy("_b").applyInPandas(
+    return grouped_kernel(
+        st,
+        ["_b"],
         kern,
         "pattern string, user_id long, step int, ts_us long, event_id long",
     )

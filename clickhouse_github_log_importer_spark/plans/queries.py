@@ -30,6 +30,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import ranking as RK
+
 TABLES = (
     "region",
     "nation",
@@ -3058,7 +3060,9 @@ def stream_funnel_cascade_fold(spark, sf_dir):
             out["purchase_us"].append(p_fin)
         return pd.DataFrame(out)
 
-    return st.groupBy("_b").applyInPandas(
+    return RK.grouped_kernel(
+        st,
+        ["_b"],
         kern,
         "user_id long, signup_us long, click_us long, purchase_us long",
     )
@@ -3138,7 +3142,9 @@ def stream_lww_dedup_fold(spark, sf_dir):
             out["n_dups"].append(best[2])
         return pd.DataFrame(out)
 
-    return st.groupBy("_b").applyInPandas(
+    return RK.grouped_kernel(
+        st,
+        ["_b"],
         kern, "key string, version long, tiebreak long, n_dups long"
     )
 
@@ -3224,7 +3230,9 @@ def stream_quantile_fold(spark, sf_dir):
             )
         return pd.concat(frames, ignore_index=True)
 
-    return st.groupBy("_b").applyInPandas(
+    return RK.grouped_kernel(
+        st,
+        ["_b"],
         kern, "key string, n_events long, p25 long, p50 long, p75 long"
     )
 
@@ -3351,7 +3359,9 @@ def stream_match_events_fold(spark, sf_dir):
                 out["purchase_event_id"].append(ep)
         return pd.DataFrame(out)
 
-    return st.groupBy("_b").applyInPandas(
+    return RK.grouped_kernel(
+        st,
+        ["_b"],
         kern,
         "user_id long, click_ts_us long, click_event_id long, "
         "purchase_ts_us long, purchase_event_id long",
@@ -3432,7 +3442,9 @@ def stream_kmv_fold(spark, sf_dir):
             out["kmv_estimate"].append(est)
         return pd.DataFrame(out)
 
-    return st.groupBy("_b").applyInPandas(
+    return RK.grouped_kernel(
+        st,
+        ["_b"],
         kern, "key string, nk long, hk long, kmv_estimate long"
     )
 
@@ -9319,7 +9331,9 @@ def _sequence_count_users(
             }
         )
 
-    funcs = st.groupBy("_sl").applyInPandas(
+    funcs = RK.grouped_kernel(
+        st,
+        ["_sl"],
         tab, "user_id long, _sl int, exits array<int>, deltas array<long>"
     )
 
@@ -9580,143 +9594,9 @@ def _sequence_count_timed_users(
             sub = et[a:b]
             sts = tsv[a:b]
             pos = {tn: np.flatnonzero(sub == tn) for tn in set(types)}
-
-            def run(p, s, t_prev):
-                # concrete scan from after index p; t_prev concrete.
-                # '<' violated (or '==' overshot) -> restart at the
-                # event (re-anchor iff its condition is condition 1);
-                # '>' violated (or '==' undershot) -> SKIP the event
-                # and keep waiting (r9/r10).
-                cnt = 0
-                while True:
-                    arr = pos[types[s]]
-                    j = int(np.searchsorted(arr, p, side="right"))
-                    if j >= len(arr):
-                        return s, t_prev, cnt
-                    i = int(arr[j])
-                    e = edges[s - 1] if s >= 1 else None
-                    gap = int(sts[i]) - t_prev
-                    if (
-                        e is None
-                        or (e[0] == "<" and gap < e[1])
-                        or (e[0] == ">" and gap > e[1])
-                        or (e[0] == "==" and gap == e[1])
-                    ):
-                        s += 1
-                        t_prev = int(sts[i])
-                        if s == k_states:
-                            cnt += 1
-                            s = 0
-                    elif e[0] == "<" or (e[0] == "==" and gap > e[1]):
-                        # dead chain: restart at event
-                        if types[s] == types[0]:
-                            s, t_prev = 1, int(sts[i])
-                            if k_states == 1:
-                                cnt += 1
-                                s = 0
-                        else:
-                            s = 0
-                    # else too early: wait (state, t_prev unchanged)
-                    p = i
-
-            def advance_from(entry, j0):
-                # outcome of ADVANCING out of `entry` at event index j0
-                s_hi, t_hi = entry + 1, int(sts[j0])
-                c_hi = 0
-                if s_hi == k_states:
-                    c_hi, s_hi = 1, 0
-                s1, t1, c1 = run(j0, s_hi, t_hi)
-                return s1, t1, c_hi + c1
-
-            def restart_from(entry, j0):
-                # outcome of a dead-chain RESTART at event index j0
-                # (re-anchor iff its condition equals condition 1)
-                if types[entry] == types[0]:
-                    s_lo, t_lo, c_lo = 1, int(sts[j0]), 0
-                    if k_states == 1:
-                        c_lo, s_lo = 1, 0
-                else:
-                    s_lo, t_lo, c_lo = 0, _SEQ_TIMED_SENT, 0
-                s2, t2, c2 = run(j0, s_lo, t_lo)
-                return s2, t2, c_lo + c2
-
-            # per entry state: a step function of entry t_prev —
-            # pieces[i] applies when exactly i breaks are < t_prev
-            # (breaks ascending); each piece = (exit_s, exit_ts, delta)
-            brk: list = []
-            exs: list = []
-            ext: list = []
-            exd: list = []
-            for entry in range(k_states):
-                e = edges[entry - 1] if entry >= 1 else None
-                arr = pos[types[entry]]
-                if len(arr) == 0:
-                    # no touch: identity — carry entry t_prev through
-                    brk.append([])
-                    exs.append([entry]); ext.append([None]); exd.append([0])
-                    continue
-                if e is None:
-                    # first advance unconditional; concrete after it
-                    s1, t1, c1 = run(-1, entry, _SEQ_TIMED_SENT)
-                    brk.append([])
-                    exs.append([s1]); ext.append([t1]); exd.append([c1])
-                    continue
-                if e[0] == "<":
-                    # one threshold at the first expected event:
-                    # advance iff t_prev > ts0 - T, else restart there
-                    j0 = int(arr[0])
-                    pieces = [
-                        restart_from(entry, j0),  # t_prev <= ts0 - T
-                        advance_from(entry, j0),  # t_prev > ts0 - T
-                    ]
-                    breaks = [int(sts[j0]) - e[1]]
-                elif e[0] == "==":
-                    # exact offset (r10): scanning expected events in
-                    # order, the FIRST with gap >= T decides — lock on
-                    # equality, restart past it, wait below. Pieces
-                    # alternate restart intervals with single-point
-                    # locks at t_prev == ts_j - T (integer micros make
-                    # the point the interval (ts_j-T-1, ts_j-T]); the
-                    # tail (every event too early) waits out the slice.
-                    # Equal-ts runs collapse to their first event.
-                    uniq: list = []
-                    for j0 in arr:
-                        if not uniq or int(sts[int(j0)]) != uniq[-1][1]:
-                            uniq.append((int(j0), int(sts[int(j0)])))
-                    pieces = []
-                    breaks = []
-                    for j0, ts0 in uniq:
-                        pieces.append(restart_from(entry, j0))
-                        breaks.append(ts0 - e[1] - 1)
-                        pieces.append(advance_from(entry, j0))
-                        breaks.append(ts0 - e[1])
-                    pieces.append((entry, None, 0))
-                else:
-                    # '>' wait-until-satisfied: the automaton advances
-                    # at the FIRST expected event with ts > t_prev + T,
-                    # i.e. piece j (advance at arr[j]) applies for
-                    # ts_{j-1} - T <= t_prev < ts_j - T; the tail piece
-                    # (t_prev >= ts_last - T) never advances in-slice.
-                    # Breaks ts_j - T - 1 make "< ts_j - T" exact under
-                    # the "breaks strictly below t_prev" selector on
-                    # integer micros.
-                    pieces = [
-                        advance_from(entry, int(j0)) for j0 in arr
-                    ]
-                    pieces.append((entry, None, 0))  # wait out the slice
-                    breaks = [int(sts[int(j0)]) - e[1] - 1 for j0 in arr]
-                # compress: merge adjacent pieces with equal outcomes
-                cb: list = []
-                cp: list = [pieces[0]]
-                for bval, piece in zip(breaks, pieces[1:]):
-                    if piece == cp[-1]:
-                        continue
-                    cb.append(bval)
-                    cp.append(piece)
-                brk.append(cb)
-                exs.append([p_[0] for p_ in cp])
-                ext.append([p_[1] for p_ in cp])
-                exd.append([p_[2] for p_ in cp])
+            brk, exs, ext, exd = _timed_transfer_pieces(
+                types, edges, k_states, sts, pos
+            )
             cols["user_id"].append(int(uid[a]))
             cols["brk"].append(brk)
             cols["exs"].append(exs)
@@ -9726,7 +9606,9 @@ def _sequence_count_timed_users(
         cols["_sl"] = [sl] * len(cols["user_id"])
         return pd.DataFrame(cols)
 
-    funcs = st.groupBy("_sl").applyInPandas(
+    funcs = RK.grouped_kernel(
+        st,
+        ["_sl"],
         tab,
         "user_id long, brk array<array<long>>, exs array<array<int>>, "
         "ext array<array<long>>, exd array<array<long>>, _sl int",
@@ -9734,7 +9616,264 @@ def _sequence_count_timed_users(
     return _piecewise_fold_counts(funcs)
 
 
-def _piecewise_fold_counts(funcs):
+def _timed_transfer_pieces(types, edges, k_states, sts, pos):
+    """One user's piecewise transfer function of the timed restart
+    automaton over one slice — extracted (r12) so the FUSED battery
+    kernel (:func:`_sequence_count_timed_multi`) shares it with the
+    single-pattern path. ``sts`` = the user's slice timestamps in scan
+    order; ``pos`` = per-type positions into that order (it may index
+    MORE types than the pattern touches — the construction only ever
+    reads ``pos[expected type]``, so extra rows are invisible to it).
+    Returns the compressed per-entry-state piece table
+    (brk, exs, ext, exd) documented in _sequence_count_timed_users."""
+    import numpy as np
+
+    def run(p, s, t_prev):
+        # concrete scan from after index p; t_prev concrete.
+        # '<' violated (or '==' overshot) -> restart at the
+        # event (re-anchor iff its condition is condition 1);
+        # '>' violated (or '==' undershot) -> SKIP the event
+        # and keep waiting (r9/r10).
+        cnt = 0
+        while True:
+            arr = pos[types[s]]
+            j = int(np.searchsorted(arr, p, side="right"))
+            if j >= len(arr):
+                return s, t_prev, cnt
+            i = int(arr[j])
+            e = edges[s - 1] if s >= 1 else None
+            gap = int(sts[i]) - t_prev
+            if (
+                e is None
+                or (e[0] == "<" and gap < e[1])
+                or (e[0] == ">" and gap > e[1])
+                or (e[0] == "==" and gap == e[1])
+            ):
+                s += 1
+                t_prev = int(sts[i])
+                if s == k_states:
+                    cnt += 1
+                    s = 0
+            elif e[0] == "<" or (e[0] == "==" and gap > e[1]):
+                # dead chain: restart at event
+                if types[s] == types[0]:
+                    s, t_prev = 1, int(sts[i])
+                    if k_states == 1:
+                        cnt += 1
+                        s = 0
+                else:
+                    s = 0
+            # else too early: wait (state, t_prev unchanged)
+            p = i
+
+    def advance_from(entry, j0):
+        # outcome of ADVANCING out of `entry` at event index j0
+        s_hi, t_hi = entry + 1, int(sts[j0])
+        c_hi = 0
+        if s_hi == k_states:
+            c_hi, s_hi = 1, 0
+        s1, t1, c1 = run(j0, s_hi, t_hi)
+        return s1, t1, c_hi + c1
+
+    def restart_from(entry, j0):
+        # outcome of a dead-chain RESTART at event index j0
+        # (re-anchor iff its condition equals condition 1)
+        if types[entry] == types[0]:
+            s_lo, t_lo, c_lo = 1, int(sts[j0]), 0
+            if k_states == 1:
+                c_lo, s_lo = 1, 0
+        else:
+            s_lo, t_lo, c_lo = 0, _SEQ_TIMED_SENT, 0
+        s2, t2, c2 = run(j0, s_lo, t_lo)
+        return s2, t2, c_lo + c2
+
+    # per entry state: a step function of entry t_prev —
+    # pieces[i] applies when exactly i breaks are < t_prev
+    # (breaks ascending); each piece = (exit_s, exit_ts, delta)
+    brk: list = []
+    exs: list = []
+    ext: list = []
+    exd: list = []
+    for entry in range(k_states):
+        e = edges[entry - 1] if entry >= 1 else None
+        arr = pos[types[entry]]
+        if len(arr) == 0:
+            # no touch: identity — carry entry t_prev through
+            brk.append([])
+            exs.append([entry]); ext.append([None]); exd.append([0])
+            continue
+        if e is None:
+            # first advance unconditional; concrete after it
+            s1, t1, c1 = run(-1, entry, _SEQ_TIMED_SENT)
+            brk.append([])
+            exs.append([s1]); ext.append([t1]); exd.append([c1])
+            continue
+        if e[0] == "<":
+            # one threshold at the first expected event:
+            # advance iff t_prev > ts0 - T, else restart there
+            j0 = int(arr[0])
+            pieces = [
+                restart_from(entry, j0),  # t_prev <= ts0 - T
+                advance_from(entry, j0),  # t_prev > ts0 - T
+            ]
+            breaks = [int(sts[j0]) - e[1]]
+        elif e[0] == "==":
+            # exact offset (r10): scanning expected events in
+            # order, the FIRST with gap >= T decides — lock on
+            # equality, restart past it, wait below. Pieces
+            # alternate restart intervals with single-point
+            # locks at t_prev == ts_j - T (integer micros make
+            # the point the interval (ts_j-T-1, ts_j-T]); the
+            # tail (every event too early) waits out the slice.
+            # Equal-ts runs collapse to their first event.
+            uniq: list = []
+            for j0 in arr:
+                if not uniq or int(sts[int(j0)]) != uniq[-1][1]:
+                    uniq.append((int(j0), int(sts[int(j0)])))
+            pieces = []
+            breaks = []
+            for j0, ts0 in uniq:
+                pieces.append(restart_from(entry, j0))
+                breaks.append(ts0 - e[1] - 1)
+                pieces.append(advance_from(entry, j0))
+                breaks.append(ts0 - e[1])
+            pieces.append((entry, None, 0))
+        else:
+            # '>' wait-until-satisfied: the automaton advances
+            # at the FIRST expected event with ts > t_prev + T,
+            # i.e. piece j (advance at arr[j]) applies for
+            # ts_{j-1} - T <= t_prev < ts_j - T; the tail piece
+            # (t_prev >= ts_last - T) never advances in-slice.
+            # Breaks ts_j - T - 1 make "< ts_j - T" exact under
+            # the "breaks strictly below t_prev" selector on
+            # integer micros.
+            pieces = [
+                advance_from(entry, int(j0)) for j0 in arr
+            ]
+            pieces.append((entry, None, 0))  # wait out the slice
+            breaks = [int(sts[int(j0)]) - e[1] - 1 for j0 in arr]
+        # compress: merge adjacent pieces with equal outcomes
+        cb: list = []
+        cp: list = [pieces[0]]
+        for bval, piece in zip(breaks, pieces[1:]):
+            if piece == cp[-1]:
+                continue
+            cb.append(bval)
+            cp.append(piece)
+        brk.append(cb)
+        exs.append([p_[0] for p_ in cp])
+        ext.append([p_[1] for p_ in cp])
+        exd.append([p_[2] for p_ in cp])
+    return brk, exs, ext, exd
+
+
+def _sequence_count_timed_multi(
+    spark, sf_dir, patterns, conds=_SEQ_CONDS, _sliced=None
+):
+    """The timed count battery FUSED (r12, guide §1.2/§2.4): ONE
+    applyInPandas pass over the shared sliced base computes every
+    pattern's per-(slice, user) transfer function — the kernel sort and
+    the per-type position index are built once per user instead of once
+    per user PER pattern — and ONE (pattern, user) fold shuffle
+    replaces |patterns| separate fold jobs. Per-(pattern, user)
+    transfer rows are bit-identical to the single-pattern path
+    (:func:`_timed_transfer_pieces` only reads the expected types'
+    positions, so the union stream's extra rows are invisible), and a
+    user with no events of a pattern's types folds to count 0 and is
+    filtered exactly as the per-pattern filter dropped them before."""
+    import pandas as pd
+
+    metas = []
+    for pat in patterns:
+        steps, edges = _parse_seq_pattern(pat)
+        edges = [
+            ("<", e[1] + 1)
+            if e is not None and e[0] == "<="
+            else (">", e[1] - 1)
+            if e is not None and e[0] == ">="
+            else e
+            for e in edges
+        ]
+        for e in edges:
+            if e is not None and e[0] not in ("<", ">", "=="):
+                raise ValueError(  # unreachable after the <=/>= reduction
+                    f"sequence_count_timed: (?t{e[0]}T) edges are not "
+                    "pinned under restart semantics"
+                )
+        bad = [i for i in steps if i > len(conds)]
+        if bad:
+            raise ValueError(
+                f"sequenceMatch pattern: condition index (?{bad[0]}) out "
+                f"of range — {len(conds)} conditions defined"
+            )
+        types = [conds[i - 1] for i in steps]
+        metas.append((types, edges, len(types)))
+    all_types = sorted({tn for types, _, _ in metas for tn in types})
+    if _sliced is not None:
+        st = _sliced.filter(F.col("event_type").isin(*all_types))
+    else:
+        # finer slices than the per-pattern path (4x parallelism): the
+        # fused kernel runs every pattern's construction serially per
+        # slice task, so the straggler slice is |patterns|x heavier —
+        # splitting it restores the task packing the old 5-subtree
+        # union job got for free (measured 6.1 s -> see below at 1x)
+        st = _seq_count_sliced_base(
+            spark,
+            sf_dir,
+            all_types,
+            n_slices=4 * spark.sparkContext.defaultParallelism,
+        )
+
+    def tab(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        uid = pdf["user_id"].to_numpy()
+        et = pdf["event_type"].to_numpy()
+        tsv = pdf["ts_us"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        cols: dict[str, list] = {
+            k: [] for k in ("_p", "user_id", "brk", "exs", "ext", "exd")
+        }
+        for a, b in zip(starts, ends):
+            sub = et[a:b]
+            sts = tsv[a:b]
+            pos = {tn: np.flatnonzero(sub == tn) for tn in all_types}
+            for pi, (types, edges, k_states) in enumerate(metas):
+                brk, exs, ext, exd = _timed_transfer_pieces(
+                    types, edges, k_states, sts, pos
+                )
+                cols["_p"].append(pi)
+                cols["user_id"].append(int(uid[a]))
+                cols["brk"].append(brk)
+                cols["exs"].append(exs)
+                cols["ext"].append(ext)
+                cols["exd"].append(exd)
+        sl = int(pdf["_sl"].iloc[0]) if len(pdf) else 0
+        cols["_sl"] = [sl] * len(cols["user_id"])
+        return pd.DataFrame(cols)
+
+    funcs = RK.grouped_kernel(
+        st,
+        ["_sl"],
+        tab,
+        "_p int, user_id long, brk array<array<long>>, "
+        "exs array<array<int>>, ext array<array<long>>, "
+        "exd array<array<long>>, _sl int",
+    )
+    counts = _piecewise_fold_counts(funcs, keys=("_p", "user_id"))
+    pat_arr = F.array(*[F.lit(p) for p in patterns])
+    return counts.select(
+        F.element_at(pat_arr, F.col("_p") + 1).alias("pattern"),
+        "user_id",
+        F.col("seq_count").cast("long").alias("seq_count"),
+    )
+
+
+def _piecewise_fold_counts(funcs, keys=("user_id",)):
     """Fold per-slice piecewise transfer-function rows (user_id, brk,
     exs, ext, exd, _sl) into per-user match counts: acc = (state,
     carried t_prev, count); per slice the piece index is the number of
@@ -9743,8 +9882,10 @@ def _piecewise_fold_counts(funcs):
     lambda-variable fields, cheap under the HOF rule); a null exit
     timestamp carries the entry t_prev through. Shared by
     _sequence_count_timed_users and the timed-adjacency product
-    automaton (identical algebra, different transfer construction)."""
-    folded = funcs.groupBy("user_id").agg(
+    automaton (identical algebra, different transfer construction).
+    ``keys`` lets the fused battery fold every pattern's rows in ONE
+    shuffle keyed (pattern idx, user)."""
+    folded = funcs.groupBy(*keys).agg(
         F.sort_array(
             F.collect_list(F.struct("_sl", "brk", "exs", "ext", "exd"))
         ).alias("_fs")
@@ -9772,12 +9913,13 @@ def _piecewise_fold_counts(funcs):
             (acc["c"] + _piece(x, acc, "exd")).alias("c"),
         ),
     )
-    counts = folded.select("user_id", state["c"].alias("seq_count"))
+    counts = folded.select(*keys, state["c"].alias("seq_count"))
     return counts.filter(F.col("seq_count") >= 1)
 
 
 def _seq_count_sliced_base(
-    spark, sf_dir, all_types, events=None, with_bounds=False
+    spark, sf_dir, all_types, events=None, with_bounds=False,
+    n_slices=None,
 ):
     """Pattern-independent sliced event stream the count batteries
     share (the r9 compiled-family hoist applied to the count side):
@@ -9808,7 +9950,8 @@ def _seq_count_sliced_base(
         "event_type",
     )
     ev = ev.filter(F.col("event_type").isin(*set(all_types)))
-    n_slices = spark.sparkContext.defaultParallelism
+    if n_slices is None:
+        n_slices = spark.sparkContext.defaultParallelism
     key = composite_slice_key("user_id", "ts_us")
     bounds = slice_bounds(ev, key, n_slices)
     out = ev.withColumn("_sl", slice_from_bounds(key, bounds))
@@ -9984,28 +10127,13 @@ def _seq_count_timed_oracle() -> str:
     "and where waiting beats restarting).",
 )
 def sequence_count_timed(spark, sf_dir):
-    from ..operators.cache import persist_in, rotating_scope
-
-    union_types = {
-        _SEQ_CONDS[i - 1]
-        for pat in _SEQ_COUNT_TIMED_PATTERNS
-        for i in _parse_seq_pattern(pat)[0]
-    }
-    base = persist_in(
-        rotating_scope("sequence_count_timed"),
-        _seq_count_sliced_base(spark, sf_dir, union_types),
+    # r12: the battery runs FUSED — one kernel pass + one fold shuffle
+    # for all five patterns (was: one of each per pattern over a
+    # persisted shared base; with a single consumer the persist itself
+    # is pure overhead and is gone too)
+    return _sequence_count_timed_multi(
+        spark, sf_dir, _SEQ_COUNT_TIMED_PATTERNS
     )
-    out = None
-    for pat in _SEQ_COUNT_TIMED_PATTERNS:
-        c = _sequence_count_timed_users(
-            spark, sf_dir, pat, _sliced=base
-        ).select(
-            F.lit(pat).alias("pattern"),
-            "user_id",
-            F.col("seq_count").cast("long").alias("seq_count"),
-        )
-        out = c if out is None else out.unionByName(c)
-    return out
 
 
 def _seq_count_dfa_meta(pattern: str, conds, allow_timed: bool = False):
@@ -10212,7 +10340,9 @@ def _sequence_count_adjacent_users(
             }
         )
 
-    funcs = st.groupBy("_sl").applyInPandas(
+    funcs = RK.grouped_kernel(
+        st,
+        ["_sl"],
         tab, "user_id long, _sl int, exits array<int>, deltas array<long>"
     )
     folded = funcs.groupBy("user_id").agg(
@@ -10700,7 +10830,9 @@ def _sequence_count_adjacent_timed_users(
             cols["exd"].append(exd)
         return pd.DataFrame(cols)
 
-    funcs = st.groupBy("_sl").applyInPandas(
+    funcs = RK.grouped_kernel(
+        st,
+        ["_sl"],
         tab,
         "user_id long, brk array<array<long>>, exs array<array<int>>, "
         "ext array<array<long>>, exd array<array<long>>, _sl long",
@@ -11077,7 +11209,9 @@ def stream_adjacency_count_fold(spark, sf_dir):
                     out["seq_count"].append(int(stt[2]))
         return pd.DataFrame(out)
 
-    return st.groupBy("_b").applyInPandas(
+    return RK.grouped_kernel(
+        st,
+        ["_b"],
         kern, "pattern string, user_id long, seq_count long"
     )
 
@@ -11175,7 +11309,9 @@ def stream_backtracking_count_fold(spark, sf_dir):
                     out["seq_count"].append(cnt)
         return pd.DataFrame(out)
 
-    return st.groupBy("_b").applyInPandas(
+    return RK.grouped_kernel(
+        st,
+        ["_b"],
         kern, "pattern string, user_id long, seq_count long"
     )
 
@@ -11692,7 +11828,9 @@ def stream_time_decay_fold(spark, sf_dir):
             out["decayed_value_max"].append(round(dvm, 6))
         return pd.DataFrame(out)
 
-    return st.groupBy("_b").applyInPandas(
+    return RK.grouped_kernel(
+        st,
+        ["_b"],
         kern,
         "user_id long, n_events long, decayed_count double, "
         "decayed_value_sum double, decayed_value_avg double, "
