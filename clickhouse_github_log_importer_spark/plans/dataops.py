@@ -55,9 +55,16 @@ def _spread(spark, df):
     per-row ops. One parquet file at local scale = one partition = one
     core; at 100 TB inputs arrive in thousands of splits and this is a
     no-op (we only repartition when the scan is narrower than the
-    parallelism)."""
+    parallelism). The partition count is memoized on the frame object
+    (r12): ``df.rdd`` re-plans the query per call (~10 ms driver time),
+    and with ``t()``'s table memo the SAME frame object flows through
+    every dataops entry."""
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    n = getattr(df, "_spread_nparts", None)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        df._spread_nparts = n
+    if n < par:
         return df.repartition(par)
     return df
 
@@ -657,6 +664,11 @@ def ann_ivfpq_recall_report(spark, sf_dir):
     emb = _spread(spark, t(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < 8)
     cb = _ivf_codebook(spark, sf_dir)
+    # NOT persisted (r12, interleaved A/B): the exact side feeds two
+    # consumers (hit join + distinct-query denominator), but caching the
+    # k x |queries| result LOST pairwise (min 2.4 -> 3.1 s at sf0.1) —
+    # the duplicated brute-force branch back-fills idle cores inside the
+    # one job, while the cache pins a materialization order on it.
     exact = SIM.cosine_topk(emb, q, k=3).select("query_id", "neighbor_id")
     adc = SIM.ivfpq_topk(emb, q, codebook=cb, k=3, nprobe=2).select(
         "query_id", "neighbor_id"

@@ -88,6 +88,21 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     # kernels that read it at local scale.
 
 
+#: (app_id, path, mtime_ns, size) -> loaded DataFrame. METADATA memo, not
+#: a result memo (r12, guide §1.2/§6): ``spark.read.parquet`` spends
+#: ~135 ms of single-threaded DRIVER time per call on file listing +
+#: footer schema inference, and the registry pays it on every ``t()``
+#: call of every entry (~0.1-0.4 s of every benched query's wall; the
+#: same driver-side listing cost §6 bounds with
+#: filesourcePartitionFileCacheSize — which only caches the listing, not
+#: the schema read). A DataFrame is an immutable logical plan: reusing
+#: it recomputes everything from the parquet files on every action, so
+#: no data or result is ever cached here. Keyed by file mtime+size so a
+#: testdata swap invalidates, and by application id so a fresh session
+#: never sees another session's plan.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table; for ``events`` derive the portable time pair.
 
@@ -103,10 +118,27 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     → bigint epoch-nanos column (``div 1000``). Derivations are plain
     projections — free at any scale, never a shuffle.
     """
+    import os
+
     _ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        key = (
+            spark.sparkContext.applicationId,
+            path,
+            st.st_mtime_ns,
+            st.st_size,
+        )
+    except OSError:
+        key = None  # non-local path (e.g. object store): no memo
+    if key is not None and key in _TABLE_MEMO:
+        return _TABLE_MEMO[key]
+    df = spark.read.parquet(path)
     if name == "events":
         df = normalize_events_ts(df)
+    if key is not None:
+        _TABLE_MEMO[key] = df
     return df
 
 
@@ -4524,7 +4556,11 @@ def weighted_median_price(spark, sf_dir):
     # execute the histogram shuffle once for the bounds job and again
     # for the real pass (the bounds only need the order column's
     # distribution, and row-weighted quantiles balance slices at least
-    # as well as distinct-value quantiles)
+    # as well as distinct-value quantiles). r12 note: persisting h and
+    # pricing bounds on the cached histogram was TRIED and rejected on
+    # interleaved A/B (min 3.7 -> 4.9 s at sf0.1): prices are
+    # near-unique, so the histogram is near-data-scale and its cache
+    # write costs more than the narrow single-column re-scan it saves.
     pre = prefix_sum(
         h,
         ["l_returnflag"],
@@ -8128,6 +8164,14 @@ def topk_state_rollup(spark, sf_dir):
     from ..operators.ranking import composite_slice_key, ranked
 
     ev = t(spark, sf_dir, "events")
+    scope = rotating_scope("topk_state_rollup")
+    # hc NOT persisted (r12, interleaved A/B): caching it would spare
+    # the first ranker's slice-quantile job its recompute of the events
+    # scan + hourly shuffle (separate actions never share exchanges),
+    # but the measured arm LOST pairwise (min 2.7 -> 3.6 s at sf0.1;
+    # the canonical bench run with the persist showed +1.4 s) — the
+    # near-data-scale cache write plus the frozen cached partitioning
+    # cost more than the one narrow recompute they save.
     hc = ev.groupBy(
         F.expr("ts_us div 3600000000").alias("hour_id"), "user_id"
     ).agg(F.count("*").cast("long").alias("c"))
@@ -8145,7 +8189,7 @@ def topk_state_rollup(spark, sf_dir):
     # otherwise re-executes the entire first ranking just to learn its
     # slice boundaries (measured: 2 quantile jobs, 2.0 s of 3.9 s wall)
     dm = persist_in(
-        rotating_scope("topk_state_rollup"),
+        scope,
         st.groupBy(
             F.expr("hour_id div 24").alias("day_id"), "user_id"
         ).agg(F.sum("c").cast("long").alias("est_cnt")),
@@ -8656,7 +8700,7 @@ def _seq_stream(spark, sf_dir, types: list[str], _base=None, events=None):
 
 def _sequence_match_users(
     spark, sf_dir, pattern: str, conds=_SEQ_CONDS, _stream_cache=None,
-    _base=None, events=None,
+    _base=None, events=None, scope=None,
 ):
     """Users whose event stream matches ``pattern`` under the family's
     pinned existence semantics: a chain e_1 < e_2 < ... < e_K strictly
@@ -8680,7 +8724,14 @@ def _sequence_match_users(
     pass one dict so same-typed patterns share a stream. ``_base``:
     optional shared pre-sliced event stream (see _seq_base_stream) —
     the registry entry persists one and compiles all patterns against
-    it."""
+    it. ``scope``: optional CacheScope; when given, the chain frame is
+    persisted after each NON-FINAL pass (r12, guide §2.4/§5): pass
+    k+1's carry aggregate branches off the chain BELOW any exchange, so
+    without a materialization point its map stage re-executes every
+    window/join of passes 1..k — O(K²) window sorts for a K-pass chain
+    (measured: the 3-pass 4-step chain at 4.0 s plain vs 3.0 s
+    persisted at sf0.1; re-execution grows with chain depth while the
+    persist cost stays one stream-sized write per pass)."""
     steps, edges = _parse_seq_pattern(pattern)
     bad = [i for i in steps if i > len(conds)]
     if bad:
@@ -8727,6 +8778,8 @@ def _sequence_match_users(
             cur = cur.withColumn(
                 "_q", F.when((F.col("_step") == k) & ok, F.col("_ts"))
             ).drop("_u_eq", "_ts_eq")
+            if scope is not None and k < len(steps):
+                cur = scope.persist(cur)
             continue
         cur = _seq_running(
             cur, use_min=edge is not None and edge[0] in (">", ">=")
@@ -8752,6 +8805,8 @@ def _sequence_match_users(
         cur = cur.withColumn(
             "_q", F.when((F.col("_step") == k) & ok, F.col("_ts"))
         ).drop("_G")
+        if scope is not None and k < len(steps):
+            cur = scope.persist(cur)
     return (
         cur.filter((F.col("_step") == len(steps)) & F.col("_q").isNotNull())
         .select("user_id")
@@ -8858,10 +8913,8 @@ def sequence_match_compiled(spark, sf_dir):
     # of the six patterns re-executed the scan+filter+quantile subtree —
     # the suite's most expensive row (9.2 s). All per-pattern (event,
     # step) streams are now projections of this in-memory frame.
-    base = persist_in(
-        rotating_scope("sequence_match_compiled"),
-        _seq_base_stream(spark, sf_dir, _SEQ_CONDS),
-    )
+    scope = rotating_scope("sequence_match_compiled")
+    base = persist_in(scope, _seq_base_stream(spark, sf_dir, _SEQ_CONDS))
     # r12 (guide §2.4): patterns over the SAME step-type tuple have the
     # same step sequence, so their K-1 running-extrema passes differ
     # only in which extremum each pattern takes of ITS qualified-ts
@@ -8882,9 +8935,23 @@ def sequence_match_compiled(spark, sf_dir):
             for _, _, edges in members
             for e in edges
         ) or len(members) == 1:
-            for pat, _, _ in members:
+            for pat, p_steps, _ in members:
                 frames.append(
-                    _sequence_match_users(spark, sf_dir, pat, _base=base)
+                    _sequence_match_users(
+                        spark,
+                        sf_dir,
+                        pat,
+                        _base=base,
+                        # materialize between passes only on DEEP chains
+                        # (>= 3 running passes): there the carry-branch
+                        # re-execution grows quadratically; on 1-2-pass
+                        # chains the re-executed work back-fills idle
+                        # cores inside the same job and a persist only
+                        # adds a write barrier (measured: entry 6.9 ->
+                        # 7.2 s with persists on every chain, 6.9 ->
+                        # 5.9 s deep-only)
+                        scope=scope if len(p_steps) >= 4 else None,
+                    )
                     .agg(F.count("*").cast("long").alias("n_matched"))
                     .select(F.lit(pat).alias("pattern"), "n_matched")
                 )
@@ -8912,6 +8979,10 @@ def sequence_match_compiled(spark, sf_dir):
                     f"_q{i}",
                     F.when((F.col("_step") == k) & ok, F.col("_ts")),
                 ).drop(f"_G__q{i}")
+            # materialize between passes on deep chains only (see the
+            # singleton branch above for the measured rationale)
+            if k < k_total and k_total >= 4:
+                cur = scope.persist(cur)
         # ONE aggregation over the fused chain for ALL member counts: a
         # per-member filter-then-distinct would reference `cur` once per
         # pattern, and everything above the chain's last Exchange (the

@@ -29,6 +29,14 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--max-steal",
+        type=float,
+        default=None,
+        help="retry each query (up to --repeat extra times) until a run "
+        "lands under this steal%%; report the best CLEAN run, or the "
+        "best dirty one flagged steal_dirty=true",
+    )
     args = ap.parse_args()
 
     # Spark 4: the runtime class is pyspark.sql.classic.dataframe.DataFrame
@@ -65,8 +73,12 @@ def main() -> None:
         return sum(parts), parts[7]
 
     for name in args.names:
-        best = None
-        for _ in range(args.repeat):
+        best = None  # best clean run if any, else best dirty run
+        best_clean = None
+        tries = args.repeat if args.max_steal is None else 2 * args.repeat
+        runs = 0
+        for _ in range(tries):
+            runs += 1
             q_state["n"], q_state["sec"] = 0, 0.0
             c0 = ticks()
             t0 = time.monotonic()
@@ -84,7 +96,29 @@ def main() -> None:
             }
             if best is None or row["wall_sec"] < best["wall_sec"]:
                 best = row
-        print(json.dumps(best), flush=True)
+            clean = (
+                args.max_steal is None or row["steal_pct"] <= args.max_steal
+            )
+            if clean and (
+                best_clean is None
+                or row["wall_sec"] < best_clean["wall_sec"]
+            ):
+                best_clean = row
+            if args.max_steal is not None and not clean:
+                time.sleep(15)  # contention bursts pass on this scale
+            # gated mode: stop once we have a clean run AND the plain
+            # repeat budget is spent (first run is always a warm-up)
+            if (
+                args.max_steal is not None
+                and best_clean is not None
+                and runs >= args.repeat
+            ):
+                break
+        out = best_clean if best_clean is not None else best
+        if args.max_steal is not None and best_clean is None:
+            out = dict(out)
+            out["steal_dirty"] = True
+        print(json.dumps(out), flush=True)
 
     DataFrame.approxQuantile = orig_aq
 
