@@ -24,6 +24,7 @@ correctness runs where the session ends soon after.
 from __future__ import annotations
 
 import threading
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
@@ -75,8 +76,45 @@ class CacheScope:
 
 
 def persist_in(scope: CacheScope | None, df: DataFrame) -> DataFrame:
-    """persist `df`, registering with `scope` when one is given."""
+    """persist `df`, registering with `scope` when one is given.
+
+    With ``scope=None`` the ambient entry scope (below) is used when one
+    is active, so registry entries that call persisting operators without
+    threading a scope still get bounded lifetimes; outside any entry the
+    historical bare-persist/LRU behavior remains.
+    """
+    if scope is None:
+        scope = ambient_scope()
     return scope.persist(df) if scope is not None else df.persist()
+
+
+_AMBIENT = threading.local()
+
+
+def ambient_scope() -> CacheScope | None:
+    """The entry scope installed for the current thread, if any."""
+    return getattr(_AMBIENT, "scope", None)
+
+
+@contextmanager
+def entry_scope(key: str):
+    """Install a rotating scope as this thread's ambient persist sink.
+
+    The registry wraps every entry function in ``entry_scope("entry:" +
+    name)``: persists made while the entry builds its plan (directly or
+    deep inside an operator that defaults ``scope=None``) register into a
+    scope that rotates on the entry's NEXT invocation — exactly the
+    lazily-returned-plan lifetime :func:`rotating_scope` documents. The
+    previous ambient scope is restored on exit so an entry invoking
+    another entry's raw function keeps the outer lifetime (nesting only
+    occurs for wrapped-entry-inside-wrapped-entry, where the inner
+    rotation is independent by key)."""
+    prev = getattr(_AMBIENT, "scope", None)
+    _AMBIENT.scope = rotating_scope(key)
+    try:
+        yield
+    finally:
+        _AMBIENT.scope = prev
 
 
 _ROTATING: dict[str, CacheScope] = {}

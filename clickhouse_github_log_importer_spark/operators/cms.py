@@ -75,7 +75,11 @@ def heavy_hitter_audit(
     column is the measured collision error — the width/depth tuning
     signal, same audit pattern as ann_recall_report / the MinHash
     calibration. Ties on count break to the smaller key."""
-    per_key = df.groupBy(key_col).agg(F.count("*").alias("exact_count")).persist()
+    from .cache import persist_in
+
+    per_key = persist_in(
+        None, df.groupBy(key_col).agg(F.count("*").alias("exact_count"))
+    )
     cells = cms_cells(
         df,
         key_col,

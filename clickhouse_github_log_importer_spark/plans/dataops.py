@@ -23,6 +23,7 @@ from ..operators import dedup_text as DT
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
 from ..operators import text_analysis as TA
+from ..operators.cache import persist_in
 from .queries import register, t
 
 # --- shared SQL fragments ----------------------------------------------------
@@ -220,8 +221,8 @@ def ngram_jaccard_pairs(spark, sf_dir):
     docs = _spread(spark, t(spark, sf_dir, "documents"))
     # one corpus scan: signatures + distinct shingle sets together; LSH
     # banding and the Jaccard verify both consume the persisted profile
-    # (LRU lifetime — query entries return before the consuming action)
-    prof = DT.minhash_signatures(docs, keep_shingles=True).persist()
+    # (ambient entry-scope lifetime — rotates on the next invocation)
+    prof = persist_in(None, DT.minhash_signatures(docs, keep_shingles=True))
     pairs = DT.lsh_candidate_pairs(docs, sig=prof.drop("sh"))
     return DT.jaccard_verify(
         docs, pairs, threshold=0.5, sets=prof.select("doc_id", "sh")
@@ -2060,9 +2061,9 @@ def minhash_estimate_report(spark, sf_dir):
     # shingle sets (exact side). Round 3 computed the shingle->hash
     # pipeline ~3x here (signatures, then lsh_candidate_pairs' internal
     # recompute, then jaccard_verify's re-shingle).
-    prof = DT.minhash_signatures(docs, keep_shingles=True).persist()
+    prof = persist_in(None, DT.minhash_signatures(docs, keep_shingles=True))
     sig = prof.drop("sh")
-    pairs = DT.lsh_candidate_pairs(docs, sig=sig).persist()
+    pairs = persist_in(None, DT.lsh_candidate_pairs(docs, sig=sig))
     matches = sum(
         (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int")
         for i in range(DT.MINHASH_PERMS)
@@ -2253,7 +2254,7 @@ def chunk_dup_rate(spark, sf_dir):
         "doc_id", "chunk_hash"
     )
     per_dh = ch.groupBy("doc_id", "chunk_hash").agg(F.count("*").alias("c_dh"))
-    per_dh = per_dh.persist()  # feeds the rollup AND the join probe
+    per_dh = persist_in(None, per_dh)  # feeds the rollup AND the join probe
     per_h = per_dh.groupBy("chunk_hash").agg(F.sum("c_dh").alias("c_h"))
     return (
         per_dh.join(per_h, "chunk_hash")

@@ -24,6 +24,7 @@ rules used throughout:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -59,7 +60,20 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = ""):
     def deco(fn):
-        REGISTRY[name] = QuerySpec(spark=fn, oracle=oracle, tags=tags, doc=doc)
+        # Bound persist lifetimes (operators/cache.py): persists made
+        # while an entry builds its plan — including deep inside
+        # operators whose callers never thread a scope — register into a
+        # per-entry rotating scope, so a long session (bench's 2x216
+        # entry passes, the API server) holds at most ONE live frame set
+        # per entry instead of accreting one per invocation.
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            from ..operators.cache import entry_scope
+
+            with entry_scope(f"entry:{name}"):
+                return fn(*args, **kwargs)
+
+        REGISTRY[name] = QuerySpec(spark=wrapped, oracle=oracle, tags=tags, doc=doc)
         return fn
 
     return deco
@@ -3962,7 +3976,9 @@ def kmv_set_operations(spark, sf_dir):
             F.max((F.col("event_type") == "purchase").cast("int")).alias("hb"),
         )
     )
-    m = m.persist()  # feeds sketches AND exact counts
+    from ..operators.cache import persist_in
+
+    m = persist_in(None, m)  # feeds sketches AND exact counts
     hs = m.withColumn("h", md5_hash64(F.col("user_id").cast("string")))
     sets = hs.select(
         F.explode(

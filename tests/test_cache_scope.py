@@ -91,3 +91,50 @@ def test_concurrent_rotation_never_leaks_a_scope():
     double = [f for f in frames if f.unpersisted > 1]
     assert not leaked, f"{len(leaked)} persisted frames never unpersisted"
     assert not double, f"{len(double)} frames unpersisted more than once"
+
+
+def test_ambient_entry_scope_bounds_scopeless_persists():
+    # registry entries call persisting operators without threading a
+    # scope; the register() wrapper installs an ambient rotating scope
+    # so persist_in(None, df) registers there instead of leaking one
+    # cached frame per invocation (r12: bench runs 2x216 entries in ONE
+    # session — unbounded accretion thrashes the storage layer at scale)
+    from clickhouse_github_log_importer_spark.operators.cache import (
+        ambient_scope,
+        entry_scope,
+        persist_in,
+    )
+
+    assert ambient_scope() is None
+    first = _FakeFrame()
+    with entry_scope("entry:test-ambient"):
+        assert ambient_scope() is not None
+        persist_in(None, first)
+    assert ambient_scope() is None
+    assert first.persisted == 1 and first.unpersisted == 0  # action pending
+
+    # next invocation of the same entry rotates: the previous call's
+    # frame is unpersisted, the new one stays live
+    second = _FakeFrame()
+    with entry_scope("entry:test-ambient"):
+        persist_in(None, second)
+    assert first.unpersisted == 1
+    assert second.unpersisted == 0
+
+    # an explicit scope always wins over the ambient one
+    third = _FakeFrame()
+    with entry_scope("entry:test-ambient"):
+        with CacheScope() as explicit:
+            persist_in(explicit, third)
+        assert third.unpersisted == 1  # explicit scope exit, not rotation
+
+    # nesting restores the outer ambient scope (entry calling an
+    # entry-wrapped function)
+    with entry_scope("entry:outer"):
+        outer = ambient_scope()
+        with entry_scope("entry:inner"):
+            assert ambient_scope() is not outer
+        assert ambient_scope() is outer
+    rotating_scope("entry:test-ambient")  # cleanup
+    rotating_scope("entry:outer")
+    rotating_scope("entry:inner")
