@@ -9548,15 +9548,13 @@ def sequence_count_compiled(spark, sf_dir):
         rotating_scope("sequence_count_compiled"),
         _seq_count_sliced_base(spark, sf_dir, union_types),
     )
-    out = None
-    for pat in _SEQ_COUNT_PATTERNS:
-        c = _sequence_count_users(spark, sf_dir, pat, _sliced=base).select(
-            F.lit(pat).alias("pattern"),
-            "user_id",
-            F.col("seq_count").cast("long").alias("seq_count"),
-        )
-        out = c if out is None else out.unionByName(c)
-    return out
+    # r12: the existence battery rides the same block-diagonal fused
+    # kernel as the adjacency battery (its restart automaton IS a DFA)
+    # — one kernel pass + one fold shuffle (was per-pattern x2, unioned)
+    return _sequence_count_battery_fused(
+        spark, sf_dir, _SEQ_COUNT_PATTERNS, _sliced=base,
+        dfa_of=_restart_dfa,
+    )
 
 
 _SEQ_TIMED_SENT = -(2**62)  # t_prev sentinel; never compared at state 0
@@ -10449,6 +10447,172 @@ def _sequence_count_adjacent_users(
     return counts.filter(F.col("seq_count") >= 1)
 
 
+def _restart_dfa(pattern: str, conds):
+    """(delta, emit) tables of the RESTART automaton
+    (:func:`_sequence_count_users` semantics) — state s waits for its
+    expected condition, ignores every other symbol, and the final
+    advance emits and restarts. Expressing the existence battery as a
+    DFA lets it ride the same block-diagonal fused kernel as the
+    adjacency battery (the match-jump tabulation in
+    `_sequence_count_users` computes the same function; equality is
+    pinned by the fused-battery test)."""
+    steps, edges = _parse_seq_pattern(pattern)
+    if any(e is not None for e in edges):
+        raise ValueError(
+            "restart DFA: time-constrained edges are not tabulable "
+            "(state would carry timestamps)"
+        )
+    types = [conds[i - 1] for i in steps]
+    sym = {c: a for a, c in enumerate(conds)}
+    k = len(types)
+    delta = [[s] * len(conds) for s in range(k)]
+    emit = [[0] * len(conds) for _ in range(k)]
+    for s, tname in enumerate(types):
+        a = sym[tname]
+        if s == k - 1:
+            delta[s][a] = 0
+            emit[s][a] = 1
+        else:
+            delta[s][a] = s + 1
+    return delta, emit
+
+
+def _sequence_count_battery_fused(
+    spark, sf_dir, patterns, conds=_SEQ_CONDS, _sliced=None,
+    dfa_of=_seq_count_dfa,
+):
+    """A whole untimed counting battery in ONE kernel pass + ONE fold
+    shuffle (r12, guide §2.4 fewer passes — the same fusion the timed
+    battery got in e42b40d, here with zero new kernel logic):
+
+    Every pattern's counting DFA reads the SAME conds-filtered stream
+    (undeclared types are invisible to every automaton in the battery),
+    and the per-slice tabulation is a pure gather over the state
+    vector — so the P automata STACK block-diagonally into one combined
+    (sum L_p)-state DFA whose per-event gather advances all of them at
+    once. The single-pattern kernel body is unchanged; only the tables
+    grow. The per-user fold then runs one HOF per pattern over its
+    block (entry state = the block offset; exit states never leave
+    their block), from ONE collect_list — P fold shuffles collapse
+    to 1. ``dfa_of`` picks the per-pattern table builder: the
+    adjacency KMP DFA (default) or :func:`_restart_dfa` for the
+    existence battery.
+
+    Equivalence to the per-pattern union is structural (block-diagonal
+    transition tables cannot interact) and pinned by
+    tests/test_sequence_count_adjacent.py::test_fused_battery_matches_
+    per_pattern_union on the sf0.01 corpus (both batteries)."""
+    import pandas as pd
+
+    from ..operators.ranking import composite_slice_key, slice_expr
+
+    sym = {c: a for a, c in enumerate(conds)}
+    delta_rows: list[list[int]] = []
+    emit_rows: list[list[int]] = []
+    offsets: list[int] = []
+    for pat in patterns:
+        d, e = dfa_of(pat, conds)
+        off = len(delta_rows)
+        offsets.append(off)
+        delta_rows.extend([x + off for x in row] for row in d)
+        emit_rows.extend(list(row) for row in e)
+    n_states = len(delta_rows)
+
+    if _sliced is not None:
+        st = _sliced
+    else:
+        ev = t(spark, sf_dir, "events").select(
+            "user_id",
+            F.col("ts_us").cast("long").alias("ts_us"),
+            "event_id",
+            "event_type",
+        )
+        ev = ev.filter(F.col("event_type").isin(*set(conds)))
+        n_slices = spark.sparkContext.defaultParallelism
+        st = ev.withColumn(
+            "_sl",
+            slice_expr(
+                ev, composite_slice_key("user_id", "ts_us"), n_slices
+            ),
+        )
+
+    def tab(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        delta = np.asarray(delta_rows, dtype=np.int64)
+        emit = np.asarray(emit_rows, dtype=np.int64)
+        pdf = pdf.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        uid = pdf["user_id"].to_numpy()
+        code = pdf["event_type"].map(sym).to_numpy(dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        out_u, out_e, out_d = [], [], []
+        for a, b in zip(starts, ends):
+            smap = np.arange(n_states, dtype=np.int64)
+            cnt = np.zeros(n_states, dtype=np.int64)
+            for c in code[a:b]:
+                cnt += emit[smap, c]
+                smap = delta[smap, c]
+            out_u.append(int(uid[a]))
+            out_e.append([int(x) for x in smap])
+            out_d.append([int(x) for x in cnt])
+        sl = int(pdf["_sl"].iloc[0]) if len(pdf) else 0
+        return pd.DataFrame(
+            {
+                "user_id": out_u,
+                "_sl": [sl] * len(out_u),
+                "exits": out_e,
+                "deltas": out_d,
+            }
+        )
+
+    funcs = RK.grouped_kernel(
+        st,
+        ["_sl"],
+        tab, "user_id long, _sl int, exits array<int>, deltas array<long>"
+    )
+    folded = funcs.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("_sl", "exits", "deltas"))
+        ).alias("_fs")
+    )
+
+    def count_for(off: int):
+        return F.aggregate(
+            F.col("_fs"),
+            F.struct(
+                F.lit(off).alias("s"), F.lit(0).cast("long").alias("c")
+            ),
+            lambda acc, x: F.struct(
+                F.element_at(x["exits"], acc["s"] + 1).alias("s"),
+                (acc["c"] + F.element_at(x["deltas"], acc["s"] + 1)).alias(
+                    "c"
+                ),
+            ),
+        )["c"]
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(pat).alias("pattern"),
+                count_for(off).cast("long").alias("seq_count"),
+            )
+            for pat, off in zip(patterns, offsets)
+        ]
+    )
+    return (
+        folded.select("user_id", F.explode(pairs).alias("_x"))
+        .select(
+            F.col("_x.pattern").alias("pattern"),
+            "user_id",
+            F.col("_x.seq_count").alias("seq_count"),
+        )
+        .filter(F.col("seq_count") >= 1)
+    )
+
+
 _SEQ_COUNT_ADJ_PATTERNS = (
     "(?1)(?2)",
     "(?2)(?2)",
@@ -10573,17 +10737,12 @@ def sequence_count_adjacent(spark, sf_dir):
         rotating_scope("sequence_count_adjacent"),
         _seq_count_sliced_base(spark, sf_dir, _SEQ_CONDS),
     )
-    out = None
-    for pat in _SEQ_COUNT_ADJ_PATTERNS:
-        c = _sequence_count_adjacent_users(
-            spark, sf_dir, pat, _sliced=base
-        ).select(
-            F.lit(pat).alias("pattern"),
-            "user_id",
-            F.col("seq_count").cast("long").alias("seq_count"),
-        )
-        out = c if out is None else out.unionByName(c)
-    return out
+    # r12: the four automata stack block-diagonally into one combined
+    # DFA — one kernel pass + one fold shuffle for the whole battery
+    # (was: per-pattern kernel+fold x4, unioned)
+    return _sequence_count_battery_fused(
+        spark, sf_dir, _SEQ_COUNT_ADJ_PATTERNS, _sliced=base
+    )
 
 
 #: kernel-side sub-slice width for the timed-adjacency product: the
@@ -10607,6 +10766,151 @@ def _adjt_lag_depths(meta) -> list[int]:
             if meta["wedge"][j] is not None and meta["wlen"][j] >= 2
         }
     )
+
+
+def _adjt_transfer_pieces(meta, code, tsv, lag):
+    """Per-block piecewise transfer tables of the timed-adjacency
+    product automaton: the (brk, exs, ext, exd) entry-state rows of ONE
+    (user, block) for one pattern. Extracted VERBATIM from the
+    single-pattern kernel (r12 — the same extraction
+    :func:`_timed_transfer_pieces` got in the timed battery fusion) so
+    the fused battery reuses it bit-identically. ``lag`` maps
+    occurrence-start depths to the block's lag columns; a superset of
+    the pattern's own depths is fine — only ``wlen-1`` depths of timed
+    multi-symbol words are read."""
+    delta_t = meta["delta"]
+    complete_t = meta["complete"]
+    w_start_t = meta["w_start"]
+    wlen_t = meta["wlen"]
+    wedge_t = meta["wedge"]
+    wcont_t = meta["wcont"]
+    n_words = meta["n_words"]
+    L = meta["L"]
+    n = len(code)
+
+    def occ_start(i: int, j: int) -> int:
+        d = wlen_t[j] - 1
+        return int(tsv[i]) if d == 0 else int(lag[d][i])
+
+    def lock(j: int, i: int):
+        # outcome of LOCKING word j at completing event i
+        if j == n_words - 1:
+            return 0, _SEQ_TIMED_SENT, 1
+        return w_start_t[j + 1], int(tsv[i]), 0
+
+    def restart(i: int):
+        # reprocess event i from state 0 with the anchor cleared
+        a = int(code[i])
+        if complete_t[0][a] == 0:  # single-symbol first word
+            return w_start_t[1], int(tsv[i]), 0
+        return delta_t[0][a], _SEQ_TIMED_SENT, 0
+
+    def cstep(q: int, i: int, tp: int):
+        a = int(code[i])
+        j = complete_t[q][a]
+        if j < 0:
+            return delta_t[q][a], tp, 0
+        e = wedge_t[j]
+        if e is not None:
+            gap = occ_start(i, j) - tp
+            op, tb = e
+            ok = (
+                gap < tb
+                if op == "<"
+                else gap > tb
+                if op == ">"
+                else gap == tb
+            )
+            if not ok:
+                if op == ">" or (op == "==" and gap < tb):
+                    return wcont_t[j], tp, 0  # wait
+                return restart(i)  # dead chain
+        return lock(j, i)
+
+    def crun(i0: int, q: int, tp: int):
+        c = 0
+        for k in range(i0, n):
+            q, tp, dc = cstep(q, k, tp)
+            c += dc
+        return q, tp, c
+
+    def lock_run(j: int, i: int):
+        q2, tp2, dc = lock(j, i)
+        qe, te, ce = crun(i + 1, q2, tp2)
+        return qe, te, dc + ce
+
+    def restart_run(i: int):
+        q2, tp2, dc = restart(i)
+        qe, te, ce = crun(i + 1, q2, tp2)
+        return qe, te, dc + ce
+
+    brk: list = []
+    exs: list = []
+    ext: list = []
+    exd: list = []
+    for entry in range(L):
+        # symbolic prefix: the DFA advances t_prev-free until
+        # the first word completion
+        q, i = entry, 0
+        while i < n and complete_t[q][int(code[i])] < 0:
+            q = delta_t[q][int(code[i])]
+            i += 1
+        if i == n:
+            brk.append([])
+            exs.append([q]); ext.append([None]); exd.append([0])
+            continue
+        j = complete_t[q][int(code[i])]
+        e = wedge_t[j]
+        if e is None:
+            # untimed lock/emit: concrete from here on
+            pieces = [lock_run(j, i)]
+            breaks: list = []
+        elif e[0] == "<":
+            s0 = occ_start(i, j)
+            pieces = [restart_run(i), lock_run(j, i)]
+            breaks = [s0 - e[1]]
+        else:
+            # enumerate the wait chain: successive completions
+            # of word j under KMP-search resume
+            comps = [(i, occ_start(i, j))]
+            qq, k = wcont_t[j], i + 1
+            while k < n:
+                a2 = int(code[k])
+                if complete_t[qq][a2] == j:
+                    comps.append((k, occ_start(k, j)))
+                    qq = wcont_t[j]
+                else:
+                    qq = delta_t[qq][a2]
+                k += 1
+            if e[0] == ">":
+                pieces = [lock_run(j, c) for c, _ in comps]
+                pieces.append((qq, None, 0))  # wait out the slice
+                breaks = [s - e[1] - 1 for _, s in comps]
+            else:  # '==': restart intervals + point locks
+                uniq = []
+                for c, s in comps:
+                    if not uniq or s != uniq[-1][1]:
+                        uniq.append((c, s))
+                pieces, breaks = [], []
+                for c, s in uniq:
+                    pieces.append(restart_run(c))
+                    breaks.append(s - e[1] - 1)
+                    pieces.append(lock_run(j, c))
+                    breaks.append(s - e[1])
+                pieces.append((qq, None, 0))
+        # compress: merge adjacent pieces with equal outcomes
+        cb: list = []
+        cp: list = [pieces[0]]
+        for bval, piece in zip(breaks, pieces[1:]):
+            if piece == cp[-1]:
+                continue
+            cb.append(bval)
+            cp.append(piece)
+        brk.append(cb)
+        exs.append([p_[0] for p_ in cp])
+        ext.append([p_[1] for p_ in cp])
+        exd.append([p_[2] for p_ in cp])
+    return brk, exs, ext, exd
 
 
 def _sequence_count_adjacent_timed_users(
@@ -10667,14 +10971,6 @@ def _sequence_count_adjacent_timed_users(
     from ..operators.ranking import composite_slice_key, ranked, slice_expr
 
     meta = _seq_count_dfa_meta(pattern, conds, allow_timed=True)
-    delta_t = meta["delta"]
-    complete_t = meta["complete"]
-    w_start_t = meta["w_start"]
-    wlen_t = meta["wlen"]
-    wedge_t = meta["wedge"]
-    wcont_t = meta["wcont"]
-    n_words = meta["n_words"]
-    L = meta["L"]
     sym = {c: a for a, c in enumerate(conds)}
     depths = _adjt_lag_depths(meta)
 
@@ -10783,130 +11079,9 @@ def _sequence_count_adjacent_timed_users(
             code = code_all[ca:ce]
             tsv = ts_all[ca:ce]
             lag = {d: lag_all[d][ca:ce] for d in depths}
-            n = len(code)
-
-            def occ_start(i: int, j: int) -> int:
-                d = wlen_t[j] - 1
-                return int(tsv[i]) if d == 0 else int(lag[d][i])
-
-            def lock(j: int, i: int):
-                # outcome of LOCKING word j at completing event i
-                if j == n_words - 1:
-                    return 0, _SEQ_TIMED_SENT, 1
-                return w_start_t[j + 1], int(tsv[i]), 0
-
-            def restart(i: int):
-                # reprocess event i from state 0 with the anchor cleared
-                a = int(code[i])
-                if complete_t[0][a] == 0:  # single-symbol first word
-                    return w_start_t[1], int(tsv[i]), 0
-                return delta_t[0][a], _SEQ_TIMED_SENT, 0
-
-            def cstep(q: int, i: int, tp: int):
-                a = int(code[i])
-                j = complete_t[q][a]
-                if j < 0:
-                    return delta_t[q][a], tp, 0
-                e = wedge_t[j]
-                if e is not None:
-                    gap = occ_start(i, j) - tp
-                    op, tb = e
-                    ok = (
-                        gap < tb
-                        if op == "<"
-                        else gap > tb
-                        if op == ">"
-                        else gap == tb
-                    )
-                    if not ok:
-                        if op == ">" or (op == "==" and gap < tb):
-                            return wcont_t[j], tp, 0  # wait
-                        return restart(i)  # dead chain
-                return lock(j, i)
-
-            def crun(i0: int, q: int, tp: int):
-                c = 0
-                for k in range(i0, n):
-                    q, tp, dc = cstep(q, k, tp)
-                    c += dc
-                return q, tp, c
-
-            def lock_run(j: int, i: int):
-                q2, tp2, dc = lock(j, i)
-                qe, te, ce = crun(i + 1, q2, tp2)
-                return qe, te, dc + ce
-
-            def restart_run(i: int):
-                q2, tp2, dc = restart(i)
-                qe, te, ce = crun(i + 1, q2, tp2)
-                return qe, te, dc + ce
-
-            brk: list = []
-            exs: list = []
-            ext: list = []
-            exd: list = []
-            for entry in range(L):
-                # symbolic prefix: the DFA advances t_prev-free until
-                # the first word completion
-                q, i = entry, 0
-                while i < n and complete_t[q][int(code[i])] < 0:
-                    q = delta_t[q][int(code[i])]
-                    i += 1
-                if i == n:
-                    brk.append([])
-                    exs.append([q]); ext.append([None]); exd.append([0])
-                    continue
-                j = complete_t[q][int(code[i])]
-                e = wedge_t[j]
-                if e is None:
-                    # untimed lock/emit: concrete from here on
-                    pieces = [lock_run(j, i)]
-                    breaks: list = []
-                elif e[0] == "<":
-                    s0 = occ_start(i, j)
-                    pieces = [restart_run(i), lock_run(j, i)]
-                    breaks = [s0 - e[1]]
-                else:
-                    # enumerate the wait chain: successive completions
-                    # of word j under KMP-search resume
-                    comps = [(i, occ_start(i, j))]
-                    qq, k = wcont_t[j], i + 1
-                    while k < n:
-                        a2 = int(code[k])
-                        if complete_t[qq][a2] == j:
-                            comps.append((k, occ_start(k, j)))
-                            qq = wcont_t[j]
-                        else:
-                            qq = delta_t[qq][a2]
-                        k += 1
-                    if e[0] == ">":
-                        pieces = [lock_run(j, c) for c, _ in comps]
-                        pieces.append((qq, None, 0))  # wait out the slice
-                        breaks = [s - e[1] - 1 for _, s in comps]
-                    else:  # '==': restart intervals + point locks
-                        uniq = []
-                        for c, s in comps:
-                            if not uniq or s != uniq[-1][1]:
-                                uniq.append((c, s))
-                        pieces, breaks = [], []
-                        for c, s in uniq:
-                            pieces.append(restart_run(c))
-                            breaks.append(s - e[1] - 1)
-                            pieces.append(lock_run(j, c))
-                            breaks.append(s - e[1])
-                        pieces.append((qq, None, 0))
-                # compress: merge adjacent pieces with equal outcomes
-                cb: list = []
-                cp: list = [pieces[0]]
-                for bval, piece in zip(breaks, pieces[1:]):
-                    if piece == cp[-1]:
-                        continue
-                    cb.append(bval)
-                    cp.append(piece)
-                brk.append(cb)
-                exs.append([p_[0] for p_ in cp])
-                ext.append([p_[1] for p_ in cp])
-                exd.append([p_[2] for p_ in cp])
+            brk, exs, ext, exd = _adjt_transfer_pieces(
+                meta, code, tsv, lag
+            )
             cols["user_id"].append(int(uid[ua]))
             # composite (slice, block) id: the fold's _sl sort keeps
             # block order inside each slice
@@ -10925,6 +11100,140 @@ def _sequence_count_adjacent_timed_users(
         "ext array<array<long>>, exd array<array<long>>, _sl long",
     )
     return _piecewise_fold_counts(funcs)
+
+
+def _sequence_count_adjacent_timed_multi(
+    spark, sf_dir, patterns, conds=_SEQ_CONDS, _sliced=None, _bounds=None,
+):
+    """The timed-ADJACENCY count battery FUSED (r12, guide §1.2/§2.4 —
+    the same shape as :func:`_sequence_count_timed_multi`): ONE
+    ranked/lag subtree built for the UNION of the patterns' occurrence-
+    start depths, ONE applyInPandas pass whose per-block sort, symbol
+    coding and lag extraction are shared across patterns
+    (:func:`_adjt_transfer_pieces` runs per pattern bit-identically to
+    the single-pattern kernel), and ONE (pattern, user) fold shuffle
+    replacing |patterns| separate kernel+fold jobs. Patterns without
+    lag depths simply never read the extra lag columns."""
+    import pandas as pd
+
+    from ..operators.ranking import composite_slice_key, ranked, slice_expr
+
+    metas = [
+        _seq_count_dfa_meta(p, conds, allow_timed=True) for p in patterns
+    ]
+    sym = {c: a for a, c in enumerate(conds)}
+    all_depths = sorted({d for m in metas for d in _adjt_lag_depths(m)})
+
+    if _sliced is not None and not all_depths:
+        st = _sliced
+    else:
+        ev = (
+            _sliced.drop("_sl")
+            if _sliced is not None
+            else t(spark, sf_dir, "events").select(
+                "user_id",
+                F.col("ts_us").cast("long").alias("ts_us"),
+                "event_id",
+                "event_type",
+            ).filter(F.col("event_type").isin(*set(conds)))
+        )
+        if all_depths:
+            base = ranked(
+                ev.withColumnRenamed("ts_us", "_ets"),
+                ["user_id"],
+                ["_ets", "event_id"],
+                slice_col=composite_slice_key("user_id", "_ets"),
+                broadcast_offsets=False,  # offsets grow with data (r9 trap)
+                bounds=_bounds,
+            ).drop("_n")
+            for d in all_depths:
+                lagd = base.select(
+                    F.col("user_id").alias("_lu"),
+                    (F.col("_rank") + F.lit(d)).alias("_lr"),
+                    F.col("_ets").alias(f"_lag{d}"),
+                )
+                base = base.join(
+                    lagd,
+                    (F.col("user_id") == F.col("_lu"))
+                    & (F.col("_rank") == F.col("_lr")),
+                    "left",
+                ).drop("_lu", "_lr")
+            st = base.withColumnRenamed("_ets", "ts_us").drop("_rank")
+        else:
+            st = ev
+        n_slices = spark.sparkContext.defaultParallelism
+        st = st.withColumn(
+            "_sl",
+            slice_expr(
+                st,
+                composite_slice_key("user_id", "ts_us"),
+                n_slices,
+                bounds=_bounds,
+            ),
+        )
+    lag_cols = [f"_lag{d}" for d in all_depths]
+
+    def tab(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["user_id", "ts_us", "event_id"], kind="mergesort"
+        )
+        uid = pdf["user_id"].to_numpy()
+        code_all = pdf["event_type"].map(sym).to_numpy(dtype=np.int64)
+        ts_all = pdf["ts_us"].to_numpy(dtype=np.int64)
+        lag_all = {}
+        for d, c in zip(all_depths, lag_cols):
+            v = pdf[c].to_numpy(dtype="float64")
+            lag_all[d] = np.where(
+                np.isnan(v), float(_SEQ_TIMED_SENT), v
+            ).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        sl = int(pdf["_sl"].iloc[0]) if len(pdf) else 0
+        cols: dict[str, list] = {
+            k: []
+            for k in ("_p", "user_id", "_sl", "brk", "exs", "ext", "exd")
+        }
+        blk_pairs = []
+        for ua, ub in zip(starts, ends):
+            for ca in range(int(ua), int(ub), _ADJT_BLOCK):
+                blk_pairs.append(
+                    (int(ua), ca, min(ca + _ADJT_BLOCK, int(ub)))
+                )
+        for ua, ca, ce in blk_pairs:
+            code = code_all[ca:ce]
+            tsv = ts_all[ca:ce]
+            lag = {d: lag_all[d][ca:ce] for d in all_depths}
+            comp_sl = sl * _ADJT_BLOCK_IDS + (ca - int(ua)) // _ADJT_BLOCK
+            for pi, m in enumerate(metas):
+                brk, exs, ext, exd = _adjt_transfer_pieces(
+                    m, code, tsv, lag
+                )
+                cols["_p"].append(pi)
+                cols["user_id"].append(int(uid[ua]))
+                cols["_sl"].append(comp_sl)
+                cols["brk"].append(brk)
+                cols["exs"].append(exs)
+                cols["ext"].append(ext)
+                cols["exd"].append(exd)
+        return pd.DataFrame(cols)
+
+    funcs = RK.grouped_kernel(
+        st,
+        ["_sl"],
+        tab,
+        "_p int, user_id long, brk array<array<long>>, "
+        "exs array<array<int>>, ext array<array<long>>, "
+        "exd array<array<long>>, _sl long",
+    )
+    counts = _piecewise_fold_counts(funcs, keys=("_p", "user_id"))
+    pat_arr = F.array(*[F.lit(p) for p in patterns])
+    return counts.select(
+        F.element_at(pat_arr, F.col("_p") + 1).alias("pattern"),
+        "user_id",
+        F.col("seq_count").cast("long").alias("seq_count"),
+    )
 
 
 _SEQ_COUNT_ADJT_PATTERNS = (
@@ -11157,17 +11466,14 @@ def sequence_count_adjacent_timed(spark, sf_dir):
     base = persist_in(
         rotating_scope("sequence_count_adjacent_timed"), sliced
     )
-    out = None
-    for pat in _SEQ_COUNT_ADJT_PATTERNS:
-        c = _sequence_count_adjacent_timed_users(
-            spark, sf_dir, pat, _sliced=base, _bounds=bounds
-        ).select(
-            F.lit(pat).alias("pattern"),
-            "user_id",
-            F.col("seq_count").cast("long").alias("seq_count"),
-        )
-        out = c if out is None else out.unionByName(c)
-    return out
+    # r12: the battery runs FUSED — one ranked/lag subtree for the
+    # union of occurrence-start depths, one kernel pass sharing the
+    # per-block sort/coding across patterns, one (pattern, user) fold
+    # shuffle (was: per-pattern kernel+fold x4, unioned)
+    return _sequence_count_adjacent_timed_multi(
+        spark, sf_dir, _SEQ_COUNT_ADJT_PATTERNS,
+        _sliced=base, _bounds=bounds,
+    )
 
 
 # r11: the greedy batteries' patterns plus the double-symbol ADJT word

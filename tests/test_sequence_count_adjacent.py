@@ -166,3 +166,45 @@ def test_library_dispatcher_adjacency(spark, sf_smoke):
         ).collect()
     }
     assert lib == ref
+
+
+def test_fused_battery_matches_per_pattern_union(spark, sf_smoke):
+    # r12: the entries run their whole pattern battery through ONE
+    # block-diagonal combined DFA (one kernel pass + one fold shuffle);
+    # the stacked automata must be row-for-row identical to the
+    # per-pattern unions they replaced — for BOTH table builders
+    # (adjacency KMP DFA and the existence restart DFA)
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _SEQ_COUNT_ADJ_PATTERNS,
+        _SEQ_COUNT_PATTERNS,
+        _restart_dfa,
+        _sequence_count_battery_fused,
+    )
+
+    fused = {
+        (r["pattern"], r["user_id"], r["seq_count"])
+        for r in _sequence_count_battery_fused(
+            spark, sf_smoke, _SEQ_COUNT_ADJ_PATTERNS
+        ).collect()
+    }
+    union = {
+        (pat, r["user_id"], r["seq_count"])
+        for pat in _SEQ_COUNT_ADJ_PATTERNS
+        for r in _sequence_count_adjacent_users(
+            spark, sf_smoke, pat
+        ).collect()
+    }
+    assert fused == union and fused
+
+    fused_r = {
+        (r["pattern"], r["user_id"], r["seq_count"])
+        for r in _sequence_count_battery_fused(
+            spark, sf_smoke, _SEQ_COUNT_PATTERNS, dfa_of=_restart_dfa
+        ).collect()
+    }
+    union_r = {
+        (pat, r["user_id"], r["seq_count"])
+        for pat in _SEQ_COUNT_PATTERNS
+        for r in _sequence_count_users(spark, sf_smoke, pat).collect()
+    }
+    assert fused_r == union_r and fused_r

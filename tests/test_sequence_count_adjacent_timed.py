@@ -155,3 +155,32 @@ def test_timed_counts_below_untimed_on_real_data(spark, sf_smoke):
         assert sum(timed.values()) < sum(untimed.values()), (
             f"{pat}: bound never bites on sf_smoke"
         )
+
+
+def test_fused_timed_battery_matches_per_pattern_union(spark, sf_smoke):
+    # r12: the entry runs the whole timed-adjacency battery through ONE
+    # shared ranked/lag subtree + ONE kernel pass + ONE (pattern, user)
+    # fold; must be row-for-row identical to the per-pattern union it
+    # replaced
+    from pyspark.sql import functions as F
+
+    from clickhouse_github_log_importer_spark.plans.queries import (
+        _SEQ_COUNT_ADJT_PATTERNS,
+        _sequence_count_adjacent_timed_multi,
+        _sequence_count_adjacent_timed_users,
+    )
+
+    fused = {
+        (r["pattern"], r["user_id"], r["seq_count"])
+        for r in _sequence_count_adjacent_timed_multi(
+            spark, sf_smoke, _SEQ_COUNT_ADJT_PATTERNS
+        ).collect()
+    }
+    union = {
+        (pat, r["user_id"], r["seq_count"])
+        for pat in _SEQ_COUNT_ADJT_PATTERNS
+        for r in _sequence_count_adjacent_timed_users(
+            spark, sf_smoke, pat
+        ).collect()
+    }
+    assert fused == union and fused
