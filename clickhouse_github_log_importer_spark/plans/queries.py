@@ -9920,25 +9920,38 @@ def _sequence_count_timed_multi(
         tsv = pdf["ts_us"].to_numpy()
         starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
         ends = np.r_[starts[1:], len(uid)]
-        cols: dict[str, list] = {
-            k: [] for k in ("_p", "user_id", "brk", "exs", "ext", "exd")
-        }
-        for a, b in zip(starts, ends):
-            sub = et[a:b]
-            sts = tsv[a:b]
-            pos = {tn: np.flatnonzero(sub == tn) for tn in all_types}
-            for pi, (types, edges, k_states) in enumerate(metas):
-                brk, exs, ext, exd = _timed_transfer_pieces(
-                    types, edges, k_states, sts, pos
-                )
-                cols["_p"].append(pi)
-                cols["user_id"].append(int(uid[a]))
-                cols["brk"].append(brk)
-                cols["exs"].append(exs)
-                cols["ext"].append(ext)
-                cols["exd"].append(exd)
         sl = int(pdf["_sl"].iloc[0]) if len(pdf) else 0
-        cols["_sl"] = [sl] * len(cols["user_id"])
+        cols: dict[str, list] = {
+            k: []
+            for k in ("_p", "user_id", "_sl", "brk", "exs", "ext", "exd")
+        }
+        # kernel-side sub-slicing (r12, the adjacency kernel's skew fix
+        # applied here): a '>'-gated wait chain costs O(width x comps)
+        # per entry state — quadratic in a hot user's in-slice width.
+        # Fixed-width blocks bound it to O(width x BLOCK); the
+        # piecewise fold composes blocks exactly like slices (composite
+        # ids keep (slice, block) order). Measured on the mega-user
+        # skew corpus: ratio 4.98 -> see SKEW_PROBE.json.
+        for a, b in zip(starts, ends):
+            for ca in range(int(a), int(b), _ADJT_BLOCK):
+                ce = min(ca + _ADJT_BLOCK, int(b))
+                sub = et[ca:ce]
+                sts = tsv[ca:ce]
+                pos = {tn: np.flatnonzero(sub == tn) for tn in all_types}
+                comp_sl = (
+                    sl * _ADJT_BLOCK_IDS + (ca - int(a)) // _ADJT_BLOCK
+                )
+                for pi, (types, edges, k_states) in enumerate(metas):
+                    brk, exs, ext, exd = _timed_transfer_pieces(
+                        types, edges, k_states, sts, pos
+                    )
+                    cols["_p"].append(pi)
+                    cols["user_id"].append(int(uid[a]))
+                    cols["_sl"].append(comp_sl)
+                    cols["brk"].append(brk)
+                    cols["exs"].append(exs)
+                    cols["ext"].append(ext)
+                    cols["exd"].append(exd)
         return pd.DataFrame(cols)
 
     funcs = RK.grouped_kernel(
@@ -9947,7 +9960,7 @@ def _sequence_count_timed_multi(
         tab,
         "_p int, user_id long, brk array<array<long>>, "
         "exs array<array<int>>, ext array<array<long>>, "
-        "exd array<array<long>>, _sl int",
+        "exd array<array<long>>, _sl long",
     )
     counts = _piecewise_fold_counts(funcs, keys=("_p", "user_id"))
     pat_arr = F.array(*[F.lit(p) for p in patterns])
@@ -11460,6 +11473,12 @@ def sequence_count_adjacent_timed(spark, sf_dir):
     # in-slice width. The kernel bounds that itself with fixed-width
     # _ADJT_BLOCK sub-slices (commit 3f85030; 4.86x -> ~1.02x on the
     # mega-user corpus), so the base keeps the default slice count.
+    # r12: 4x finer slices were TRIED for the fused battery (the timed
+    # multi's packing fix) and REVERTED — uniform-case A/B ~4.8 -> 13+ s
+    # (4x the transfer rows per user through the piecewise HOF fold);
+    # the fused battery's skew ratio 2.39 (SKEW_PROBE, clean steal) is
+    # the straggler-concentration cost of serializing patterns per
+    # slice task, accepted against a 3x uniform-case regression.
     sliced, bounds = _seq_count_sliced_base(
         spark, sf_dir, _SEQ_CONDS, with_bounds=True
     )
