@@ -123,69 +123,72 @@ SAMPLED_PRIOR: frozenset[str] = frozenset(
         # r11 additions
         "sequence_count_timed_backtracking", "stream_adjacency_count_fold",
         "stream_funnel_cascade_fold", "stream_time_decay_fold",
+        # r12 additions
+        "sequence_match_events_backtracking", "stream_backtracking_count_fold",
+        "stream_cms_fold", "stream_kmv_fold", "stream_lww_dedup_fold",
+        "stream_match_events_fold", "stream_quantile_fold",
     }
 )
 
-# round-12 window: (a) user_activity (entry() names it), (b) every entry
-# that is brand-new or whose plan changed this round, (c) re-verification
-# filler ordered by OLDEST latest-green driver evidence: the 20-entry
-# r7-evidence block (the oldest tail after r11 held full cumulative
-# coverage), then the r8-evidence block in registration order (fills
-# to 50).
+# round-13 window: (a) user_activity (entry() names it), (b) every entry
+# whose plan changes this optimization round (none brand-new — r13 adds
+# no features), (c) re-verification filler ordered by OLDEST
+# latest-green driver evidence: the full 25-entry r8-evidence block
+# (the oldest tail after r12 held full cumulative coverage), then the
+# r9-evidence block in registration order (fills to 50).
 DRIVER_SAMPLE: tuple[str, ...] = (
     "user_activity",
-    # --- brand new / changed this round: driver must see immediately ---
-    "stream_funnel_cascade_fold",      # r12: event-driven cascade (plan change)
-    "stream_backtracking_count_fold",  # r12 NEW: in-watermark BT fold
-    "stream_lww_dedup_fold",           # r12 NEW: LWW state compare loop
-    "stream_quantile_fold",            # r12 NEW: histogram state algebra
-    "sequence_match_events_backtracking",  # r12 NEW: CH-exact witnesses
-    "stream_kmv_fold",                 # r12 NEW: KMV merge algebra
-    "stream_cms_fold",                 # r12 NEW: CMS grid update loop
-    "stream_match_events_fold",        # r12 NEW: first-match decision loop
-    # --- re-verification filler: r7-evidence block, registration order ---
-    "events_limit_by",
-    "purchase_attribution_windowed",
-    "user_bounding_ratio",
-    "window_funnel_levels_inclusive",
-    "conditional_aggregates_by_type",
-    "spearman_value_hour",
-    "categorical_association_suite",
-    "value_moments_by_type",
-    "value_hour_regression",
-    "bitwise_user_masks",
-    "hour_entropy_by_type",
-    "hourly_autocorrelation",
-    "hourly_outliers_tukey",
-    "hourly_period_strength",
-    "user_sessions_native",
-    "value_multiple_regression",
-    "grouping_sets_volume",
-    "window_funnel_strict_dedup",
-    "daily_value_array_ops",
-    "sequence_count_compiled",
-    # --- r8-evidence block, registration order (fills to 50) ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_volume",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q19_bracket_revenue",
-    "q15_top_suppliers",
-    "q22_idle_customers",
-    "q4_late_shipments",
-    "q13_customer_distribution",
-    "q16_supplier_diversity",
-    "q17_small_quantity_revenue",
-    "q2_min_cost_supplier",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q20_excess_suppliers",
+    # --- r8-evidence block (oldest latest-green), registration order ---
+    "q21_sole_blame_suppliers",
+    "sequence_next_node",
+    "window_funnel_strict_order",
+    "hourly_sparkbar_by_type",
+    "value_equidepth_histogram",
+    "categorical_information_value",
+    "bitmap_state_rollup",
+    "topk_state_rollup",
+    "hourly_series_decomposition",
+    "feature_corr_matrix",
+    "sequence_match_min_gap",
+    "score_auc",
+    "score_calibration_curve",
+    "tfidf_doc_keywords",
+    "gopher_rules_report",
+    "source_overlap_matrix",
+    "lang_id_confusion",
+    "sequence_next_node_matrix",
+    "time_decayed_user_stats",
+    "session_window_counts",
+    "logistic_regression_irls",
+    "user_decayed_day_checkpoints",
+    "sequence_match_events",
+    "user_value_derivative_profile",
+    "top_k_weighted_types_daily",
+    # --- r9-evidence block, registration order (fills to 50) ---
+    "record_count",
+    "events_per_type",
+    "most_used_prop",
+    "most_used_word",
+    "missing_hours",
+    "user_watermarks",
+    "dedup_last_write_wins",
+    "top_users_by_value",
+    "users_not_customers",
+    "hourly_event_counts",
+    "top_brands_by_revenue",
+    "nation_customer_rollup",
+    "order_priority_counts",
+    "top_events_per_user",
+    "daily_running_totals",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash_signatures",
+    "ngram_jaccard_pairs",
+    "ann_cosine_topk",
+    "ann_lsh_buckets",
+    "ann_ivf_lists",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
 )
 
 

@@ -59,16 +59,9 @@ def test_window_actually_rotates():
 
 
 # brand-new or plan-changed entries this round; grows as the round does
-NEW_THIS_ROUND: tuple[str, ...] = (
-    "stream_funnel_cascade_fold",      # r12: event-driven cascade (plan change)
-    "stream_backtracking_count_fold",  # r12 NEW: in-watermark BT fold
-    "stream_lww_dedup_fold",           # r12 NEW: LWW state compare loop
-    "stream_quantile_fold",            # r12 NEW: histogram state algebra
-    "sequence_match_events_backtracking",  # r12 NEW: CH-exact witnesses
-    "stream_kmv_fold",                 # r12 NEW: KMV merge algebra
-    "stream_cms_fold",                 # r12 NEW: CMS grid update loop
-    "stream_match_events_fold",        # r12 NEW: first-match decision loop
-)
+# (r13 is an optimization round: no brand-new entries; plan-changed
+# entries join here AND the window as optimizations land)
+NEW_THIS_ROUND: tuple[str, ...] = ()
 
 
 def test_ordered_names_stable_tail():
