@@ -39,6 +39,29 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: (applicationId, analyzed-plan semanticHash of the single-column bounds
+#: probe, n_slices) -> boundary literals. Slice boundaries are TABLE-LEVEL
+#: ORDER STATISTICS of an immutable input — the same distribution every
+#: repeat of the same probe plan would re-learn with a full blocking
+#: driver job (at 100 TB: a full extra pass over the data per query per
+#: run). Real engines persist exactly this in the catalog (ClickHouse's
+#: sparse primary index, Spark CBO column stats); memoizing the literals
+#: per (app, plan, slicing) is the in-process analog. SAFE BY
+#: CONSTRUCTION: boundaries affect slice BALANCE only, never results —
+#: a slice id must merely be a deterministic monotone function of the
+#: order key for the carry algebra to hold (pytest-pinned slice
+#: invariance), so even a hash collision or a stale serve cannot change
+#: a query's output, only its task sizing. Entries are dropped when the
+#: application changes; `clear_bounds_memo()` resets for probes/tests.
+_BOUNDS_MEMO: dict[tuple, list[float]] = {}
+
+
+def clear_bounds_memo() -> None:
+    """Forget memoized slice boundaries (probe/test hook — the scale and
+    skew probes clear per-repeat memos so a stamp measures the fit)."""
+    _BOUNDS_MEMO.clear()
+
+
 def slice_bounds(
     df: DataFrame, order_col: str | Column, n_slices: int
 ) -> list[float]:
@@ -57,15 +80,31 @@ def slice_bounds(
     deterministic monotone non-decreasing function of the order key for
     the carry algebra to hold; WHICH boundaries are used affects balance
     only, and boundaries from the same key distribution are the same
-    ones the second job would have produced."""
+    ones the second job would have produced.
+
+    r13 (guide §1.2/§6): boundaries for an IDENTICAL probe plan are
+    additionally memoized per application (see ``_BOUNDS_MEMO``) — the
+    cross-query/cross-pass form of the same dedup: distinct entries
+    slicing the same stream by the same composite key were each paying
+    the full-scan bounds job to re-learn the same literals."""
     qs = [i / n_slices for i in range(1, n_slices)]
     c_in = F.col(order_col) if isinstance(order_col, str) else order_col
-    return sorted(
-        set(
-            df.select(c_in.cast("double").alias("_b"))
-            .approxQuantile("_b", qs, 0.001)
+    probe = df.select(c_in.cast("double").alias("_b"))
+    key = None
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            probe._jdf.queryExecution().analyzed().semanticHash(),
+            n_slices,
         )
-    )
+    except Exception:  # noqa: BLE001 — memo is an optimization only
+        key = None
+    if key is not None and key in _BOUNDS_MEMO:
+        return _BOUNDS_MEMO[key]
+    out = sorted(set(probe.approxQuantile("_b", qs, 0.001)))
+    if key is not None:
+        _BOUNDS_MEMO[key] = out
+    return out
 
 
 def slice_from_bounds(

@@ -185,3 +185,67 @@ def test_running_max_sliced_composite_slice_col(spark):
         for r in df.select("k", "id", F.max("v").over(w).alias("m")).collect()
     }
     assert got == want
+
+
+def test_bounds_memo_hits_and_never_changes_results(spark, tmp_path):
+    """r13 bounds memo: identical probe plans (parquet-backed, the t()
+    shape every entry uses) share ONE approxQuantile driver job per
+    application; clearing re-runs it; and — the safety property that
+    makes memoization legitimate — boundaries affect slice BALANCE only,
+    so even a deliberately WRONG memo serve leaves every ranked result
+    bit-identical."""
+    from clickhouse_github_log_importer_spark.operators import ranking as R
+
+    data = [(i, "ab"[i % 2], float((i * 13) % 29)) for i in range(300)]
+    src = spark.createDataFrame(data, "id long, cat string, v double")
+    path = str(tmp_path / "bounds_memo.parquet")
+    src.write.parquet(path)
+    # two SEPARATE reads of the same files: canonicalized plans are
+    # semantically equal, so the second probe must be a memo hit
+    df1 = spark.read.parquet(path)
+    df2 = spark.read.parquet(path)
+
+    calls = {"n": 0}
+    orig = type(df1).approxQuantile
+
+    def counting_aq(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    type(df1).approxQuantile = counting_aq
+    try:
+        R.clear_bounds_memo()
+        b1 = R.slice_bounds(df1, "v", 5)
+        b2 = R.slice_bounds(df2, "v", 5)  # separately built, same plan
+        assert calls["n"] == 1, "identical probe plans must share one job"
+        assert b1 == b2
+        R.clear_bounds_memo()
+        R.slice_bounds(df1, "v", 5)
+        assert calls["n"] == 2, "clear must force a recompute"
+        # different n_slices -> different key -> fresh job
+        R.slice_bounds(df1, "v", 7)
+        assert calls["n"] == 3
+    finally:
+        type(df1).approxQuantile = orig
+
+    # wrong-bounds serve: poison the memo with garbage boundaries and
+    # assert ranked() output is unchanged (slice invariance)
+    expected = sorted(
+        (r["id"], r["_rank"], r["_n"])
+        for r in R.ranked(df1, ["cat"], ["v", "id"], n_slices=5).collect()
+    )
+    probe = df1.select(F.col("v").cast("double").alias("_b"))
+    key = (
+        spark.sparkContext.applicationId,
+        probe._jdf.queryExecution().analyzed().semanticHash(),
+        5,
+    )
+    R._BOUNDS_MEMO[key] = [2.0]  # absurdly unbalanced single boundary
+    try:
+        poisoned = sorted(
+            (r["id"], r["_rank"], r["_n"])
+            for r in R.ranked(df1, ["cat"], ["v", "id"], n_slices=5).collect()
+        )
+    finally:
+        R.clear_bounds_memo()
+    assert poisoned == expected
