@@ -82,7 +82,18 @@ def persist_in(scope: CacheScope | None, df: DataFrame) -> DataFrame:
     is active, so registry entries that call persisting operators without
     threading a scope still get bounded lifetimes; outside any entry the
     historical bare-persist/LRU behavior remains.
+
+    A frame that is ALREADY cached is returned untouched (r13): its
+    lifetime belongs to whoever persisted it — e.g. the bounded
+    cross-entry edge memo ``_COACT_EDGES`` — and re-registering it here
+    handed that frame to the caller's ROTATING scope, whose next-
+    invocation rotation unpersisted it out from under its owner (the
+    r12 ambient-scope change silently broke the deliberate shared
+    persists this way: measured as the coactivity entries recomputing
+    the full distinct+self-join edge pipeline every second invocation).
     """
+    if df.is_cached:
+        return df
     if scope is None:
         scope = ambient_scope()
     return scope.persist(df) if scope is not None else df.persist()

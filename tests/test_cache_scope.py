@@ -18,16 +18,19 @@ from clickhouse_github_log_importer_spark.operators.cache import (
 class _FakeFrame:
     """DataFrame stand-in counting persist/unpersist pairs."""
 
-    def __init__(self) -> None:
+    def __init__(self, cached: bool = False) -> None:
         self.persisted = 0
         self.unpersisted = 0
+        self.is_cached = cached
 
     def persist(self):
         self.persisted += 1
+        self.is_cached = True
         return self
 
     def unpersist(self, blocking=False):
         self.unpersisted += 1
+        self.is_cached = False
         return self
 
 
@@ -138,3 +141,29 @@ def test_ambient_entry_scope_bounds_scopeless_persists():
     rotating_scope("entry:test-ambient")  # cleanup
     rotating_scope("entry:outer")
     rotating_scope("entry:inner")
+
+
+def test_persist_in_leaves_foreign_cached_frames_alone():
+    # r13: a frame someone else already persisted (a bounded cross-entry
+    # memo like _COACT_EDGES) must NOT be re-registered into the
+    # caller's rotating scope — that rotation would unpersist the
+    # owner's cache out from under it on the entry's next invocation
+    from clickhouse_github_log_importer_spark.operators.cache import (
+        entry_scope,
+        persist_in,
+    )
+
+    shared = _FakeFrame(cached=True)  # owned by a memo, already cached
+    with entry_scope("entry:test-foreign"):
+        out = persist_in(None, shared)
+    assert out is shared
+    assert shared.persisted == 0  # untouched
+    # rotation must not unpersist the foreign frame
+    with entry_scope("entry:test-foreign"):
+        pass
+    from clickhouse_github_log_importer_spark.operators.cache import (
+        rotating_scope,
+    )
+
+    rotating_scope("entry:test-foreign")  # flush
+    assert shared.unpersisted == 0
