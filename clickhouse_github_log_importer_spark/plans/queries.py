@@ -8748,6 +8748,8 @@ def _sequence_match_users(
     (measured: the 3-pass 4-step chain at 4.0 s plain vs 3.0 s
     persisted at sf0.1; re-execution grows with chain depth while the
     persist cost stays one stream-sized write per pass)."""
+    from ..operators.cache import checkpoint_in
+
     steps, edges = _parse_seq_pattern(pattern)
     bad = [i for i in steps if i > len(conds)]
     if bad:
@@ -8795,7 +8797,7 @@ def _sequence_match_users(
                 "_q", F.when((F.col("_step") == k) & ok, F.col("_ts"))
             ).drop("_u_eq", "_ts_eq")
             if scope is not None and k < len(steps):
-                cur = scope.persist(cur)
+                cur = checkpoint_in(scope, cur)
             continue
         cur = _seq_running(
             cur, use_min=edge is not None and edge[0] in (">", ">=")
@@ -8822,7 +8824,7 @@ def _sequence_match_users(
             "_q", F.when((F.col("_step") == k) & ok, F.col("_ts"))
         ).drop("_G")
         if scope is not None and k < len(steps):
-            cur = scope.persist(cur)
+            cur = checkpoint_in(scope, cur)
     return (
         cur.filter((F.col("_step") == len(steps)) & F.col("_q").isNotNull())
         .select("user_id")
@@ -8923,14 +8925,18 @@ _SEQ_COMPILED_PATTERNS = (
     "add no exchange. Conditions: 1=signup 2=click 3=purchase 4=view.",
 )
 def sequence_match_compiled(spark, sf_dir):
-    from ..operators.cache import persist_in, rotating_scope
+    from ..operators.cache import checkpoint_in, rotating_scope
 
-    # ONE persisted pattern-independent sliced stream (r9): before, each
-    # of the six patterns re-executed the scan+filter+quantile subtree —
-    # the suite's most expensive row (9.2 s). All per-pattern (event,
-    # step) streams are now projections of this in-memory frame.
+    # ONE materialized pattern-independent sliced stream (r9): before,
+    # each of the six patterns re-executed the scan+filter+quantile
+    # subtree — the suite's most expensive row (9.2 s). All per-pattern
+    # (event, step) streams are projections of this frame; r13
+    # checkpoints instead of persisting so the six chains' eager
+    # analyses and the action-time optimizer walk a LEAF, not the full
+    # scan+slice subtree (cache.checkpoint_in: build 0.87 -> 0.61 s,
+    # execute 2.99 -> 1.93 s on the deep chain alone).
     scope = rotating_scope("sequence_match_compiled")
-    base = persist_in(scope, _seq_base_stream(spark, sf_dir, _SEQ_CONDS))
+    base = checkpoint_in(scope, _seq_base_stream(spark, sf_dir, _SEQ_CONDS))
     # r12 (guide §2.4): patterns over the SAME step-type tuple have the
     # same step sequence, so their K-1 running-extrema passes differ
     # only in which extremum each pattern takes of ITS qualified-ts
@@ -8998,7 +9004,7 @@ def sequence_match_compiled(spark, sf_dir):
             # materialize between passes on deep chains only (see the
             # singleton branch above for the measured rationale)
             if k < k_total and k_total >= 4:
-                cur = scope.persist(cur)
+                cur = checkpoint_in(scope, cur)
         # ONE aggregation over the fused chain for ALL member counts: a
         # per-member filter-then-distinct would reference `cur` once per
         # pattern, and everything above the chain's last Exchange (the
@@ -9273,13 +9279,14 @@ _SEQ_ADJ_PATTERNS = (
     "Conditions: 1=signup 2=click 3=purchase 4=view.",
 )
 def sequence_match_adjacent(spark, sf_dir):
-    from ..operators.cache import persist_in, rotating_scope
+    from ..operators.cache import checkpoint_in, rotating_scope
 
     out = None
-    # persist the shared ranked stream: every pattern's position DP
-    # reads it several times (candidate filters + marker sides)
+    # materialize the shared ranked stream: every pattern's position DP
+    # reads it several times (candidate filters + marker sides); r13
+    # checkpoint — the DP branches' analyses/optimizer walk a leaf
     cache: dict = {
-        tuple(_SEQ_CONDS): persist_in(
+        tuple(_SEQ_CONDS): checkpoint_in(
             rotating_scope("sequence_match_adjacent"),
             _adjacent_event_stream(spark, sf_dir, _SEQ_CONDS),
         )
@@ -9535,16 +9542,18 @@ def _seq_count_oracle() -> str:
     "existence compiler covers those.",
 )
 def sequence_count_compiled(spark, sf_dir):
-    from ..operators.cache import persist_in, rotating_scope
+    from ..operators.cache import checkpoint_in, rotating_scope
 
-    # ONE persisted pattern-independent sliced base for the battery
-    # (r12): each pattern ran its own scan + slice-quantile job before
+    # ONE materialized pattern-independent sliced base for the battery
+    # (r12): each pattern ran its own scan + slice-quantile job before.
+    # r13: checkpointed (plan-leaf) instead of persisted — see
+    # cache.checkpoint_in.
     union_types = {
         _SEQ_CONDS[i - 1]
         for pat in _SEQ_COUNT_PATTERNS
         for i in _parse_seq_pattern(pat)[0]
     }
-    base = persist_in(
+    base = checkpoint_in(
         rotating_scope("sequence_count_compiled"),
         _seq_count_sliced_base(spark, sf_dir, union_types),
     )
@@ -10741,12 +10750,13 @@ def _seq_count_adj_oracle() -> str:
     "Conditions: 1=signup 2=click 3=purchase 4=view.",
 )
 def sequence_count_adjacent(spark, sf_dir):
-    from ..operators.cache import persist_in, rotating_scope
+    from ..operators.cache import checkpoint_in, rotating_scope
 
     # the adjacency machines all read the FULL conds-filtered stream
     # (undeclared types invisible, everything else position-relevant),
-    # so one persisted sliced base serves every pattern
-    base = persist_in(
+    # so one materialized sliced base serves every pattern (r13:
+    # checkpointed — see cache.checkpoint_in)
+    base = checkpoint_in(
         rotating_scope("sequence_count_adjacent"),
         _seq_count_sliced_base(spark, sf_dir, _SEQ_CONDS),
     )
@@ -11466,7 +11476,7 @@ def _seq_count_adjt_oracle() -> str:
     "Conditions: 1=signup 2=click 3=purchase 4=view.",
 )
 def sequence_count_adjacent_timed(spark, sf_dir):
-    from ..operators.cache import persist_in, rotating_scope
+    from ..operators.cache import checkpoint_in, rotating_scope
 
     # skew note: a '>'-gated word's wait-chain tabulates one concrete
     # continuation per candidate completion — O(width^2) in a user's
@@ -11482,7 +11492,7 @@ def sequence_count_adjacent_timed(spark, sf_dir):
     sliced, bounds = _seq_count_sliced_base(
         spark, sf_dir, _SEQ_CONDS, with_bounds=True
     )
-    base = persist_in(
+    base = checkpoint_in(
         rotating_scope("sequence_count_adjacent_timed"), sliced
     )
     # r12: the battery runs FUSED — one ranked/lag subtree for the
