@@ -129,9 +129,11 @@ def bitmap_pair_overlap(
     the lifetime. The per-pair AND counts and per-key totals are
     O(#keys^2) / O(#keys) rows and broadcast into the spine joins.
     """
-    from .cache import persist_in
+    from .cache import checkpoint_in
 
-    bm = persist_in(scope, bm)
+    # r13: checkpoint over persist (A/B bitmap_audience_overlap 2/3
+    # pairwise) — the a/b spine sides walk a plan leaf
+    bm = checkpoint_in(scope, bm)
     a = bm.select(
         F.col("key").alias("type_a"),
         F.col("bucket").alias("bucket"),

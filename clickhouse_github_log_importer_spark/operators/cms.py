@@ -75,9 +75,11 @@ def heavy_hitter_audit(
     column is the measured collision error — the width/depth tuning
     signal, same audit pattern as ann_recall_report / the MinHash
     calibration. Ties on count break to the smaller key."""
-    from .cache import persist_in
+    from .cache import checkpoint_in
 
-    per_key = persist_in(
+    # r13: checkpoint over persist (A/B heavy_hitters_cms 3/3 pairwise,
+    # min 0.60 -> 0.36 s) — both consumers walk a plan leaf
+    per_key = checkpoint_in(
         None, df.groupBy(key_col).agg(F.count("*").alias("exact_count"))
     )
     cells = cms_cells(

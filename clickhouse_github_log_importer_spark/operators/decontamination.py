@@ -127,14 +127,17 @@ def bloom_contamination_report(
     rows are the docs a bloom-only screen would over-drop — the
     measured FP rate is the tuning signal for BLOOM_BITS/BLOOM_HASHES.
     """
-    from .cache import persist_in
+    from .cache import checkpoint_in
 
     # tr feeds three consumers (bloom branch, exact audit, totals) and
-    # ev two (position set, exact side): persist both or the shingle
+    # ev two (position set, exact side): materialize both or the shingle
     # explode+distinct pipeline runs 5x (~25% wall at sf0.1 where the
-    # pipeline is cheap; at corpus scale the recompute IS the query)
-    tr = persist_in(scope, doc_shingle_hashes(train, text_col, id_col, n))
-    ev = persist_in(scope, doc_shingle_hashes(eval_docs, text_col, id_col, n))
+    # pipeline is cheap; at corpus scale the recompute IS the query).
+    # r13: checkpoint over persist (A/B bloom_contamination_report 3/3
+    # pairwise, min 2.95 -> 2.50 s) — five consumer branches each walk
+    # a plan leaf instead of the shingle pipeline
+    tr = checkpoint_in(scope, doc_shingle_hashes(train, text_col, id_col, n))
+    ev = checkpoint_in(scope, doc_shingle_hashes(eval_docs, text_col, id_col, n))
     evpos = (
         ev.select(F.explode(F.array(*bloom_positions("shingle_hash"))).alias("pos"))
         .distinct()

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_hash64
-from .cache import CacheScope, persist_in
+from .cache import CacheScope, checkpoint_in, persist_in
 
 #: MinHash defaults: 12 permutations in 4 bands of 3 rows — detects
 #: Jaccard >~ 0.6 pairs with high probability while keeping the signature
@@ -124,10 +124,13 @@ def dup_span_profile(
         F.explode(shingles_of(text_col, n)).alias("s"),
     ).select(F.col(id_col), md5_hash64("s").alias("g"))
     per_dg = spans.groupBy(id_col, "g").agg(F.count("*").alias("c_dg"))
-    # per_dg feeds BOTH the corpus rollup and the join probe: persist it
-    # or the explode+hash+first-shuffle pipeline runs twice (DataFrame
-    # lineage shares no subtrees). ~2x measured at sf0.1.
-    per_dg = persist_in(scope, per_dg)
+    # per_dg feeds BOTH the corpus rollup and the join probe:
+    # materialize it or the explode+hash+first-shuffle pipeline runs
+    # twice (DataFrame lineage shares no subtrees; ~2x measured at
+    # sf0.1). r13: lazy localCheckpoint over persist — plan truncates
+    # to a leaf for both consumers (A/B dup_span_report 3/3 pairwise,
+    # min 1.40 -> 1.06 s; chunk-profile twin 3/3, 1.22 -> 0.77 s).
+    per_dg = checkpoint_in(scope, per_dg)
     per_g = per_dg.groupBy("g").agg(F.sum("c_dg").alias("c_g"))
     return (
         per_dg.join(per_g, "g")
@@ -246,11 +249,13 @@ def lsh_candidate_pairs(
     """
     if sig is None:
         sig = minhash_signatures(df, text_col, id_col, perms)
-    # persist the (small) band table: the self-join would otherwise
+    # materialize the (small) band table: the self-join would otherwise
     # recompute the full shingle+hash pipeline for BOTH sides (~2x cost
     # measured). One row per band per doc — tiny relative to the corpus;
-    # pass a CacheScope to control the unpersist point (operators/cache.py).
-    bh = persist_in(scope, band_hashes(sig, perms, bands))
+    # pass a CacheScope to control the release point (operators/cache.py).
+    # r13: checkpoint over persist (A/B minhash_estimate_report 3/3
+    # pairwise; lsh/clusters 2/3 — see OPTIMIZATION_r13.md).
+    bh = checkpoint_in(scope, band_hashes(sig, perms, bands))
     a = bh.alias("a")
     b = bh.alias("b")
     return (

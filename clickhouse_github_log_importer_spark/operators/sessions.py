@@ -662,5 +662,19 @@ def window_funnel(
         return _funnel_levels(g, window_us, k3=0, k1=-2)
     g = funnel_chain_scan(events, conds=conds, bounds=b)
     if mode == "strict_dedup":
-        return _funnel_strict_dedup(g, window_us, bounds=b)
+        # r13: strict_dedup's SECOND segmented pass re-executes the
+        # whole chain scan per consuming branch. A PERSIST here lost on
+        # A/B in r12 (4.2 -> 5.1 s: cache write + frozen partitioning);
+        # a lazy localCheckpoint WINS (A/B min 3.38 -> 2.47 s, 2/3
+        # pairwise after warm-up) because it additionally truncates the
+        # logical plan — the second pass's eager analyses and the
+        # action-time optimizer walk a leaf (cache.checkpoint_in). The
+        # single-second-pass modes (default/inclusive levels) LOST
+        # 0.1-0.2 s under the same A/B — their carry-branch re-execution
+        # back-fills idle cores — so only strict_dedup materializes.
+        from .cache import checkpoint_in
+
+        return _funnel_strict_dedup(
+            checkpoint_in(None, g), window_us, bounds=b
+        )
     return _funnel_levels(g, window_us, k3=-2, k1=0)

@@ -23,7 +23,7 @@ from ..operators import dedup_text as DT
 from ..operators import multimodal as MM
 from ..operators import similarity as SIM
 from ..operators import text_analysis as TA
-from ..operators.cache import persist_in
+from ..operators.cache import checkpoint_in, persist_in
 from .queries import register, t
 
 # --- shared SQL fragments ----------------------------------------------------
@@ -2061,9 +2061,11 @@ def minhash_estimate_report(spark, sf_dir):
     # shingle sets (exact side). Round 3 computed the shingle->hash
     # pipeline ~3x here (signatures, then lsh_candidate_pairs' internal
     # recompute, then jaccard_verify's re-shingle).
-    prof = persist_in(None, DT.minhash_signatures(docs, keep_shingles=True))
+    # r13: checkpoint over persist (A/B 3/3 pairwise, min 1.29 -> 1.24,
+    # medians lower on every trial) — see cache.checkpoint_in
+    prof = checkpoint_in(None, DT.minhash_signatures(docs, keep_shingles=True))
     sig = prof.drop("sh")
-    pairs = persist_in(None, DT.lsh_candidate_pairs(docs, sig=sig))
+    pairs = checkpoint_in(None, DT.lsh_candidate_pairs(docs, sig=sig))
     matches = sum(
         (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int")
         for i in range(DT.MINHASH_PERMS)
@@ -2254,7 +2256,9 @@ def chunk_dup_rate(spark, sf_dir):
         "doc_id", "chunk_hash"
     )
     per_dh = ch.groupBy("doc_id", "chunk_hash").agg(F.count("*").alias("c_dh"))
-    per_dh = persist_in(None, per_dh)  # feeds the rollup AND the join probe
+    # r13: checkpoint over persist (A/B chunk_dup_rate 3/3 pairwise,
+    # min 1.22 -> 0.77 s)
+    per_dh = checkpoint_in(None, per_dh)  # feeds the rollup AND the join probe
     per_h = per_dh.groupBy("chunk_hash").agg(F.sum("c_dh").alias("c_h"))
     return (
         per_dh.join(per_h, "chunk_hash")
