@@ -45,10 +45,13 @@ from .cache import CacheScope
 
 # lineage-truncation cadence for the incremental trainer: between
 # checkpoints the two-branch union doubles the LOGICAL plan per
-# generation, so analysis cost is bounded at 2^_BPE_CKPT_EVERY cached
-# subtree references — small — while 2 of every 3 generations skip the
-# checkpoint entirely
-_BPE_CKPT_EVERY = 3
+# generation. r13: EVERY generation checkpoints (was every 3rd) — the
+# lazy localCheckpoint adds no job, and keeping both frames at plan
+# depth 1 makes each step's eager analyses and per-argmax optimizer run
+# walk leaves (interleaved A/B at sf0.1, order-reversed across trials:
+# 6/7 pairwise, min 4.55 -> 4.19 s; the r11 3-barrier-jobs cost this
+# cadence once guarded against came from EAGER checkpoints, not lazy)
+_BPE_CKPT_EVERY = 1
 
 
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:

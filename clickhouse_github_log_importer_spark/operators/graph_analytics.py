@@ -61,11 +61,20 @@ def pagerank_fixed_point(
     :func:`.dedup_text.connected_components`, keeping the plan O(1) in
     the iteration count.
     """
-    # every iteration re-reads the edge list and degrees; persisting them
-    # turns the loop body into a cached-join + agg instead of re-running
-    # the upstream projection `iters` times (cache.py lifetime notes)
-    edges = persist_in(scope, edges)
-    deg = persist_in(scope, edges.groupBy("src").agg(F.count("*").alias("od")))
+    # every iteration re-reads the edge list and degrees; materializing
+    # them turns the loop body into a cached-join + agg instead of
+    # re-running the upstream projection `iters` times (cache.py
+    # lifetime notes). r13: lazy localCheckpoint over persist — every
+    # iteration's eager analysis and the per-action optimizer walk a
+    # LEAF edge relation instead of the distinct+union subtree (A/B
+    # pagerank_user_item 3/3 pairwise, min 2.43 -> 1.27 s; the
+    # triangle helpers stay persisted — their A/B lost)
+    from .cache import checkpoint_in
+
+    edges = checkpoint_in(scope, edges)
+    deg = checkpoint_in(
+        scope, edges.groupBy("src").agg(F.count("*").alias("od"))
+    )
     ranks = deg.select(F.col("src").alias("id"), F.lit(scale).cast("long").alias("r"))
     for _ in range(iters):
         contribs = (
