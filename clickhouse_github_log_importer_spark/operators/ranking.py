@@ -229,10 +229,12 @@ def ranked(
         F.sum("_c").over(w_tot).alias("_n"),
     )
     off = F.broadcast(offsets) if broadcast_offsets else offsets
-    return (
-        local.join(off, ["_slice", *part_cols])
-        .withColumn("_rank", (F.col("_off") + F.col("_lrank")).cast("long"))
-        .drop("_slice", "_lrank", "_off")
+    # one select, not withColumn+drop: every DataFrame op is an eager
+    # analysis walk of the accumulated plan (r13, guide §7.3)
+    return local.join(off, ["_slice", *part_cols]).select(
+        *[F.col(c) for c in df.columns],
+        F.col("_n"),
+        (F.col("_off") + F.col("_lrank")).cast("long").alias("_rank"),
     )
 
 
@@ -294,11 +296,16 @@ def prefix_sum(
     )
     multi = not isinstance(val_col, str)
     cols = list(val_col) if multi else [val_col]
-    local = sliced
-    for c in cols:
-        local = local.withColumn(
-            f"_lsum_{c}", F.sum(F.col(c).cast("long")).over(w_loc)
-        )
+    # ONE select adds every running-sum column (r13, guide §7.3: each
+    # DataFrame op is an eager analysis walk; the per-column withColumn
+    # loops here ran 2 x len(cols) extra walks per call)
+    local = sliced.select(
+        "*",
+        *[
+            F.sum(F.col(c).cast("long")).over(w_loc).alias(f"_lsum_{c}")
+            for c in cols
+        ],
+    )
     sums = local.groupBy("_slice", *part_cols).agg(
         *[F.sum(F.col(c).cast("long")).alias(f"_c_{c}") for c in cols]
     )
@@ -318,14 +325,14 @@ def prefix_sum(
         ],
     )
     off = F.broadcast(offsets) if broadcast_offsets else offsets
-    out = local.join(off, ["_slice", *part_cols])
-    for c in cols:
-        out = out.withColumn(
-            f"_prefix_{c}" if multi else "_prefix",
-            (F.col(f"_off_{c}") + F.col(f"_lsum_{c}")).cast("long"),
-        )
-    return out.drop(
-        "_slice", *[f"_lsum_{c}" for c in cols], *[f"_off_{c}" for c in cols]
+    return local.join(off, ["_slice", *part_cols]).select(
+        *[F.col(c) for c in df.columns],
+        *[
+            (F.col(f"_off_{c}") + F.col(f"_lsum_{c}"))
+            .cast("long")
+            .alias(f"_prefix_{c}" if multi else "_prefix")
+            for c in cols
+        ],
     )
 
 
@@ -391,10 +398,10 @@ def running_last_sliced(
         F.last("_carry", ignorenulls=True).over(w_off).alias("_in"),
     )
     off = F.broadcast(offsets) if broadcast_offsets else offsets
-    return (
-        local.join(off, ["_slice", *part_cols])
-        .withColumn("_last", F.coalesce("_lval", "_in"))
-        .drop("_slice", "_lval", "_in")
+    # one select, not withColumn+drop (r13, guide §7.3)
+    return local.join(off, ["_slice", *part_cols]).select(
+        *[F.col(c) for c in df.columns],
+        F.coalesce("_lval", "_in").alias("_last"),
     )
 
 
@@ -455,10 +462,10 @@ def running_max_sliced(
         "_slice", *part_cols, F.max("_carry").over(w_off).alias("_in")
     )
     off = F.broadcast(offsets) if broadcast_offsets else offsets
-    return (
-        local.join(off, ["_slice", *part_cols])
-        .withColumn("_rmax", F.greatest("_lmax", "_in"))
-        .drop("_slice", "_lmax", "_in")
+    # one select, not withColumn+drop (r13, guide §7.3)
+    return local.join(off, ["_slice", *part_cols]).select(
+        *[F.col(c) for c in df.columns],
+        F.greatest("_lmax", "_in").alias("_rmax"),
     )
 
 

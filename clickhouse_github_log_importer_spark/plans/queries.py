@@ -8573,7 +8573,6 @@ def _seq_running(df, use_min: bool):
         .orderBy("_ts", "_k2")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = df.withColumn("_lg", agg("_q").over(w_loc))
     carry = df.groupBy("_sl", "user_id").agg(agg("_q").alias("_go"))
     w_off = (
         Window.partitionBy("user_id")
@@ -8583,10 +8582,15 @@ def _seq_running(df, use_min: bool):
     offs = carry.select(
         "_sl", "user_id", agg("_go").over(w_off).alias("_gi")
     )
-    return (
-        local.join(offs, ["_sl", "user_id"])
-        .withColumn("_G", comb("_lg", "_gi"))
-        .drop("_lg", "_gi")
+    # ONE select computes the local window inline and combines with the
+    # carry-in (r13, guide §7.3): each DataFrame op runs EAGER analysis
+    # over the whole accumulated chain plan, so the former
+    # withColumn(_lg) / withColumn(_G) / drop trio paid three extra
+    # analysis walks per pass — on a K-pass chain that is O(K²) analyzer
+    # work the fused select avoids
+    return df.join(offs, ["_sl", "user_id"]).select(
+        *[F.col(c) for c in df.columns],
+        comb(agg("_q").over(w_loc), F.col("_gi")).alias("_G"),
     )
 
 
@@ -8605,10 +8609,6 @@ def _seq_running_multi(df, specs):
         .orderBy("_ts", "_k2")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = df
-    for q, use_min in specs:
-        agg = F.min if use_min else F.max
-        local = local.withColumn(f"_lg_{q}", agg(q).over(w_loc))
     carry = df.groupBy("_sl", "user_id").agg(
         *[
             (F.min if use_min else F.max)(q).alias(f"_go_{q}")
@@ -8630,13 +8630,21 @@ def _seq_running_multi(df, specs):
             for q, use_min in specs
         ],
     )
-    out = local.join(offs, ["_sl", "user_id"])
-    for q, use_min in specs:
-        comb = F.least if use_min else F.greatest
-        out = out.withColumn(
-            f"_G_{q}", comb(F.col(f"_lg_{q}"), F.col(f"_gi_{q}"))
-        ).drop(f"_lg_{q}", f"_gi_{q}")
-    return out
+    # ONE select for every spec's local window + carry combination (r13,
+    # guide §7.3): the former per-spec withColumn/drop loops ran 3-4
+    # eager analysis walks of the accumulated chain plan per SPEC per
+    # pass; Spark still evaluates all window functions in one WindowExec
+    # (shared window spec), so the physical plan is unchanged
+    return df.join(offs, ["_sl", "user_id"]).select(
+        *[F.col(c) for c in df.columns],
+        *[
+            (F.least if use_min else F.greatest)(
+                (F.min if use_min else F.max)(q).over(w_loc),
+                F.col(f"_gi_{q}"),
+            ).alias(f"_G_{q}")
+            for q, use_min in specs
+        ],
+    )
 
 
 def _seq_edge_ok(edge, g_col):
@@ -8822,9 +8830,12 @@ def _sequence_match_users(
             ok = F.col("_G").isNotNull() & (
                 F.col("_ts") - F.col("_G") > F.lit(edge[1])
             )
-        cur = cur.withColumn(
-            "_q", F.when((F.col("_step") == k) & ok, F.col("_ts"))
-        ).drop("_G")
+        # one select (not withColumn+drop): every DataFrame op is an
+        # eager analysis walk of the accumulated chain plan (guide §7.3)
+        cur = cur.select(
+            *[c for c in cur.columns if c not in ("_q", "_G")],
+            F.when((F.col("_step") == k) & ok, F.col("_ts")).alias("_q"),
+        )
         if scope is not None and k < len(steps):
             cur = checkpoint_in(scope, cur)
     return (
@@ -8982,11 +8993,19 @@ def sequence_match_compiled(spark, sf_dir):
             continue
         st = _seq_stream(spark, sf_dir, list(types), _base=base)
         k_total = len(members[0][1])
-        cur = st
-        for i in range(len(members)):
-            cur = cur.withColumn(
-                f"_q{i}", F.when(F.col("_step") == 1, F.col("_ts"))
-            )
+        # ONE select seeds every member's qualified-ts column; ONE
+        # select per pass applies every member's edge predicate (r13,
+        # guide §7.3: each DataFrame op is an eager analysis walk of
+        # the whole accumulated chain plan — the former per-member
+        # withColumn/drop loops multiplied that by 2 x members per pass)
+        keep = st.columns
+        cur = st.select(
+            "*",
+            *[
+                F.when(F.col("_step") == 1, F.col("_ts")).alias(f"_q{i}")
+                for i in range(len(members))
+            ],
+        )
         for k in range(2, k_total + 1):
             specs = [
                 (
@@ -8997,12 +9016,19 @@ def sequence_match_compiled(spark, sf_dir):
                 for i in range(len(members))
             ]
             cur = _seq_running_multi(cur, specs)
-            for i in range(len(members)):
-                ok = _seq_edge_ok(members[i][2][k - 2], F.col(f"_G__q{i}"))
-                cur = cur.withColumn(
-                    f"_q{i}",
-                    F.when((F.col("_step") == k) & ok, F.col("_ts")),
-                ).drop(f"_G__q{i}")
+            cur = cur.select(
+                *keep,
+                *[
+                    F.when(
+                        (F.col("_step") == k)
+                        & _seq_edge_ok(
+                            members[i][2][k - 2], F.col(f"_G__q{i}")
+                        ),
+                        F.col("_ts"),
+                    ).alias(f"_q{i}")
+                    for i in range(len(members))
+                ],
+            )
             # materialize between passes on deep chains only (see the
             # singleton branch above for the measured rationale)
             if k < k_total and k_total >= 4:
