@@ -2399,10 +2399,17 @@ def ngram_lm_fluency(spark, sf_dir):
         .select("doc_id", "lang", F.explode(F.expr(pair)).alias("p"))
         .select("doc_id", "lang", F.col("p.b1").alias("b1"), F.col("p.b2").alias("b2"))
     )
-    c12 = (
+    # r13: c1 derives from c12, so the c1 broadcast re-ran the whole
+    # tokenize+md5 bigram explode; checkpointing the (<= B^2-row) bigram
+    # count table makes c1 a re-aggregation of materialized rows.
+    # Tokenize passes 3 -> 2 (A/B min-of-2: 1.60 -> 1.29 s, 3/3).
+    from ..operators.cache import checkpoint_in
+
+    c12 = checkpoint_in(
+        None,
         b.filter(F.col("lang") == lang)
         .groupBy("b1", "b2")
-        .agg(F.count("*").cast("long").alias("c"))
+        .agg(F.count("*").cast("long").alias("c")),
     )
     c1 = c12.groupBy("b1").agg(F.sum("c").cast("long").alias("c1"))
     nll = F.log(F.coalesce(F.col("c1"), F.lit(0)) + F.lit(float(B))) - F.log(
@@ -2449,27 +2456,36 @@ def dsir_importance_weights(spark, sf_dir):
     ).filter(F.col("w") != "").select(
         "doc_id", "lang", F.pmod(md5_hash64(F.col("w")), F.lit(B)).alias("b")
     )
-    raw = tb.groupBy("b").agg(F.count("*").alias("rc"))
-    tgt = tb.filter(F.col("lang") == lang).groupBy("b").agg(
-        F.count("*").alias("tc")
+    # r13 (guide §1.2): raw/tgt/tot were three separate aggregations,
+    # each a broadcast subtree re-running the tokenize+md5 explode — the
+    # corpus pipeline executed 4x per invocation. ONE map-side-combined
+    # per-bucket aggregation now carries both counts; the totals are a
+    # second-level aggregate of the (tiny, B-row) bucket table, which is
+    # checkpointed so the totals job and the weight broadcast both read
+    # the materialized B rows instead of re-tokenizing. A/B min-of-2:
+    # 1.64 -> 1.14 s, 3/3 pairwise; tokenize passes 4 -> 2 (the
+    # irreducible learn-then-score pair).
+    from ..operators.cache import checkpoint_in
+
+    per_b = checkpoint_in(
+        None,
+        tb.groupBy("b").agg(
+            F.count("*").alias("rc"),
+            F.sum((F.col("lang") == lang).cast("long")).alias("tc"),
+        ),
     )
-    tot = tb.agg(
-        F.count("*").alias("raw_n"),
-        F.sum((F.col("lang") == lang).cast("long")).alias("tgt_n"),
+    tot = per_b.agg(
+        F.sum("rc").alias("raw_n"), F.sum("tc").alias("tgt_n")
     )
-    wt = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "b",
-            (
-                F.log(
-                    (F.coalesce(F.col("tc"), F.lit(0)) + 1)
-                    / (F.col("tgt_n") + F.lit(float(B)))
-                )
-                - F.log((F.col("rc") + 1) / (F.col("raw_n") + F.lit(float(B))))
-            ).alias("w_b"),
-        )
+    wt = per_b.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log(
+                (F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                / (F.col("tgt_n") + F.lit(float(B)))
+            )
+            - F.log((F.col("rc") + 1) / (F.col("raw_n") + F.lit(float(B))))
+        ).alias("w_b"),
     )
     scored = (
         tb.join(F.broadcast(wt), "b")
